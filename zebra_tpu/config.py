@@ -1,0 +1,114 @@
+"""Configuration dataclasses.
+
+The reference fixes dimension/metric/model at the *type* level
+(``src/database/core.rs:55-64``) and exposes two runtime index knobs,
+``max_node_size=5`` / ``num_trees=15`` (``src/database/index/lsh.rs:124-138``).
+Here everything is one runtime config persisted in the database manifest; the
+tree knobs map onto their hash-table analogues:
+
+- ``num_trees``        -> ``num_tables``  (one hash table per tree)
+- tree depth           -> ``bits`` per hash code (root-to-leaf sign decisions
+                          become one packed b-bit code; ``bits="auto"`` picks
+                          ``ceil(log2(n / max_node_size))`` at build time, the
+                          same adaptive depth the recursive splitting reaches)
+- ``max_node_size``    -> expected bucket load (drives the auto bit count);
+                          ``bucket_capacity`` is the physical slot count per
+                          bucket (kept larger to absorb Poisson tails)
+- sibling backtracking -> ``num_probes`` multi-probe queries
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class IndexOptions:
+    """Tuning knobs of the LSH bucket index.
+
+    Reference analogue: ``LSHIndexOptions{max_node_size: 5, num_trees: 15}``
+    (``src/database/index/lsh.rs:131-138``).
+    """
+
+    num_tables: int = 15
+    #: target mean bucket load; reference leaf capacity ``max_node_size=5``.
+    max_node_size: int = 5
+    #: hash code width; 0 = auto (chosen from data size at first build).
+    bits: int = 0
+    #: physical slots per bucket row; 0 = auto (4x max_node_size, min 16).
+    bucket_capacity: int = 0
+    #: buckets probed per table at query time (1 = exact-code only).
+    num_probes: int = 8
+    #: initial vector-slab capacity; 0 = auto.
+    slab_capacity: int = 0
+    #: slab / compute dtype: "float32" or "bfloat16" (hash & re-rank in f32).
+    dtype: str = "float32"
+    #: "data" samples hyperplanes as bisectors of random stored-vector pairs
+    #: (the reference's scheme, ``lsh.rs:221-230``); "random" uses Gaussian
+    #: projections. "data" generally matches reference recall on clustered data.
+    plane_mode: str = "data"
+    seed: int = 0
+
+    def resolved_bits(self, n: int) -> int:
+        if self.bits > 0:
+            return self.bits
+        import math
+
+        target = max(1, self.max_node_size)
+        b = math.ceil(math.log2(max(n, 2) / target)) if n > target else 1
+        return int(min(max(b, 1), 16))
+
+    def resolved_bucket_capacity(self) -> int:
+        if self.bucket_capacity > 0:
+            return self.bucket_capacity
+        return max(16, 4 * self.max_node_size)
+
+    def to_json(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "IndexOptions":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+@dataclass(frozen=True)
+class DatabaseConfig:
+    """Full database configuration, persisted in the manifest.
+
+    Mirrors the reference's ``DatabaseInner{uuid, model, metric,
+    index_options}`` (``src/database/core.rs:19-29``); dimension is data here,
+    not a const-generic.
+    """
+
+    dim: int
+    metric: str = "cosine"
+    #: registered embedding-model name ("" = vectors-only database).
+    model: str = ""
+    #: power parameter for minkowski / p_norm metrics (``distance.rs:162-190``).
+    metric_power: float = 3.0
+    index: IndexOptions = field(default_factory=IndexOptions)
+    #: number of mesh shards the index is distributed over (1 = single device).
+    shards: int = 1
+
+    def to_json(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["index"] = self.index.to_json()
+        return d
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "DatabaseConfig":
+        d = dict(d)
+        idx = d.pop("index", {})
+        known = {f.name for f in dataclasses.fields(cls)} - {"index"}
+        return cls(index=IndexOptions.from_json(idx), **{k: v for k, v in d.items() if k in known})
+
+    def dumps(self) -> str:
+        return json.dumps(self.to_json(), indent=2, sort_keys=True)
+
+    @classmethod
+    def loads(cls, s: str) -> "DatabaseConfig":
+        return cls.from_json(json.loads(s))

@@ -1,0 +1,234 @@
+"""Database facade: index + embedding model + document blobs + manifest.
+
+TPU-native counterpart of the reference's ``Database<N, Met, Mod>``
+(``src/database/core.rs:55-313``). Lifecycle, CRUD and query semantics mirror
+the reference method-for-method; the persistence format is a JSON manifest
+(reference: bincode ``.zebra`` file, ``core.rs:183-190``) plus an array
+snapshot directory and a compressed blob store (reference: fjall LSM
+partitions + ``{uuid}/{id}.lz4`` files, ``core.rs:322-380``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+
+from zebra_tpu.config import DatabaseConfig, IndexOptions
+from zebra_tpu.index.lsh import LSHIndex
+from zebra_tpu.models.base import get_model
+from zebra_tpu.storage.blobs import DocumentStore
+from zebra_tpu.utils import fsync_write, uuid_hex, uuid7_bytes
+
+_FORMAT_VERSION = 1
+
+
+def _make_index(config: DatabaseConfig):
+    if config.shards > 1:
+        from zebra_tpu.parallel.sharded import ShardedLSHIndex
+
+        return ShardedLSHIndex(
+            dim=config.dim,
+            metric=config.metric,
+            options=config.index,
+            metric_power=config.metric_power,
+            shards=config.shards,
+        )
+    return LSHIndex(
+        dim=config.dim,
+        metric=config.metric,
+        options=config.index,
+        metric_power=config.metric_power,
+    )
+
+
+def _load_index(config: DatabaseConfig, directory: str):
+    if config.shards > 1:
+        from zebra_tpu.parallel.sharded import ShardedLSHIndex
+
+        return ShardedLSHIndex.load(directory)
+    return LSHIndex.load(directory)
+
+
+class Database:
+    """An embedded vector database with document payloads.
+
+    Reference lifecycle parity: :meth:`create` (``new_with_path``,
+    ``core.rs:138-157``), :meth:`open` (``core.rs:92-102``),
+    :meth:`open_or_create` (``core.rs:168-176``), :meth:`save`
+    (``save_database``, ``core.rs:183-190``), :meth:`clear_database`
+    (``core.rs:194-198``).
+    """
+
+    def __init__(self, config: DatabaseConfig, path: str, index=None, uuid: bytes | None = None, codec: str | None = None):
+        self.config = config
+        self.path = path
+        self.uuid = uuid or uuid7_bytes()
+        self.index = index if index is not None else _make_index(config)
+        self._docs = DocumentStore(self._docs_dir(), codec=codec)
+
+    # -- paths ---------------------------------------------------------------
+
+    def _data_dir(self) -> str:
+        return f"{self.path}.d"
+
+    def _index_dir(self) -> str:
+        return os.path.join(self._data_dir(), "index")
+
+    def _docs_dir(self) -> str:
+        # reference stores blobs under a `{uuid}/` subdirectory (core.rs:75-77)
+        return os.path.join(self._data_dir(), uuid_hex(self.uuid))
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def create(cls, path: str, config: DatabaseConfig) -> "Database":
+        db = cls(config, path)
+        db.save()
+        return db
+
+    @classmethod
+    def open(cls, path: str) -> "Database":
+        with open(path, "rb") as f:
+            manifest = json.loads(f.read())
+        if manifest.get("format") != _FORMAT_VERSION:
+            raise ValueError(f"unsupported database format: {manifest.get('format')}")
+        config = DatabaseConfig.from_json(manifest["config"])
+        uuid = bytes.fromhex(manifest["uuid"])
+        index_dir = os.path.join(f"{path}.d", "index")
+        if os.path.isdir(index_dir) and os.path.exists(os.path.join(index_dir, "index.json")):
+            index = _load_index(config, index_dir)
+        else:
+            index = _make_index(config)
+        return cls(config, path, index=index, uuid=uuid, codec=manifest.get("codec"))
+
+    @classmethod
+    def open_or_create(cls, path: str, config: DatabaseConfig | None = None) -> "Database":
+        """Open if the manifest parses, else create fresh — matching the
+        reference's fallback-on-any-error semantics (``core.rs:168-176``)."""
+        try:
+            return cls.open(path)
+        except Exception:
+            if config is None:
+                raise
+            return cls.create(path, config)
+
+    def save(self, path: str | None = None) -> None:
+        """Persist manifest + index snapshot (+ blobs on save-as).
+
+        Reference ``save_database`` (``core.rs:183-190``) only rewrites
+        metadata because its blobs live in a cwd-relative ``{uuid}/`` dir
+        shared by every save path; our blobs are inside the per-path sidecar,
+        so saving to a NEW path copies them across.
+        """
+        target = path or self.path
+        data_dir = f"{target}.d"
+        os.makedirs(data_dir, exist_ok=True)
+        if target != self.path and os.path.isdir(self._docs_dir()):
+            dst = os.path.join(data_dir, uuid_hex(self.uuid))
+            if os.path.abspath(dst) != os.path.abspath(self._docs_dir()):
+                shutil.copytree(self._docs_dir(), dst, dirs_exist_ok=True)
+        self.index.save(os.path.join(data_dir, "index"))
+        manifest = {
+            "format": _FORMAT_VERSION,
+            "uuid": uuid_hex(self.uuid),
+            "codec": self._docs.codec,
+            "config": self.config.to_json(),
+        }
+        fsync_write(target, json.dumps(manifest, indent=2).encode())
+
+    def clear_database(self) -> None:
+        """Delete the manifest, snapshots and all blobs (``core.rs:194-198``)."""
+        self.index.clear()
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+        shutil.rmtree(self._data_dir(), ignore_errors=True)
+
+    # -- model ---------------------------------------------------------------
+
+    @property
+    def model(self):
+        if not self.config.model:
+            raise ValueError("this database has no embedding model configured")
+        return get_model(self.config.model)
+
+    # -- CRUD ----------------------------------------------------------------
+
+    def insert_documents(self, documents: list[bytes]) -> list[bytes]:
+        """Embed + insert documents (``core.rs:232-235``)."""
+        embeddings = self.model.embed_documents(documents)
+        return self.insert_records(embeddings, documents)
+
+    def insert_records(self, embeddings: np.ndarray, documents: list[bytes]) -> list[bytes]:
+        """Insert embedding/document pairs (``core.rs:245-254``)."""
+        embeddings = np.asarray(embeddings, dtype=np.float32)
+        if len(documents) != embeddings.shape[0]:
+            raise ValueError("embeddings/documents length mismatch")
+        ids = self.index.add(embeddings)
+        self._docs.save_many(ids, list(documents))
+        self.save()
+        return ids
+
+    def insert_vectors(self, vectors: np.ndarray) -> list[bytes]:
+        """Vector-only insert (no payloads) — extension over the reference."""
+        ids = self.index.add(np.asarray(vectors, dtype=np.float32))
+        self.save()
+        return ids
+
+    def remove(self, ids: list[bytes]) -> None:
+        """Remove records and their blobs (``core.rs:205-213``)."""
+        removed = self.index.remove(ids)
+        self._docs.remove_many(removed)
+        self.save()
+
+    def deduplicate(self) -> None:
+        """Drop exact-duplicate vectors and their blobs (``core.rs:216-224``)."""
+        removed = self.index.deduplicate()
+        self._docs.remove_many(removed)
+        self.save()
+
+    # -- queries -------------------------------------------------------------
+
+    def query_documents(self, documents: list[bytes], number_of_results: int = 1) -> dict[int, dict[bytes, bytes]]:
+        """Embed queries and fetch neighbour documents (``core.rs:267-277``).
+
+        Returns ``{query_index: {vector_id: document_bytes}}`` — the shape of
+        the reference's ``DashMap<usize, DashMap<Uuid, Vec<u8>>>``.
+        """
+        if self.index.no_vectors():
+            return {}
+        queries = self.model.embed_documents(documents)
+        return self.query_vectors(queries, number_of_results)
+
+    def query_vectors(self, vectors: np.ndarray, number_of_results: int = 1) -> dict[int, dict[bytes, bytes]]:
+        """ANN query + blob fetch (``core.rs:290-313``)."""
+        if self.index.no_vectors():
+            return {}
+        results = self.index.search(np.asarray(vectors, dtype=np.float32), number_of_results)
+        out: dict[int, dict[bytes, bytes]] = {}
+        for qi, row in enumerate(results):
+            docs = self._docs.read_many([i for i, _ in row])
+            out[qi] = docs
+        return out
+
+    def query(self, vectors: np.ndarray, number_of_results: int = 10, with_documents: bool = False):
+        """Richer query API: per-query ``[(id, distance[, document]), ...]``."""
+        if self.index.no_vectors():
+            v = np.asarray(vectors)
+            nq = 1 if v.ndim == 1 else v.shape[0]
+            return [[] for _ in range(nq)]
+        results = self.index.search(np.asarray(vectors, dtype=np.float32), number_of_results)
+        if not with_documents:
+            return results
+        enriched = []
+        for row in results:
+            docs = self._docs.read_many([i for i, _ in row])
+            enriched.append([(i, d, docs.get(i)) for i, d in row])
+        return enriched
+
+    def __len__(self) -> int:
+        return len(self.index)

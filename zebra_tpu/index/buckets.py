@@ -1,0 +1,315 @@
+"""Device-resident LSH bucket tables: pure, jit-compiled index operations.
+
+This is the TPU-native isomorphism of the reference's forest of binary
+space-partitioning trees (``src/database/index/lsh.rs``):
+
+  tree                      -> one hash table (row axis ``T``)
+  root-to-leaf sign path    -> packed b-bit code (one MXU matmul for ALL
+                               tables at once, see ``ops/hashing.py``)
+  leaf node (Vec<Uuid>)     -> fixed-capacity bucket row of int32 slab slots
+  per-vector tree insert    -> sort-by-code segmented scatter-append
+                               (contention-free: intra-batch ranks computed
+                               with a cummax scan, no atomics needed)
+  delete / missing id       -> tombstone bit in the ``valid`` mask (the
+                               reference leaves dangling ids in inner leaves
+                               and resolves them to zero-vectors,
+                               ``lsh.rs:107-119,487-492`` — we mask instead)
+  sibling backtracking      -> multi-probe bucket gather
+  candidate union + re-rank -> masked gather + batched exact distances +
+                               running top-k merge over candidate chunks
+
+Everything here is shape-static and functional: the host layer
+(:mod:`zebra_tpu.index.lsh`) owns growth/rebuild decisions, id mapping, and
+persistence.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from zebra_tpu.ops import distances as D
+from zebra_tpu.ops import hashing as H
+from zebra_tpu.ops import topk as TK
+
+#: Out-of-bounds sentinel used to make scatter writes drop.
+OOB = jnp.int32(2**30)
+
+
+@struct.dataclass
+class IndexState:
+    """All device arrays of one index shard (a pytree)."""
+
+    planes: jnp.ndarray  # [T, b, D] f32 hyperplane normals
+    consts: jnp.ndarray  # [T, b]    f32 hyperplane offsets
+    buckets: jnp.ndarray  # [T, R, C] int32 slab slots, -1 = empty
+    counts: jnp.ndarray  # [T, R]    int32 filled slots per bucket (<= C)
+    vectors: jnp.ndarray  # [S, D]    vector slab
+    valid: jnp.ndarray  # [S]       bool liveness (False = empty/tombstone)
+    next_slot: jnp.ndarray  # []    int32 bump allocator
+    overflow: jnp.ndarray  # []     int32 dropped bucket entries (regrow signal)
+
+    @property
+    def num_tables(self) -> int:
+        return self.buckets.shape[0]
+
+    @property
+    def bits(self) -> int:
+        return self.planes.shape[1]
+
+    @property
+    def num_rows(self) -> int:
+        return self.buckets.shape[1]
+
+    @property
+    def bucket_capacity(self) -> int:
+        return self.buckets.shape[2]
+
+    @property
+    def slab_capacity(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.vectors.shape[1]
+
+
+def empty_state(
+    planes: jnp.ndarray,
+    consts: jnp.ndarray,
+    bucket_capacity: int,
+    slab_capacity: int,
+    dtype=jnp.float32,
+) -> IndexState:
+    """Fresh state for given hyperplanes and capacities."""
+    T, b, dim = planes.shape
+    R = 1 << b
+    return IndexState(
+        planes=planes.astype(jnp.float32),
+        consts=consts.astype(jnp.float32),
+        buckets=jnp.full((T, R, bucket_capacity), -1, dtype=jnp.int32),
+        counts=jnp.zeros((T, R), dtype=jnp.int32),
+        vectors=jnp.zeros((slab_capacity, dim), dtype=dtype),
+        valid=jnp.zeros((slab_capacity,), dtype=jnp.bool_),
+        next_slot=jnp.zeros((), dtype=jnp.int32),
+        overflow=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Insert
+# ---------------------------------------------------------------------------
+
+
+def _append_one_table(bucket_t, count_t, code_t, slots):
+    """Scatter-append a batch into one table's buckets.
+
+    ``code_t``: [n] int32 codes (OOB for padding rows); ``slots``: [n] slab
+    slots. Duplicate codes within the batch get consecutive positions via a
+    sort + segmented-rank scan — the deterministic, atomics-free TPU analogue
+    of the reference's per-vector read-modify-write of whole trees
+    (``lsh.rs:445-462``).
+    """
+    n = code_t.shape[0]
+    R, C = bucket_t.shape
+    order = jnp.argsort(code_t)  # pads (OOB) sort last
+    c = code_t[order]
+    s = slots[order]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), c[1:] != c[:-1]])
+    start_pos = jnp.where(is_start, ar, jnp.int32(0))
+    seg_start = jax.lax.associative_scan(jnp.maximum, start_pos)
+    rank = ar - seg_start
+    base = count_t[jnp.clip(c, 0, R - 1)]
+    pos = base + rank
+    in_row = c < R  # real (non-pad) rows
+    new_bucket = bucket_t.at[c, pos].set(s, mode="drop")
+    ok = in_row & (pos < C)
+    new_count = count_t.at[c].add(ok.astype(jnp.int32), mode="drop")
+    overflow = jnp.sum((in_row & (pos >= C)).astype(jnp.int32))
+    return new_bucket, new_count, overflow
+
+
+@jax.jit
+def insert(state: IndexState, x: jnp.ndarray, n_valid: jnp.ndarray):
+    """Insert a (padded) batch of vectors.
+
+    Args:
+      state: index state.
+      x: ``[n, D]`` batch; rows ``>= n_valid`` are padding and ignored.
+      n_valid: scalar int32 count of real rows (pads must be at the end).
+
+    Returns:
+      ``(new_state, slots [n])`` — slot ``i`` is the slab position of row
+      ``i`` (undefined for pad rows).
+    """
+    n = x.shape[0]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    real = ar < n_valid
+    slots = jnp.where(real, state.next_slot + ar, OOB)
+
+    xd = x.astype(state.vectors.dtype)
+    vectors = state.vectors.at[slots].set(xd, mode="drop")
+    valid = state.valid.at[slots].set(True, mode="drop")
+
+    codes = H.hash_codes(x, state.planes, state.consts)  # [n, T]
+    codes = jnp.where(real[:, None], codes, OOB)
+    buckets, counts, ovf = jax.vmap(_append_one_table, in_axes=(0, 0, 1, None))(
+        state.buckets, state.counts, codes, slots
+    )
+    return (
+        state.replace(
+            buckets=buckets,
+            counts=counts,
+            vectors=vectors,
+            valid=valid,
+            next_slot=state.next_slot + n_valid.astype(jnp.int32),
+            overflow=state.overflow + jnp.sum(ovf),
+        ),
+        slots,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delete (tombstone)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def delete_slots(state: IndexState, slots: jnp.ndarray) -> IndexState:
+    """Tombstone slab slots (negative entries are ignored).
+
+    Bucket rows keep the stale slot ids; queries mask them via ``valid``.
+    The host layer compacts when tombstone density grows. This *actually*
+    removes vectors from search results — unlike the reference, whose remove
+    only scrubs root-level leaves (``lsh.rs:487-492``).
+    """
+    s = jnp.where(slots >= 0, slots, OOB)
+    return state.replace(valid=state.valid.at[s].set(False, mode="drop"))
+
+
+# ---------------------------------------------------------------------------
+# Query
+# ---------------------------------------------------------------------------
+
+
+def _chunked_rerank(state, q, cand, cand_valid, k, metric, power, chunk):
+    """Gather candidate vectors chunk-by-chunk, compute exact distances,
+    and keep a running top-k (bounds peak memory to ``B * chunk * D``)."""
+    B, M = cand.shape
+    n_chunks = -(-M // chunk)
+    pad = n_chunks * chunk - M
+    if pad:
+        cand = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
+        cand_valid = jnp.pad(cand_valid, ((0, 0), (0, pad)))
+    cand_c = cand.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    valid_c = cand_valid.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+
+    init = (
+        jnp.full((B, k), jnp.inf, jnp.float32),
+        jnp.full((B, k), -1, jnp.int32),
+        jnp.zeros((B, k), jnp.bool_),
+    )
+
+    def body(carry, xs):
+        sl, vl = xs
+        vecs = state.vectors[jnp.clip(sl, 0, state.slab_capacity - 1)]
+        d = D.rowwise(q, vecs, metric=metric, power=power)
+        td, ti, tv = TK.masked_topk(d, vl, sl, k)
+        return TK.merge_topk(carry[0], carry[1], carry[2], td, ti, tv, k), None
+
+    (dk, ik, vk), _ = jax.lax.scan(body, init, (cand_c, valid_c))
+    return dk, ik, vk
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "num_probes", "chunk"))
+def query(
+    state: IndexState,
+    q: jnp.ndarray,
+    k: int,
+    metric: str = "cosine",
+    num_probes: int = 8,
+    power: float = 3.0,
+    chunk: int = 2048,
+):
+    """Approximate top-k search for a batch of queries.
+
+    Pipeline (reference counterpart in parens): hash queries (tree descent,
+    ``lsh.rs:333-345``) -> multi-probe bucket gather (leaf + sibling
+    backtrack) -> dedup across tables (DashSet union, ``lsh.rs:550-556``) ->
+    chunked exact re-rank + running top-k (``lsh.rs:557-564``).
+
+    Returns:
+      ``(dists [B, k], slots [B, k], valid [B, k])`` — slots are slab
+      positions; the host maps them to ids. Invalid tail entries are -1/+inf.
+    """
+    acts = H.hash_activations(q, state.planes, state.consts)  # [B, T, b]
+    probes = H.multiprobe(acts, num_probes)  # [B, T, P]
+    T = state.num_tables
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    cand = state.buckets[t_idx, probes]  # [B, T, P, C]
+    B = q.shape[0]
+    cand = cand.reshape(B, -1)
+
+    # Dedup across tables/probes: sort slots per row, mask repeats.
+    cand = jnp.sort(cand, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.bool_), cand[:, 1:] == cand[:, :-1]], axis=1
+    )
+    in_slab = (cand >= 0) & (cand < state.slab_capacity)
+    live = state.valid[jnp.clip(cand, 0, state.slab_capacity - 1)]
+    cand_valid = in_slab & live & ~dup
+
+    return _chunked_rerank(state, q, cand, cand_valid, k, metric, power, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def brute_force(
+    state: IndexState,
+    q: jnp.ndarray,
+    k: int,
+    metric: str = "cosine",
+    power: float = 3.0,
+    chunk: int = 8192,
+):
+    """Exact top-k over the whole slab (test oracle and small-db fast path)."""
+    S = state.slab_capacity
+    B = q.shape[0]
+    chunk = min(chunk, S)
+    if S % chunk != 0:
+        # Slab capacities are powers of two (host layer invariant); fall back
+        # to the largest power-of-two divisor if a custom chunk doesn't fit.
+        chunk = S & -S if S & -S < chunk else chunk
+        while S % chunk != 0:
+            chunk //= 2
+    n_chunks = S // chunk
+    init = (
+        jnp.full((B, k), jnp.inf, jnp.float32),
+        jnp.full((B, k), -1, jnp.int32),
+        jnp.zeros((B, k), jnp.bool_),
+    )
+
+    def body(carry, i):
+        start = i * chunk
+        vecs = jax.lax.dynamic_slice_in_dim(state.vectors, start, chunk, axis=0)
+        vl = jax.lax.dynamic_slice_in_dim(state.valid, start, chunk, axis=0)
+        sl = start + jnp.arange(chunk, dtype=jnp.int32)
+        d = D.pairwise(q, vecs, metric=metric, power=power)
+        td, ti, tv = TK.masked_topk(
+            d,
+            jnp.broadcast_to(vl[None, :], (B, chunk)),
+            jnp.broadcast_to(sl[None, :], (B, chunk)),
+            k,
+        )
+        return TK.merge_topk(carry[0], carry[1], carry[2], td, ti, tv, k), None
+
+    (dk, ik, vk), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return dk, ik, vk
+
+
+@jax.jit
+def num_valid(state: IndexState) -> jnp.ndarray:
+    return jnp.sum(state.valid.astype(jnp.int32))

@@ -1,0 +1,105 @@
+"""Embedding-model protocol and registry.
+
+Reference: trait ``DatabaseEmbeddingModel<N>`` with batch ``embed_documents``
+and single ``embed`` (``src/model/core.rs:12-37``); models are zero-sized
+structs chosen at compile time. Here a model is any object with ``name``,
+``dim`` and ``embed_documents(list[bytes]) -> np.ndarray [n, dim]``, and the
+manifest stores the registry name so databases reopen with the same model.
+
+Unlike the reference — which re-downloads and re-instantiates its ONNX text
+model on EVERY call (``src/model/text.rs:15-17``) — registry lookups are
+cached.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Protocol, runtime_checkable
+
+import numpy as np
+
+DIM_BGESMALL_EN_1_5 = 384  # reference model/core.rs:5-6
+DIM_VIT_BASE_PATCH16_224 = 768  # reference model/core.rs:8-9
+
+
+@runtime_checkable
+class EmbeddingModel(Protocol):
+    name: str
+    dim: int
+
+    def embed_documents(self, documents: list[bytes]) -> np.ndarray:  # [n, dim]
+        ...
+
+    def embed(self, document: bytes) -> np.ndarray:  # [dim]
+        ...
+
+
+class BaseModel:
+    name = "base"
+    dim = 0
+
+    def embed(self, document: bytes) -> np.ndarray:
+        return self.embed_documents([document])[0]
+
+    def embed_documents(self, documents: list[bytes]) -> np.ndarray:
+        raise NotImplementedError
+
+
+class HashEmbeddingModel(BaseModel):
+    """Deterministic hash-of-bytes embedding — the default test fixture.
+
+    Maps sha256(document) to a unit Gaussian vector; equal documents get equal
+    embeddings, so insert->query round-trips are exactly reproducible with no
+    model weights. (The reference has no equivalent; its tests don't exist.)
+    """
+
+    def __init__(self, dim: int = 64):
+        self.dim = int(dim)
+        self.name = f"hash-{dim}"
+
+    def embed_documents(self, documents: list[bytes]) -> np.ndarray:
+        out = np.empty((len(documents), self.dim), dtype=np.float32)
+        for i, doc in enumerate(documents):
+            seed = int.from_bytes(hashlib.sha256(doc).digest()[:8], "little")
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(self.dim).astype(np.float32)
+            out[i] = v / max(float(np.linalg.norm(v)), 1e-12)
+        return out
+
+
+_REGISTRY: dict[str, Callable[[], EmbeddingModel]] = {}
+_CACHE: dict[str, EmbeddingModel] = {}
+
+
+def register_model(name: str, factory: Callable[[], EmbeddingModel]) -> None:
+    _REGISTRY[name] = factory
+
+
+def get_model(name: str) -> EmbeddingModel:
+    """Resolve a registered model by name (cached)."""
+    if name in _CACHE:
+        return _CACHE[name]
+    if name.startswith("hash-"):
+        model: EmbeddingModel = HashEmbeddingModel(int(name.split("-", 1)[1]))
+    elif name in _REGISTRY:
+        model = _REGISTRY[name]()
+    else:
+        model = _lazy_builtin(name)
+    _CACHE[name] = model
+    return model
+
+
+def _lazy_builtin(name: str) -> EmbeddingModel:
+    if name == "bge-small-en-v1.5":
+        from zebra_tpu.models.text import BGESmallEn15
+
+        return BGESmallEn15()
+    if name == "vit-base-patch16-224":
+        from zebra_tpu.models.image import VitImageModel
+
+        return VitImageModel()
+    if name == "vit-audio":
+        from zebra_tpu.models.audio import VitAudioModel
+
+        return VitAudioModel()
+    raise KeyError(f"unknown embedding model {name!r}")

@@ -1,0 +1,74 @@
+"""Small host-side helpers shared across the package."""
+
+from __future__ import annotations
+
+import os
+import secrets
+import time
+
+
+def next_pow2(n: int) -> int:
+    n = max(1, int(n))
+    return 1 << (n - 1).bit_length()
+
+
+def uuid7_bytes() -> bytes:
+    """Time-ordered 16-byte id (UUIDv7 layout).
+
+    Reference ids are ``Uuid::now_v7()`` (``src/database/index/lsh.rs:415``);
+    time-ordering keeps newly inserted ids clustered, which helps the host-side
+    id maps and makes on-disk blob listings chronological.
+    """
+    ms = time.time_ns() // 1_000_000
+    rand = secrets.token_bytes(10)
+    b = bytearray(16)
+    b[0:6] = ms.to_bytes(6, "big")
+    b[6] = 0x70 | (rand[0] & 0x0F)
+    b[7] = rand[1]
+    b[8] = 0x80 | (rand[2] & 0x3F)
+    b[9:16] = rand[3:10]
+    return bytes(b)
+
+
+def uuid_hex(b: bytes) -> str:
+    return b.hex()
+
+
+def fsync_write(path: str, data: bytes) -> None:
+    """Write + flush + fsync — the reference persists with
+    ``PersistMode::SyncAll`` on every upsert (``lsh.rs:87-89``); we match that
+    durability at batch-operation granularity."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    # fsync the directory so the rename itself is durable
+    dfd = os.open(os.path.dirname(os.path.abspath(path)) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+class Stopwatch:
+    """Wall-clock timer for CLI reporting (reference uses the ``ticky``
+    stopwatch crate, ``src/main.rs:146,153-160``)."""
+
+    def __init__(self):
+        self.t0 = time.perf_counter()
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self.t0
+
+    def pretty(self) -> str:
+        s = self.elapsed()
+        if s < 1e-3:
+            return f"{s * 1e6:.0f}µs"
+        if s < 1:
+            return f"{s * 1e3:.1f}ms"
+        if s < 60:
+            return f"{s:.2f}s"
+        m, sec = divmod(s, 60.0)
+        return f"{int(m)}m {sec:.1f}s"
