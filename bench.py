@@ -1,0 +1,150 @@
+"""Benchmark harness — run on real TPU hardware.
+
+Headline (BASELINE.json north star): 1M x 768-d cosine — index build rate,
+query QPS, and recall@10 vs brute force. Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+(vs_baseline = value / 100k-QPS north-star target; the reference publishes no
+numbers of its own — BASELINE.md).
+
+Smaller configs: ``python bench.py --n 10000 --dim 512`` (BASELINE config 1).
+Everything timed on device; host<->device transfers excluded from QPS timing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_data(n: int, dim: int, seed: int = 0, n_clusters: int | None = None):
+    """Clustered Gaussians — the data regime ANN recall targets describe."""
+    rng = np.random.default_rng(seed)
+    n_clusters = n_clusters or max(64, n // 100)
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    out = np.empty((n, dim), dtype=np.float32)
+    step = 200_000
+    for s in range(0, n, step):
+        e = min(n, s + step)
+        assign = rng.integers(0, n_clusters, e - s)
+        out[s:e] = centers[assign] + 0.15 * rng.standard_normal((e - s, dim)).astype(np.float32)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--metric", default="cosine")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--qbatch", type=int, default=256)
+    ap.add_argument("--qiters", type=int, default=20)
+    ap.add_argument("--recall-queries", type=int, default=256)
+    ap.add_argument("--tables", type=int, default=15)
+    ap.add_argument("--probes", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from zebra_tpu.config import IndexOptions
+    from zebra_tpu.index import buckets as B
+    from zebra_tpu.index.lsh import LSHIndex
+
+    devs = jax.devices()
+    log(f"devices: {devs}")
+
+    log(f"generating {args.n} x {args.dim} clustered vectors ...")
+    data = make_data(args.n, args.dim, seed=args.seed)
+    rng = np.random.default_rng(args.seed + 1)
+
+    idx = LSHIndex(
+        dim=args.dim,
+        metric=args.metric,
+        options=IndexOptions(
+            num_tables=args.tables, num_probes=args.probes, seed=args.seed
+        ),
+    )
+
+    # ---- insert / build throughput ----------------------------------------
+    t0 = time.perf_counter()
+    ids = idx.add(data)
+    jax.block_until_ready(idx.state.buckets)
+    t_build = time.perf_counter() - t0
+    inserts_per_sec = args.n / t_build
+    log(f"build: {t_build:.2f}s  ({inserts_per_sec:,.0f} inserts/sec)  stats={idx.stats()}")
+
+    # ---- warm incremental insert rate (compile cache hot from build) ------
+    inc_n = min(65536, args.n)
+    inc = make_data(inc_n, args.dim, seed=args.seed + 7)
+    t0 = time.perf_counter()
+    idx.add(inc)
+    jax.block_until_ready(idx.state.buckets)
+    t_inc = time.perf_counter() - t0
+    warm_inserts_per_sec = inc_n / t_inc
+    log(f"incremental add: {inc_n} in {t_inc:.3f}s -> {warm_inserts_per_sec:,.0f} inserts/sec (warm)")
+
+    # ---- query QPS ---------------------------------------------------------
+    qsel = rng.permutation(args.n)[: args.qbatch]
+    queries = data[qsel] + 0.05 * rng.standard_normal((args.qbatch, args.dim)).astype(np.float32)
+    qj = jnp.asarray(queries)
+
+    # warmup / compile
+    d, s, v = B.query(
+        idx.state, qj, args.k, metric=args.metric, num_probes=args.probes, power=3.0
+    )
+    jax.block_until_ready(d)
+    t0 = time.perf_counter()
+    for _ in range(args.qiters):
+        d, s, v = B.query(
+            idx.state, qj, args.k, metric=args.metric, num_probes=args.probes, power=3.0
+        )
+    jax.block_until_ready(d)
+    t_query = time.perf_counter() - t0
+    qps = args.qbatch * args.qiters / t_query
+    log(f"query: {t_query:.3f}s for {args.qbatch * args.qiters} queries -> {qps:,.0f} QPS")
+
+    # ---- recall@k vs brute force ------------------------------------------
+    nrq = min(args.recall_queries, args.qbatch)
+    rq = qj[:nrq]
+    da, sa, va = B.query(
+        idx.state, rq, args.k, metric=args.metric, num_probes=args.probes, power=3.0
+    )
+    db_, sb, vb = B.brute_force(idx.state, rq, args.k, metric=args.metric, power=3.0)
+    sa, va, sb, vb = map(np.asarray, (sa, va, sb, vb))
+    hits = sum(
+        len(set(sa[i][va[i]].tolist()) & set(sb[i][vb[i]].tolist())) for i in range(nrq)
+    )
+    recall = hits / (nrq * args.k)
+    log(f"recall@{args.k} vs brute force: {recall:.4f}")
+
+    result = {
+        "metric": f"query_qps_{args.n}x{args.dim}_{args.metric}",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 100_000.0, 4),
+        "extra": {
+            "recall_at_k": round(recall, 4),
+            "k": args.k,
+            "inserts_per_sec": round(inserts_per_sec, 1),
+            "warm_inserts_per_sec": round(warm_inserts_per_sec, 1),
+            "build_seconds": round(t_build, 2),
+            "n": args.n,
+            "dim": args.dim,
+            "devices": len(devs),
+            "index": idx.stats(),
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""CLI verbs end-to-end (reference ``src/main.rs`` behaviours)."""
+
+import io
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from zebra_tpu.cli import main
+
+
+@pytest.fixture(autouse=True)
+def in_tmp(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    yield tmp_path
+
+
+def test_text_insert_query_clear(capsys):
+    db = "t.zebra"
+    assert main(["--database-path", db, "text", "insert", "apple pie recipe", "rocket science"]) == 0
+    out = capsys.readouterr().out
+    assert "Inserted 2" in out
+    assert main(["--database-path", db, "text", "query", "apple pie recipe", "-n", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "apple pie recipe" in out
+    assert main(["--database-path", db, "text", "clear"]) == 0
+    assert not os.path.exists(db)
+
+
+def test_text_insert_from_files(tmp_path, capsys):
+    files = []
+    for i in range(7):
+        p = tmp_path / f"f{i}.txt"
+        p.write_text(f"file content number {i}")
+        files.append(str(p))
+    assert main(["--database-path", "f.zebra", "text", "insert-from-files", *files,
+                 "--batch-size", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "Inserted 7" in out
+    assert main(["--database-path", "f.zebra", "text", "query", "file content number 3"]) == 0
+    out = capsys.readouterr().out
+    assert "file content number" in out
+
+
+def test_query_empty_database(capsys):
+    assert main(["--database-path", "e.zebra", "text", "query", "nothing"]) == 0
+    assert "empty" in capsys.readouterr().out.lower()
+
+
+@pytest.mark.slow
+def test_audio_roundtrip(tmp_path, capsys):
+    rate = 16000
+    t = np.arange(rate // 2) / rate
+    p = tmp_path / "tone.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((0.4 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16).tobytes())
+    db = "a.zebra"
+    assert main(["--database-path", db, "audio", "insert", str(p)]) == 0
+    out_dir = str(tmp_path / "out")
+    assert main(["--database-path", db, "audio", "query", str(p), "--output-dir", out_dir]) == 0
+    out = capsys.readouterr().out
+    assert "bytes" in out
+    assert os.listdir(out_dir)

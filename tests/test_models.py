@@ -1,0 +1,116 @@
+"""Embedding models: determinism, shapes, preprocessing parity
+(SURVEY.md §4 (6): fake model default, real towers random-init offline)."""
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from zebra_tpu.models.base import HashEmbeddingModel, get_model
+
+
+def test_hash_model_deterministic_and_unit_norm():
+    m = HashEmbeddingModel(dim=48)
+    a = m.embed_documents([b"alpha", b"beta", b"alpha"])
+    assert a.shape == (3, 48)
+    np.testing.assert_array_equal(a[0], a[2])
+    assert not np.allclose(a[0], a[1])
+    np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0, rtol=1e-5)
+
+
+def test_registry_resolves_and_caches():
+    m1 = get_model("hash-32")
+    m2 = get_model("hash-32")
+    assert m1 is m2 and m1.dim == 32
+    with pytest.raises(KeyError):
+        get_model("no-such-model")
+
+
+def test_text_model_offline(rng):
+    m = get_model("bge-small-en-v1.5")
+    e = m.embed_documents([b"hello world", b"goodbye world", b"hello world"])
+    assert e.shape == (3, 384)
+    np.testing.assert_allclose(e[0], e[2], atol=1e-6)  # deterministic
+    assert not np.allclose(e[0], e[1])
+    np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, rtol=1e-4)
+
+
+def _png_bytes(rng, w=64, h=48):
+    from PIL import Image
+
+    arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_image_preprocessing_parity(rng):
+    from zebra_tpu.models.image import load_image224, IMAGENET_MEAN, IMAGENET_STD
+
+    px = load_image224(_png_bytes(rng))
+    assert px.shape == (224, 224, 3)
+    # un-normalised values must sit in [0, 1]
+    un = px * IMAGENET_STD + IMAGENET_MEAN
+    assert un.min() >= -1e-5 and un.max() <= 1.0 + 1e-5
+
+
+@pytest.mark.slow
+def test_image_model_shapes(rng):
+    m = get_model("vit-base-patch16-224")
+    e = m.embed_documents([_png_bytes(rng), _png_bytes(rng)])
+    assert e.shape == (2, 768)
+    assert np.isfinite(e).all()
+    assert not np.allclose(e[0], e[1])
+
+
+def _wav_bytes(freq=440.0, seconds=0.5, rate=16000):
+    t = np.arange(int(rate * seconds)) / rate
+    samples = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_decode():
+    from zebra_tpu.models.audio import audio_to_data
+
+    samples, rate = audio_to_data(_wav_bytes())
+    assert rate == 16000 and len(samples) == 8000
+    assert abs(samples).max() <= 1.0
+    with pytest.raises(ValueError):
+        audio_to_data(b"not audio at all")
+
+
+def test_audio_spectrogram_distinguishes_frequencies():
+    from zebra_tpu.models.audio import audio_to_image_tensor224
+
+    a = audio_to_image_tensor224(_wav_bytes(freq=440.0))
+    b = audio_to_image_tensor224(_wav_bytes(freq=4400.0))
+    assert a.shape == (224, 224, 3)
+    assert np.isfinite(a).all()
+    assert not np.allclose(a, b)
+
+
+@pytest.mark.slow
+def test_audio_model_shapes():
+    m = get_model("vit-audio")
+    e = m.embed_documents([_wav_bytes(440.0), _wav_bytes(880.0)])
+    assert e.shape == (2, 768)
+    assert not np.allclose(e[0], e[1])
+
+
+def test_default_configs_match_reference_pairings():
+    from zebra_tpu.defaults import audio_config, image_config, text_config
+
+    t = text_config()
+    assert (t.dim, t.metric, t.model) == (384, "sql2", "bge-small-en-v1.5")
+    i = image_config()
+    assert (i.dim, i.metric, i.model) == (768, "cosine", "vit-base-patch16-224")
+    a = audio_config()
+    assert (a.dim, a.metric, a.model) == (768, "cosine", "vit-audio")

@@ -1,0 +1,159 @@
+"""Command-line interface.
+
+Mirrors the reference clap tree (``src/main.rs:30-139``):
+
+  zebra-tpu text  {insert, insert-from-files, query, clear}
+  zebra-tpu image {insert, query, clear}
+  zebra-tpu audio {insert, query, clear}
+
+with a global ``--database-path``, batch ingest (``--batch-size``, default 100
+as in ``main.rs:80-81``), ``--number-of-results`` (default 1, ``main.rs:85-87``)
+and wall-clock timing prints (reference uses ``ticky`` stopwatches,
+``main.rs:146,153-160``). Terminal image rendering / audio playback
+(viuer/rodio) are replaced by ``--output-dir`` extraction of retrieved blobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from zebra_tpu.utils import Stopwatch
+
+
+def _progress(i: int, total: int) -> None:
+    width = 30
+    done = int(width * i / max(total, 1))
+    sys.stderr.write(f"\r[{'#' * done}{'.' * (width - done)}] {i}/{total}")
+    if i == total:
+        sys.stderr.write("\n")
+    sys.stderr.flush()
+
+
+def _open_db(modality: str, path: str):
+    from zebra_tpu import defaults
+
+    factory = {"text": defaults.text_db, "image": defaults.image_db, "audio": defaults.audio_db}
+    return factory[modality](path)
+
+
+def _cmd_insert(args) -> int:
+    db = _open_db(args.modality, args.database_path)
+    if args.modality == "text":
+        docs = [t.encode() for t in args.items]
+    else:
+        docs = [open(p, "rb").read() for p in args.items]
+    sw = Stopwatch()
+    ids = db.insert_documents(docs)
+    print(f"Inserted {len(ids)} {args.modality} document(s) "
+          f"({db.config.dim}-dimensional embeddings) in {sw.pretty()}.")
+    return 0
+
+
+def _cmd_insert_from_files(args) -> int:
+    db = _open_db(args.modality, args.database_path)
+    paths = list(args.items)
+    sw = Stopwatch()
+    docs = [open(p, "rb").read() for p in paths]  # reference reads all upfront (main.rs:331-334)
+    total = 0
+    for start in range(0, len(docs), args.batch_size):
+        batch = docs[start : start + args.batch_size]
+        batch_sw = Stopwatch()
+        db.insert_documents(batch)
+        total += len(batch)
+        _progress(total, len(docs))
+        print(f"  batch of {len(batch)} in {batch_sw.pretty()}", file=sys.stderr)
+    print(f"Inserted {total} document(s) from files in {sw.pretty()}.")
+    return 0
+
+
+def _cmd_query(args) -> int:
+    db = _open_db(args.modality, args.database_path)
+    if args.modality == "text":
+        queries = [t.encode() for t in args.items]
+    else:
+        queries = [open(p, "rb").read() for p in args.items]
+    sw = Stopwatch()
+    results = db.query_documents(queries, number_of_results=args.number_of_results)
+    elapsed = sw.pretty()
+    if not results:
+        print("Database is empty; no results.")
+        return 0
+    for qi in sorted(results):
+        print(f"Query {qi}:")
+        for doc_id, doc in results[qi].items():
+            if args.modality == "text":
+                text = doc.decode("utf-8", errors="replace")
+                print(f"  [{doc_id.hex()[:12]}] {text}")
+            else:
+                print(f"  [{doc_id.hex()[:12]}] {len(doc)} bytes")
+                if args.output_dir:
+                    os.makedirs(args.output_dir, exist_ok=True)
+                    out = os.path.join(args.output_dir, f"{doc_id.hex()}.bin")
+                    with open(out, "wb") as f:
+                        f.write(doc)
+                    print(f"    -> {out}")
+    print(f"Queried {len(queries)} {args.modality} document(s) in {elapsed}.")
+    return 0
+
+
+def _cmd_clear(args) -> int:
+    db = _open_db(args.modality, args.database_path)
+    db.clear_database()
+    print(f"Cleared {args.modality} database at {args.database_path}.")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="zebra-tpu",
+        description="TPU-native embedded vector database (text / image / audio).",
+    )
+    ap.add_argument(
+        "--database-path",
+        default="zebra.db",
+        help="path to the database manifest file (default: zebra.db)",
+    )
+    sub = ap.add_subparsers(dest="modality", required=True)
+    for modality in ("text", "image", "audio"):
+        m = sub.add_parser(modality)
+        verbs = m.add_subparsers(dest="verb", required=True)
+
+        ins = verbs.add_parser("insert", help="insert documents")
+        ins.add_argument("items", nargs="+",
+                         help="texts (text) or file paths (image/audio)")
+        ins.set_defaults(fn=_cmd_insert)
+
+        iff = verbs.add_parser("insert-from-files", help="batch ingest files")
+        iff.add_argument("items", nargs="+", help="file paths")
+        iff.add_argument("--batch-size", type=int, default=100)
+        iff.set_defaults(fn=_cmd_insert_from_files)
+
+        q = verbs.add_parser("query", help="query nearest documents")
+        q.add_argument("items", nargs="+",
+                       help="query texts (text) or file paths (image/audio)")
+        q.add_argument("--number-of-results", "-n", type=int, default=1)
+        q.add_argument("--output-dir", default="",
+                       help="write retrieved image/audio blobs here")
+        q.set_defaults(fn=_cmd_query)
+
+        c = verbs.add_parser("clear", help="delete the database")
+        c.set_defaults(fn=_cmd_clear)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: {e.filename or e}: no such file", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

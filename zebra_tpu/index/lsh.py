@@ -164,9 +164,18 @@ class LSHIndex:
         overflow = int(st.overflow)
         used = int(st.next_slot)
         tombstones = used - n_live
+        # Overflowed bucket writes are dropped entries; the multi-table
+        # redundancy absorbs them (a vector dropped from one table is almost
+        # surely present in the other 14), so overflow only justifies a
+        # rebuild when wider hash codes would actually spread the load —
+        # otherwise tight clusters re-overflow forever and every add() loops.
+        overflow_fixable = (
+            overflow > _REBUILD_OVERFLOW * n_live
+            and self.options.resolved_bits(n_live) > st.bits
+        )
         if (
             n_live > _REBUILD_GROWTH * max(self._built_n, 1)
-            or overflow > _REBUILD_OVERFLOW * n_live
+            or overflow_fixable
             or tombstones > _COMPACT_TOMBSTONES * max(used, 1)
         ):
             self.rebuild()

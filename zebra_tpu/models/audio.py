@@ -1,0 +1,119 @@
+"""Audio embedding: decode -> log-frequency spectrogram image -> ViT tower.
+
+Reference pipeline (``src/model/audio.rs``): symphonia decodes any codec to
+i16 samples (``:35-75``), sonogram renders a 512-bin spectrogram as a
+224x224 "rainbow" PNG (``:86-99``), and that image goes through the same ViT
+flow as real images (``:110-142``). TPU-native version: host decodes WAV
+(std ``wave``; ``soundfile`` for other codecs when importable), the
+spectrogram is a jit-compiled STFT -> log-magnitude -> log-frequency resample
+on device, mapped to an ImageNet-normalised 3-channel image for the shared
+ViT tower.
+"""
+
+from __future__ import annotations
+
+import functools
+import io
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zebra_tpu.models.base import BaseModel, DIM_VIT_BASE_PATCH16_224
+from zebra_tpu.models.image import IMAGENET_MEAN, IMAGENET_STD
+from zebra_tpu.models.vit import IMAGE_SIZE, embed_pixels
+
+N_FFT = 1024  # 512 frequency bins, matching the reference's 512-bin sonogram
+TARGET_FRAMES = IMAGE_SIZE
+TARGET_BINS = IMAGE_SIZE
+MAX_SAMPLES = 16000 * 30  # cap at 30s @ 16kHz-equivalent to bound compile shapes
+
+
+def audio_to_data(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode audio bytes to mono float32 samples + sample rate (reference
+    ``audio_to_data``, ``src/model/audio.rs:35-75``)."""
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            width = w.getsampwidth()
+            ch = w.getnchannels()
+            raw = w.readframes(n)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+        if dtype is None:
+            raise ValueError(f"unsupported WAV sample width {width}")
+        samples = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+        if width == 1:
+            samples = (samples - 128.0) / 128.0
+        else:
+            samples = samples / float(2 ** (8 * width - 1))
+        if ch > 1:
+            samples = samples.reshape(-1, ch).mean(axis=1)
+        return samples, rate
+    except wave.Error:
+        pass
+    try:  # non-WAV codecs, if soundfile happens to be installed
+        import soundfile as sf
+
+        samples, rate = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
+        return samples.mean(axis=1), int(rate)
+    except ImportError as e:
+        raise ValueError(
+            "unsupported audio container (WAV supported natively; install "
+            "`soundfile` for other codecs)"
+        ) from e
+
+
+@functools.lru_cache(maxsize=1)
+def _spectrogram_fn():
+    @jax.jit
+    def spec(samples: jnp.ndarray):  # [MAX_SAMPLES] f32 (zero-padded)
+        hop = (MAX_SAMPLES - N_FFT) // (TARGET_FRAMES - 1)
+        starts = jnp.arange(TARGET_FRAMES) * hop
+        idx = starts[:, None] + jnp.arange(N_FFT)[None, :]
+        frames = samples[idx] * jnp.hanning(N_FFT)[None, :]
+        mag = jnp.abs(jnp.fft.rfft(frames, axis=-1))[:, : N_FFT // 2]  # [F, 512]
+        # log-frequency resample 512 -> 224 bins (reference sonogram uses a
+        # log frequency axis, model/audio.rs:93)
+        src = (jnp.logspace(0, jnp.log10(N_FFT // 2 - 1), TARGET_BINS)).astype(jnp.int32)
+        logmag = jnp.log1p(mag[:, src])  # [F, 224]
+        lo, hi = jnp.min(logmag), jnp.max(logmag)
+        img = (logmag - lo) / jnp.maximum(hi - lo, 1e-6)
+        return img.T[::-1]  # [224 bins, 224 frames], low freq at the bottom
+
+    return spec
+
+
+def audio_to_image_tensor224(data: bytes) -> np.ndarray:
+    """Bytes -> ``[224, 224, 3]`` ImageNet-normalised spectrogram image
+    (reference ``audio_to_image_tensor224``, ``src/model/audio.rs:86-100``)."""
+    samples, _rate = audio_to_data(data)
+    buf = np.zeros(MAX_SAMPLES, dtype=np.float32)
+    take = min(len(samples), MAX_SAMPLES)
+    buf[:take] = samples[:take]
+    img = np.asarray(_spectrogram_fn()(jnp.asarray(buf)))  # [224, 224] in [0,1]
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    return (rgb - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class VitAudioModel(BaseModel):
+    """768-d audio embeddings: spectrogram image through the ViT tower
+    (reference audio ``VitBasePatch16_224``, ``src/model/audio.rs:106-142``)."""
+
+    dim = DIM_VIT_BASE_PATCH16_224
+    name = "vit-audio"
+
+    def __init__(self, mode: str = "embeddings_mean", batch_size: int = 16):
+        self.mode = mode
+        self.batch_size = batch_size
+
+    def embed_documents(self, documents: list[bytes]) -> np.ndarray:
+        out = np.empty((len(documents), self.dim), dtype=np.float32)
+        for start in range(0, len(documents), self.batch_size):
+            batch = documents[start : start + self.batch_size]
+            pixels = np.zeros((self.batch_size, IMAGE_SIZE, IMAGE_SIZE, 3), np.float32)
+            for i, d in enumerate(batch):
+                pixels[i] = audio_to_image_tensor224(d)
+            out[start : start + len(batch)] = embed_pixels(pixels, mode=self.mode)[: len(batch)]
+        return out
