@@ -1,0 +1,107 @@
+"""Database facade: lifecycle, CRUD, persistence (SURVEY.md §4 (3))."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from zebra_tpu.config import DatabaseConfig, IndexOptions
+from zebra_tpu.db import Database
+
+
+@pytest.fixture
+def cfg():
+    return DatabaseConfig(dim=32, metric="cosine", model="hash-32",
+                          index=IndexOptions(num_tables=8, seed=0))
+
+
+def test_create_open_roundtrip(tmp_path, cfg):
+    path = str(tmp_path / "db.zebra")
+    db = Database.create(path, cfg)
+    docs = [f"document {i}".encode() for i in range(50)]
+    ids = db.insert_documents(docs)
+    assert len(db) == 50
+
+    db2 = Database.open(path)
+    assert len(db2) == 50
+    assert db2.config == cfg
+    assert db2.uuid == db.uuid
+    res = db2.query_documents([docs[7]], 1)
+    assert docs[7] in res[0].values()
+
+
+def test_insert_records_and_query_vectors(tmp_path, cfg, rng):
+    db = Database.create(str(tmp_path / "v.zebra"), cfg)
+    vecs = rng.standard_normal((30, 32)).astype(np.float32)
+    docs = [f"payload {i}".encode() for i in range(30)]
+    db.insert_records(vecs, docs)
+    res = db.query_vectors(vecs[:3], 1)
+    for qi in range(3):
+        assert docs[qi] in res[qi].values()
+
+
+def test_query_detailed_sorted(tmp_path, cfg, rng):
+    db = Database.create(str(tmp_path / "d.zebra"), cfg)
+    vecs = rng.standard_normal((100, 32)).astype(np.float32)
+    db.insert_records(vecs, [f"{i}".encode() for i in range(100)])
+    rows = db.query(vecs[:2], number_of_results=5, with_documents=True)
+    for row in rows:
+        dists = [d for _, d, _ in row]
+        assert dists == sorted(dists)
+        assert row[0][1] < 1e-3
+        assert row[0][2] is not None
+
+
+def test_remove_and_dedup_drop_blobs(tmp_path, cfg):
+    db = Database.create(str(tmp_path / "r.zebra"), cfg)
+    docs = [f"doc {i}".encode() for i in range(20)] + [b"doc 0"]  # exact dup
+    ids = db.insert_documents(docs)
+    db.deduplicate()
+    assert len(db) == 20
+    db.remove(ids[:5])
+    assert len(db) == 15
+    res = db.query_documents([docs[1]], 3)
+    assert docs[1] not in res.get(0, {}).values()  # removed doc 1 gone
+
+
+def test_vectors_only_database(tmp_path, rng):
+    cfg = DatabaseConfig(dim=16, metric="l2")  # no model
+    db = Database.create(str(tmp_path / "raw.zebra"), cfg)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    ids = db.insert_vectors(vecs)
+    rows = db.query(vecs[:2], number_of_results=1)
+    assert rows[0][0][0] == ids[0]
+    with pytest.raises(ValueError):
+        db.insert_documents([b"no model configured"])
+
+
+def test_manifest_contents(tmp_path, cfg):
+    path = str(tmp_path / "m.zebra")
+    Database.create(path, cfg)
+    with open(path) as f:
+        manifest = json.load(f)
+    assert manifest["format"] == 1
+    assert manifest["config"]["dim"] == 32
+    assert manifest["config"]["index"]["num_tables"] == 8
+    assert manifest["blob_backend"] in ("packed", "files")
+
+
+def test_clear_database_removes_everything(tmp_path, cfg):
+    path = str(tmp_path / "c.zebra")
+    db = Database.create(path, cfg)
+    db.insert_documents([b"a", b"b"])
+    db.clear_database()
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".d")
+    assert len(db) == 0
+
+
+def test_open_or_create_corrupt_manifest_falls_back(tmp_path, cfg):
+    path = str(tmp_path / "bad.zebra")
+    with open(path, "w") as f:
+        f.write("garbage{{{")
+    db = Database.open_or_create(path, cfg)  # reference core.rs:168-176
+    assert len(db) == 0
+    with pytest.raises(Exception):
+        Database.open_or_create(str(tmp_path / "missing.zebra"))  # no config

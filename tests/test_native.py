@@ -1,0 +1,136 @@
+"""Native C++ blob log + id map (skipped when no toolchain)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from zebra_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no native toolchain")
+
+
+def test_blobstore_roundtrip(tmp_path):
+    s = native.NativeBlobStore(str(tmp_path / "log"))
+    key1, key2 = b"\x01" * 16, b"\x02" * 16
+    s.put(key1, b"hello world" * 100)
+    s.put(key2, b"\x00\xff" * 5)
+    s.flush()
+    assert s.get(key1) == b"hello world" * 100
+    assert s.get(key2) == b"\x00\xff" * 5
+    assert s.get(b"\x03" * 16) is None
+    assert len(s) == 2
+    s.close()
+
+
+def test_blobstore_persistence_and_delete(tmp_path):
+    d = str(tmp_path / "log")
+    s = native.NativeBlobStore(d)
+    keys = [bytes([i]) + b"\x00" * 15 for i in range(1, 21)]
+    for i, k in enumerate(keys):
+        s.put(k, f"document {i}".encode())
+    s.delete(keys[0])
+    s.flush()
+    s.close()
+
+    s2 = native.NativeBlobStore(d)
+    assert len(s2) == 19
+    assert s2.get(keys[0]) is None
+    assert s2.get(keys[5]) == b"document 5"
+    s2.close()
+
+
+def test_blobstore_overwrite_last_wins(tmp_path):
+    s = native.NativeBlobStore(str(tmp_path / "log"))
+    k = b"\x09" * 16
+    s.put(k, b"first")
+    s.put(k, b"second")
+    assert s.get(k) == b"second"
+    assert len(s) == 1
+    s.close()
+
+
+def test_blobstore_compact_reclaims(tmp_path):
+    d = str(tmp_path / "log")
+    s = native.NativeBlobStore(d)
+    big = os.urandom(50_000)
+    keys = [bytes([i]) + b"\x01" * 15 for i in range(1, 11)]
+    for k in keys:
+        s.put(k, big)
+    for k in keys[:9]:
+        s.delete(k)
+    s.flush()
+    size_before = os.path.getsize(os.path.join(d, "blobs.log"))
+    s.compact()
+    size_after = os.path.getsize(os.path.join(d, "blobs.log"))
+    assert size_after < size_before / 2
+    assert s.get(keys[9]) == big
+    s.close()
+    s2 = native.NativeBlobStore(d)
+    assert len(s2) == 1 and s2.get(keys[9]) == big
+    s2.close()
+
+
+def test_blobstore_crash_safety_truncated_tail(tmp_path):
+    d = str(tmp_path / "log")
+    s = native.NativeBlobStore(d)
+    k1, k2 = b"\x0a" * 16, b"\x0b" * 16
+    s.put(k1, b"intact record")
+    s.put(k2, b"this one gets torn")
+    s.close()
+    # simulate a torn write: chop bytes off the tail
+    path = os.path.join(d, "blobs.log")
+    with open(path, "r+b") as f:
+        f.truncate(os.path.getsize(path) - 7)
+    s2 = native.NativeBlobStore(d)
+    assert s2.get(k1) == b"intact record"  # intact prefix survives
+    assert s2.get(k2) is None  # torn record dropped
+    # log still appendable after recovery
+    s2.put(k2, b"rewritten")
+    assert s2.get(k2) == b"rewritten"
+    s2.close()
+
+
+def test_idmap_basic_and_bulk():
+    m = native.NativeIdMap()
+    keys = [os.urandom(16) for _ in range(1000)]
+    for i, k in enumerate(keys):
+        m.put(k, i)
+    assert len(m) == 1000
+    assert m.get(keys[123]) == 123
+    assert m.get(os.urandom(16)) is None
+    assert m.delete(keys[0]) and m.get(keys[0]) is None
+    assert len(m) == 999
+    # bulk
+    bulk_keys = b"".join(os.urandom(16) for _ in range(500))
+    m.put_many(bulk_keys, np.arange(500) + 10_000)
+    got = m.get_many(bulk_keys)
+    np.testing.assert_array_equal(got, np.arange(500) + 10_000)
+
+
+def test_packed_document_store(tmp_path):
+    from zebra_tpu.storage.blobs import PackedDocumentStore
+
+    s = PackedDocumentStore(str(tmp_path / "docs"))
+    ids = [os.urandom(16) for _ in range(10)]
+    docs = [f"doc number {i}".encode() * 10 for i in range(10)]
+    s.save_many(ids, docs)
+    got = s.read_many(ids[:5] + [os.urandom(16)])
+    assert len(got) == 5 and got[ids[0]] == docs[0]
+    s.remove_many(ids[:3])
+    assert len(s.read_many(ids[:3])) == 0
+
+
+def test_database_uses_packed_backend(tmp_path):
+    from zebra_tpu.config import DatabaseConfig
+    from zebra_tpu.db import Database
+
+    cfg = DatabaseConfig(dim=16, metric="cosine", model="hash-16")
+    db = Database.open_or_create(str(tmp_path / "n.zebra"), cfg)
+    assert db._docs.codec == "packed-zlib"
+    docs = [f"d{i}".encode() for i in range(20)]
+    db.insert_documents(docs)
+    db2 = Database.open(str(tmp_path / "n.zebra"))
+    assert db2._docs.codec == "packed-zlib"
+    res = db2.query_documents([docs[3]], 1)
+    assert docs[3] in res[0].values()

@@ -19,7 +19,7 @@ import numpy as np
 from zebra_tpu.config import DatabaseConfig, IndexOptions
 from zebra_tpu.index.lsh import LSHIndex
 from zebra_tpu.models.base import get_model
-from zebra_tpu.storage.blobs import DocumentStore
+from zebra_tpu.storage.blobs import make_document_store
 from zebra_tpu.utils import fsync_write, uuid_hex, uuid7_bytes
 
 _FORMAT_VERSION = 1
@@ -62,12 +62,20 @@ class Database:
     (``core.rs:194-198``).
     """
 
-    def __init__(self, config: DatabaseConfig, path: str, index=None, uuid: bytes | None = None, codec: str | None = None):
+    def __init__(
+        self,
+        config: DatabaseConfig,
+        path: str,
+        index=None,
+        uuid: bytes | None = None,
+        codec: str | None = None,
+        blob_backend: str | None = None,
+    ):
         self.config = config
         self.path = path
         self.uuid = uuid or uuid7_bytes()
         self.index = index if index is not None else _make_index(config)
-        self._docs = DocumentStore(self._docs_dir(), codec=codec)
+        self._docs = make_document_store(self._docs_dir(), backend=blob_backend, codec=codec)
 
     # -- paths ---------------------------------------------------------------
 
@@ -102,7 +110,14 @@ class Database:
             index = _load_index(config, index_dir)
         else:
             index = _make_index(config)
-        return cls(config, path, index=index, uuid=uuid, codec=manifest.get("codec"))
+        backend = manifest.get("blob_backend")
+        if backend is None:  # legacy manifests: infer from codec
+            backend = "packed" if manifest.get("codec") == "packed-zlib" else "files"
+        return cls(
+            config, path, index=index, uuid=uuid,
+            codec=None if backend == "packed" else manifest.get("codec"),
+            blob_backend=backend,
+        )
 
     @classmethod
     def open_or_create(cls, path: str, config: DatabaseConfig | None = None) -> "Database":
@@ -135,6 +150,7 @@ class Database:
             "format": _FORMAT_VERSION,
             "uuid": uuid_hex(self.uuid),
             "codec": self._docs.codec,
+            "blob_backend": "packed" if self._docs.codec == "packed-zlib" else "files",
             "config": self.config.to_json(),
         }
         fsync_write(target, json.dumps(manifest, indent=2).encode())

@@ -48,6 +48,8 @@ class IndexState:
     buckets: jnp.ndarray  # [T, R, C] int32 slab slots, -1 = empty
     counts: jnp.ndarray  # [T, R]    int32 filled slots per bucket (<= C)
     vectors: jnp.ndarray  # [S, D]    vector slab
+    norms: jnp.ndarray  # [S]       f32 squared L2 norms (re-rank needs only
+    #                                 dots + norms for cosine/l2/sql2)
     valid: jnp.ndarray  # [S]       bool liveness (False = empty/tombstone)
     next_slot: jnp.ndarray  # []    int32 bump allocator
     overflow: jnp.ndarray  # []     int32 dropped bucket entries (regrow signal)
@@ -93,6 +95,7 @@ def empty_state(
         buckets=jnp.full((T, R, bucket_capacity), -1, dtype=jnp.int32),
         counts=jnp.zeros((T, R), dtype=jnp.int32),
         vectors=jnp.zeros((slab_capacity, dim), dtype=dtype),
+        norms=jnp.zeros((slab_capacity,), dtype=jnp.float32),
         valid=jnp.zeros((slab_capacity,), dtype=jnp.bool_),
         next_slot=jnp.zeros((), dtype=jnp.int32),
         overflow=jnp.zeros((), dtype=jnp.int32),
@@ -133,9 +136,13 @@ def _append_one_table(bucket_t, count_t, code_t, slots):
     return new_bucket, new_count, overflow
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def insert(state: IndexState, x: jnp.ndarray, n_valid: jnp.ndarray):
     """Insert a (padded) batch of vectors.
+
+    The state is DONATED: XLA updates the slab and bucket tables in place
+    instead of copying the (multi-GB) buffers — callers must use the returned
+    state and never touch the argument again.
 
     Args:
       state: index state.
@@ -153,6 +160,8 @@ def insert(state: IndexState, x: jnp.ndarray, n_valid: jnp.ndarray):
 
     xd = x.astype(state.vectors.dtype)
     vectors = state.vectors.at[slots].set(xd, mode="drop")
+    x32 = x.astype(jnp.float32)
+    norms = state.norms.at[slots].set(jnp.sum(x32 * x32, axis=-1), mode="drop")
     valid = state.valid.at[slots].set(True, mode="drop")
 
     codes = H.hash_codes(x, state.planes, state.consts)  # [n, T]
@@ -165,6 +174,7 @@ def insert(state: IndexState, x: jnp.ndarray, n_valid: jnp.ndarray):
             buckets=buckets,
             counts=counts,
             vectors=vectors,
+            norms=norms,
             valid=valid,
             next_slot=state.next_slot + n_valid.astype(jnp.int32),
             overflow=state.overflow + jnp.sum(ovf),
@@ -178,9 +188,9 @@ def insert(state: IndexState, x: jnp.ndarray, n_valid: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def delete_slots(state: IndexState, slots: jnp.ndarray) -> IndexState:
-    """Tombstone slab slots (negative entries are ignored).
+    """Tombstone slab slots (negative entries are ignored); state donated.
 
     Bucket rows keep the stale slot ids; queries mask them via ``valid``.
     The host layer compacts when tombstone density grows. This *actually*
@@ -214,10 +224,25 @@ def _chunked_rerank(state, q, cand, cand_valid, k, metric, power, chunk):
         jnp.zeros((B, k), jnp.bool_),
     )
 
+    q32 = q.astype(jnp.float32)
+    qn2 = jnp.sum(q32 * q32, axis=-1)[:, None]  # [B, 1]
+
     def body(carry, xs):
         sl, vl = xs
-        vecs = state.vectors[jnp.clip(sl, 0, state.slab_capacity - 1)]
-        d = D.rowwise(q, vecs, metric=metric, power=power)
+        idx = jnp.clip(sl, 0, state.slab_capacity - 1)
+        vecs = state.vectors[idx]
+        if metric in D.MXU_METRICS:
+            # stored squared norms: only dots come from the gathered vectors
+            dot = jnp.einsum(
+                "bd,bcd->bc",
+                q32,
+                vecs.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            d = D.mxu_from_parts(metric, dot, qn2, state.norms[idx])
+        else:
+            d = D.rowwise(q, vecs, metric=metric, power=power)
         td, ti, tv = TK.masked_topk(d, vl, sl, k)
         return TK.merge_topk(carry[0], carry[1], carry[2], td, ti, tv, k), None
 

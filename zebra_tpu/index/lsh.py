@@ -128,8 +128,9 @@ class LSHIndex:
             return
         new_cap = next_pow2(max(2 * st.slab_capacity, need))
         vectors = jnp.zeros((new_cap, self.dim), st.vectors.dtype).at[: st.slab_capacity].set(st.vectors)
+        norms = jnp.zeros((new_cap,), jnp.float32).at[: st.slab_capacity].set(st.norms)
         valid = jnp.zeros((new_cap,), jnp.bool_).at[: st.slab_capacity].set(st.valid)
-        self.state = st.replace(vectors=vectors, valid=valid)
+        self.state = st.replace(vectors=vectors, norms=norms, valid=valid)
 
     def _insert_batches(self, vectors: np.ndarray, ids: list[bytes]) -> None:
         n = vectors.shape[0]
@@ -327,6 +328,7 @@ class LSHIndex:
             buckets=np.asarray(self.state.buckets),
             counts=np.asarray(self.state.counts),
             vectors=np.asarray(self.state.vectors, dtype=np.float32),
+            norms=np.asarray(self.state.norms),
             valid=np.asarray(self.state.valid),
             next_slot=np.asarray(self.state.next_slot),
             overflow=np.asarray(self.state.overflow),
@@ -355,6 +357,7 @@ class LSHIndex:
                 buckets=jnp.asarray(z["buckets"]),
                 counts=jnp.asarray(z["counts"]),
                 vectors=jnp.asarray(z["vectors"]).astype(dtype),
+                norms=jnp.asarray(z["norms"]),
                 valid=jnp.asarray(z["valid"]),
                 next_slot=jnp.asarray(z["next_slot"]),
                 overflow=jnp.asarray(z["overflow"]),

@@ -173,6 +173,16 @@ _ELEMENTWISE: dict[str, Callable] = {
     "hamming": _hamming,
 }
 
+def mxu_from_parts(metric: str, dot, qn2, xn2):
+    """Distance from precomputed parts: ``dot`` [..., C], squared query norms
+    ``qn2`` (broadcastable) and squared candidate norms ``xn2``. Lets callers
+    that store per-vector norms (the index slab) gather only dots."""
+    if metric == "cosine":
+        return _cosine_from_parts(dot, qn2, xn2)
+    d2 = _sql2_from_parts(dot, qn2, xn2)
+    return d2 if metric == "sql2" else jnp.sqrt(d2)
+
+
 _POWERED = ("minkowski", "p_norm")
 
 #: All supported metric names.

@@ -44,7 +44,7 @@ def _restack(tree):
     return jax.tree.map(lambda a: a[None], tree)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh",))
+@functools.partial(jax.jit, static_argnames=("mesh",), donate_argnums=(1,))
 def _sharded_insert(mesh, state, x, n_valid):
     """x: [S, n, D] sharded; n_valid: [S] sharded -> (state', slots [S, n])."""
 
@@ -125,7 +125,7 @@ def _sharded_brute_force(mesh, state, q, k, metric, power, chunk):
     )(state, q)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh",))
+@functools.partial(jax.jit, static_argnames=("mesh",), donate_argnums=(1,))
 def _sharded_delete(mesh, state, slots):
     """slots: [S, m] sharded (local slot ids, -1 = none)."""
 
@@ -252,8 +252,9 @@ class ShardedLSHIndex:
         vectors = (
             jnp.zeros((S, new_cap, self.dim), st.vectors.dtype).at[:, :cap].set(st.vectors)
         )
+        norms = jnp.zeros((S, new_cap), jnp.float32).at[:, :cap].set(st.norms)
         valid = jnp.zeros((S, new_cap), jnp.bool_).at[:, :cap].set(st.valid)
-        self.state = self._put(st.replace(vectors=vectors, valid=valid))
+        self.state = self._put(st.replace(vectors=vectors, norms=norms, valid=valid))
 
     def _insert_split(self, vectors, ids, splits) -> None:
         max_n = max(len(s) for s in splits)
@@ -449,6 +450,7 @@ class ShardedLSHIndex:
             buckets=np.asarray(self.state.buckets),
             counts=np.asarray(self.state.counts),
             vectors=np.asarray(self.state.vectors, dtype=np.float32),
+            norms=np.asarray(self.state.norms),
             valid=np.asarray(self.state.valid),
             next_slot=np.asarray(self.state.next_slot),
             overflow=np.asarray(self.state.overflow),
@@ -478,6 +480,7 @@ class ShardedLSHIndex:
                 buckets=jnp.asarray(z["buckets"]),
                 counts=jnp.asarray(z["counts"]),
                 vectors=jnp.asarray(z["vectors"]).astype(idx.dtype),
+                norms=jnp.asarray(z["norms"]),
                 valid=jnp.asarray(z["valid"]),
                 next_slot=jnp.asarray(z["next_slot"]),
                 overflow=jnp.asarray(z["overflow"]),

@@ -105,3 +105,61 @@ class DocumentStore:
             os.rmdir(self.directory)
         except OSError:
             pass
+
+
+class PackedDocumentStore:
+    """Documents in the native C++ packed blob log (one file, batch fsync)
+    instead of one compressed file per record. Preferred for new databases
+    when the native library builds; same API as :class:`DocumentStore`."""
+
+    codec = "packed-zlib"
+
+    def __init__(self, directory: str):
+        from zebra_tpu.native import NativeBlobStore
+
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+        self._store = NativeBlobStore(directory)
+
+    def save_many(self, ids: list[bytes], docs: list[bytes]) -> None:
+        for doc_id, doc in zip(ids, docs):
+            self._store.put(doc_id, doc)
+        self._store.flush()
+
+    def read_many(self, ids: list[bytes]) -> dict[bytes, bytes]:
+        out = {}
+        for doc_id in ids:
+            doc = self._store.get(doc_id)
+            if doc is not None:
+                out[doc_id] = doc
+        return out
+
+    def remove_many(self, ids: list[bytes]) -> None:
+        for doc_id in ids:
+            self._store.delete(doc_id)
+        self._store.flush()
+
+    def compact(self) -> None:
+        self._store.compact()
+
+    def clear(self) -> None:
+        self._store.close()
+        import shutil
+
+        shutil.rmtree(self.directory, ignore_errors=True)
+
+
+def make_document_store(directory: str, backend: str | None = None, codec: str | None = None):
+    """Pick a blob backend: explicit > native packed log > per-file."""
+    if backend == "files":
+        return DocumentStore(directory, codec=codec)
+    if backend == "packed":
+        return PackedDocumentStore(directory)
+    try:
+        from zebra_tpu import native
+
+        if native.available():
+            return PackedDocumentStore(directory)
+    except Exception:
+        pass
+    return DocumentStore(directory, codec=codec)
