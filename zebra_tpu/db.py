@@ -76,6 +76,10 @@ class Database:
         self.uuid = uuid or uuid7_bytes()
         self.index = index if index is not None else _make_index(config)
         self._docs = make_document_store(self._docs_dir(), backend=blob_backend, codec=codec)
+        from zebra_tpu.profiling import Stats
+
+        #: per-database operation counters (insert/query timings & rates)
+        self.stats = Stats()
 
     # -- paths ---------------------------------------------------------------
 
@@ -181,12 +185,15 @@ class Database:
 
     def insert_records(self, embeddings: np.ndarray, documents: list[bytes]) -> list[bytes]:
         """Insert embedding/document pairs (``core.rs:245-254``)."""
+        from zebra_tpu.profiling import timed
+
         embeddings = np.asarray(embeddings, dtype=np.float32)
         if len(documents) != embeddings.shape[0]:
             raise ValueError("embeddings/documents length mismatch")
-        ids = self.index.add(embeddings)
-        self._docs.save_many(ids, list(documents))
-        self.save()
+        with timed("insert", items=len(documents), stats=self.stats):
+            ids = self.index.add(embeddings)
+            self._docs.save_many(ids, list(documents))
+            self.save()
         return ids
 
     def insert_vectors(self, vectors: np.ndarray) -> list[bytes]:
@@ -222,13 +229,18 @@ class Database:
 
     def query_vectors(self, vectors: np.ndarray, number_of_results: int = 1) -> dict[int, dict[bytes, bytes]]:
         """ANN query + blob fetch (``core.rs:290-313``)."""
+        from zebra_tpu.profiling import timed
+
         if self.index.no_vectors():
             return {}
-        results = self.index.search(np.asarray(vectors, dtype=np.float32), number_of_results)
-        out: dict[int, dict[bytes, bytes]] = {}
-        for qi, row in enumerate(results):
-            docs = self._docs.read_many([i for i, _ in row])
-            out[qi] = docs
+        v = np.asarray(vectors, dtype=np.float32)
+        nq = 1 if v.ndim == 1 else v.shape[0]
+        with timed("query", items=nq, stats=self.stats):
+            results = self.index.search(v, number_of_results)
+            out: dict[int, dict[bytes, bytes]] = {}
+            for qi, row in enumerate(results):
+                docs = self._docs.read_many([i for i, _ in row])
+                out[qi] = docs
         return out
 
     def query(self, vectors: np.ndarray, number_of_results: int = 10, with_documents: bool = False):

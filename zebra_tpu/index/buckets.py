@@ -250,26 +250,11 @@ def _chunked_rerank(state, q, cand, cand_valid, k, metric, power, chunk):
     return dk, ik, vk
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "num_probes", "chunk"))
-def query(
-    state: IndexState,
-    q: jnp.ndarray,
-    k: int,
-    metric: str = "cosine",
-    num_probes: int = 8,
-    power: float = 3.0,
-    chunk: int = 2048,
-):
-    """Approximate top-k search for a batch of queries.
+def _candidates(state: IndexState, q: jnp.ndarray, num_probes: int):
+    """Hash queries, gather multiprobe bucket rows, dedup across tables.
 
-    Pipeline (reference counterpart in parens): hash queries (tree descent,
-    ``lsh.rs:333-345``) -> multi-probe bucket gather (leaf + sibling
-    backtrack) -> dedup across tables (DashSet union, ``lsh.rs:550-556``) ->
-    chunked exact re-rank + running top-k (``lsh.rs:557-564``).
-
-    Returns:
-      ``(dists [B, k], slots [B, k], valid [B, k])`` — slots are slab
-      positions; the host maps them to ids. Invalid tail entries are -1/+inf.
+    Reference counterparts: tree descent (``lsh.rs:333-345``), sibling
+    backtrack, DashSet union across trees (``lsh.rs:550-556``).
     """
     acts = H.hash_activations(q, state.planes, state.consts)  # [B, T, b]
     probes = H.multiprobe(acts, num_probes)  # [B, T, P]
@@ -287,7 +272,57 @@ def query(
     in_slab = (cand >= 0) & (cand < state.slab_capacity)
     live = state.valid[jnp.clip(cand, 0, state.slab_capacity - 1)]
     cand_valid = in_slab & live & ~dup
+    return cand, cand_valid
 
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "num_probes", "chunk", "rerank")
+)
+def query(
+    state: IndexState,
+    q: jnp.ndarray,
+    k: int,
+    metric: str = "cosine",
+    num_probes: int = 8,
+    power: float = 3.0,
+    chunk: int = 2048,
+    rerank: str = "xla",
+):
+    """Approximate top-k search for a batch of queries.
+
+    Pipeline: hash -> multi-probe bucket gather -> dedup -> exact re-rank +
+    top-k. ``rerank`` selects the re-rank backend: "xla" (chunked gather +
+    einsum, any metric) or "pallas" (fused DMA-gather kernel, MXU metrics,
+    TPU only — see ``ops/pallas_rerank.py``).
+
+    Returns:
+      ``(dists [B, k], slots [B, k], valid [B, k])`` — slots are slab
+      positions; the host maps them to ids. Invalid tail entries are -1/+inf.
+    """
+    cand, cand_valid = _candidates(state, q, num_probes)
+    if rerank == "pallas" and metric in D.MXU_METRICS:
+        from zebra_tpu.ops.pallas_rerank import CHUNK as PCHUNK, pallas_rerank
+
+        B, M = cand.shape
+        pad = (-M) % PCHUNK
+        if pad:
+            cand = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
+            cand_valid = jnp.pad(cand_valid, ((0, 0), (0, pad)))
+        idx = jnp.clip(cand, 0, state.slab_capacity - 1)
+        cand_norms = state.norms[idx]
+        dists, pos = pallas_rerank(
+            state.vectors,
+            q.astype(jnp.float32),
+            cand,
+            cand_norms,
+            cand_valid.astype(jnp.float32),
+            metric=metric,
+            k=k,
+        )
+        valid = pos >= 0
+        slots = jnp.take_along_axis(cand, jnp.clip(pos, 0, cand.shape[1] - 1), axis=1)
+        slots = jnp.where(valid, slots, -1)
+        return dists, slots, valid
     return _chunked_rerank(state, q, cand, cand_valid, k, metric, power, chunk)
 
 
