@@ -55,6 +55,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from zebra_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
     from zebra_tpu.config import IndexOptions
     from zebra_tpu.index import buckets as B
     from zebra_tpu.index.lsh import LSHIndex

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
+from zebra_tpu.utils import enable_compile_cache
+enable_compile_cache()
 from zebra_tpu.config import IndexOptions
 from zebra_tpu.index import buckets as B
 from zebra_tpu.index.lsh import LSHIndex

@@ -42,6 +42,12 @@ class IndexOptions:
     bucket_capacity: int = 0
     #: buckets probed per table at query time (1 = exact-code only).
     num_probes: int = 8
+    #: re-rank width after dedup-compaction; 0 = auto (~half the raw probe
+    #: width), -1 = no compaction (gather every probed bucket entry).
+    max_candidates: int = 0
+    #: re-rank backend: "xla" (any metric) or "pallas" (fused kernel,
+    #: cosine/l2/sql2 on TPU).
+    rerank: str = "xla"
     #: initial vector-slab capacity; 0 = auto.
     slab_capacity: int = 0
     #: slab / compute dtype: "float32" or "bfloat16" (hash & re-rank in f32).

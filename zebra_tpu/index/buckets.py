@@ -250,11 +250,18 @@ def _chunked_rerank(state, q, cand, cand_valid, k, metric, power, chunk):
     return dk, ik, vk
 
 
-def _candidates(state: IndexState, q: jnp.ndarray, num_probes: int):
+def _candidates(
+    state: IndexState, q: jnp.ndarray, num_probes: int, max_candidates: int = 0
+):
     """Hash queries, gather multiprobe bucket rows, dedup across tables.
 
     Reference counterparts: tree descent (``lsh.rs:333-345``), sibling
     backtrack, DashSet union across trees (``lsh.rs:550-556``).
+
+    When ``max_candidates`` > 0 the deduped survivors are compacted to the
+    front (scan + scatter, no extra sort) and truncated to that width — the
+    re-rank then never gathers masked duplicates, which at 15 tables x 8
+    probes commonly halves its HBM traffic.
     """
     acts = H.hash_activations(q, state.planes, state.consts)  # [B, T, b]
     probes = H.multiprobe(acts, num_probes)  # [B, T, P]
@@ -272,11 +279,22 @@ def _candidates(state: IndexState, q: jnp.ndarray, num_probes: int):
     in_slab = (cand >= 0) & (cand < state.slab_capacity)
     live = state.valid[jnp.clip(cand, 0, state.slab_capacity - 1)]
     cand_valid = in_slab & live & ~dup
+
+    if max_candidates and max_candidates < cand.shape[1]:
+        M = max_candidates
+        pos = jnp.where(cand_valid, jnp.cumsum(cand_valid, axis=1) - 1, OOB)
+        rows = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], cand.shape
+        )
+        out = jnp.full((B, M), -1, jnp.int32)
+        out = out.at[rows, pos].set(cand, mode="drop")
+        return out, out >= 0
     return cand, cand_valid
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "num_probes", "chunk", "rerank")
+    jax.jit,
+    static_argnames=("k", "metric", "num_probes", "chunk", "rerank", "max_candidates"),
 )
 def query(
     state: IndexState,
@@ -287,6 +305,7 @@ def query(
     power: float = 3.0,
     chunk: int = 2048,
     rerank: str = "xla",
+    max_candidates: int = 0,
 ):
     """Approximate top-k search for a batch of queries.
 
@@ -299,7 +318,14 @@ def query(
       ``(dists [B, k], slots [B, k], valid [B, k])`` — slots are slab
       positions; the host maps them to ids. Invalid tail entries are -1/+inf.
     """
-    cand, cand_valid = _candidates(state, q, num_probes)
+    full = state.num_tables * num_probes * state.bucket_capacity
+    if max_candidates == 0:
+        # auto: half the raw probe width (dup rate across 15 tables is high),
+        # floor 512, rounded to the pallas chunk width
+        max_candidates = min(full, max(512, (full // 2 + 127) // 128 * 128))
+    elif max_candidates < 0:
+        max_candidates = full  # no compaction
+    cand, cand_valid = _candidates(state, q, num_probes, max_candidates)
     if rerank == "pallas" and metric in D.MXU_METRICS:
         from zebra_tpu.ops.pallas_rerank import CHUNK as PCHUNK, pallas_rerank
 

@@ -58,6 +58,10 @@ class LSHIndex:
         self._slot_ids: list[bytes] = []
         self._id_to_slot: dict[bytes, int] = {}
         self._built_n = 0
+        #: host mirror of state.next_slot — slot assignment is a deterministic
+        #: bump allocator, so the host never needs to read it back from the
+        #: device (device->host readbacks are the expensive direction)
+        self._next_slot = 0
         self._rng = np.random.default_rng(self.options.seed)
 
     # -- introspection (reference lsh.rs:389-409) ---------------------------
@@ -116,6 +120,7 @@ class LSHIndex:
         if self.state is None:
             self.state = self._fresh_state(n, vectors)
             self._built_n = n
+            self._next_slot = 0
         self._ensure_slab(n)
         self._insert_batches(vectors, ids)
         self._maybe_rebuild()
@@ -123,7 +128,7 @@ class LSHIndex:
 
     def _ensure_slab(self, incoming: int) -> None:
         st = self.state
-        need = int(st.next_slot) + incoming
+        need = self._next_slot + incoming
         if need <= st.slab_capacity:
             return
         new_cap = next_pow2(max(2 * st.slab_capacity, need))
@@ -140,10 +145,13 @@ class LSHIndex:
             padded = next_pow2(max(count, _MIN_BATCH))
             batch = np.zeros((padded, self.dim), dtype=np.float32)
             batch[:count] = vectors[start : start + count]
-            self.state, slots = B.insert(
+            self.state, _slots = B.insert(
                 self.state, jnp.asarray(batch), jnp.int32(count)
             )
-            slots_np = np.asarray(slots[:count])
+            # slots are next_slot..next_slot+count-1 by construction — mirror
+            # them host-side instead of a device readback (buckets.insert)
+            slots_np = np.arange(self._next_slot, self._next_slot + count)
+            self._next_slot += count
             self._register_slots(ids[start : start + count], slots_np)
             start += count
 
@@ -162,8 +170,8 @@ class LSHIndex:
         n_live = len(self._id_to_slot)
         if n_live == 0:
             return
-        overflow = int(st.overflow)
-        used = int(st.next_slot)
+        overflow = int(st.overflow)  # one scalar readback per add()
+        used = self._next_slot
         tombstones = used - n_live
         # Overflowed bucket writes are dropped entries; the multi-table
         # redundancy absorbs them (a vector dropped from one table is almost
@@ -203,6 +211,7 @@ class LSHIndex:
         self._built_n = max(n, 1)
         self._slot_ids = []
         self._id_to_slot = {}
+        self._next_slot = 0
         if n:
             self._insert_batches(data, ids)
 
@@ -293,6 +302,8 @@ class LSHIndex:
                 metric=self.metric,
                 num_probes=self.options.num_probes,
                 power=self.metric_power,
+                rerank=self.options.rerank,
+                max_candidates=self.options.max_candidates,
             )
         return np.asarray(d[:nq]), np.asarray(s[:nq]), np.asarray(v[:nq])
 
@@ -386,7 +397,7 @@ class LSHIndex:
             "bits": st.bits,
             "bucket_capacity": st.bucket_capacity,
             "slab_capacity": st.slab_capacity,
-            "used_slots": int(st.next_slot),
+            "used_slots": self._next_slot,
             "overflow": int(st.overflow),
-            "tombstones": int(st.next_slot) - len(self._id_to_slot),
+            "tombstones": self._next_slot - len(self._id_to_slot),
         }

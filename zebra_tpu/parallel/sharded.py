@@ -62,9 +62,11 @@ def _sharded_insert(mesh, state, x, n_valid):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "k", "metric", "num_probes", "chunk")
+    jax.jit,
+    static_argnames=("mesh", "k", "metric", "num_probes", "chunk", "rerank", "max_candidates"),
 )
-def _sharded_query(mesh, state, q, k, metric, num_probes, power, chunk):
+def _sharded_query(mesh, state, q, k, metric, num_probes, power, chunk,
+                   rerank="xla", max_candidates=0):
     """q: [B, D] replicated -> merged (dists, global_ids, valid), replicated.
 
     Per-shard approximate search + ICI all-gather merge of partial top-k.
@@ -73,7 +75,8 @@ def _sharded_query(mesh, state, q, k, metric, num_probes, power, chunk):
     def inner(state, q):
         st = _unstack(state)
         d, s, v = B.query(
-            st, q, k, metric=metric, num_probes=num_probes, power=power, chunk=chunk
+            st, q, k, metric=metric, num_probes=num_probes, power=power,
+            chunk=chunk, rerank=rerank, max_candidates=max_candidates,
         )
         shard = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
         gid = jnp.where(v, shard * st.slab_capacity + s, -1)
@@ -165,6 +168,9 @@ class ShardedLSHIndex:
         #: id -> (shard, slot)
         self._id_to_loc: dict[bytes, tuple[int, int]] = {}
         self._built_n = 0
+        #: host mirrors of per-shard next_slot (bump allocators) — avoids
+        #: device->host readbacks on the insert path
+        self._next_slots: list[int] = [0] * self.shards
         self._rng = np.random.default_rng(self.options.seed)
 
     # -- introspection -------------------------------------------------------
@@ -235,6 +241,7 @@ class ShardedLSHIndex:
             datas = [vectors[s] for s in splits]
             self.state = self._fresh_state(max(len(s) for s in splits), datas)
             self._built_n = n
+            self._next_slots = [0] * self.shards
         self._ensure_slab(max(len(s) for s in splits))
         self._insert_split(vectors, ids, splits)
         self._maybe_rebuild()
@@ -242,7 +249,7 @@ class ShardedLSHIndex:
 
     def _ensure_slab(self, per_shard_incoming: int) -> None:
         st = self.state
-        used = int(np.max(np.asarray(st.next_slot)))
+        used = max(self._next_slots)
         need = used + per_shard_incoming
         cap = st.vectors.shape[1]
         if need <= cap:
@@ -268,13 +275,16 @@ class ShardedLSHIndex:
                 part = idxs[start : start + count]
                 batch[s, : len(part)] = vectors[part]
                 nv[s] = len(part)
-            self.state, slots = _sharded_insert(
+            self.state, _slots = _sharded_insert(
                 self.mesh, self.state, jnp.asarray(batch), jnp.asarray(nv)
             )
-            slots_np = np.asarray(slots)
+            # per-shard bump allocation mirrored host-side (no readback)
             for s, idxs in enumerate(splits):
                 part = idxs[start : start + count]
-                self._register(s, [ids[i] for i in part], slots_np[s, : len(part)])
+                base = self._next_slots[s]
+                self._register(s, [ids[i] for i in part],
+                               np.arange(base, base + len(part)))
+                self._next_slots[s] = base + len(part)
             start += count
 
     def _register(self, shard: int, ids: list[bytes], slots: np.ndarray) -> None:
@@ -293,8 +303,8 @@ class ShardedLSHIndex:
         n_live = len(self._id_to_loc)
         if n_live == 0:
             return
-        overflow = int(np.sum(np.asarray(st.overflow)))
-        used = int(np.sum(np.asarray(st.next_slot)))
+        overflow = int(np.sum(np.asarray(st.overflow)))  # [S] readback
+        used = sum(self._next_slots)
         tombstones = used - n_live
         # see LSHIndex._maybe_rebuild: overflow only warrants a rebuild when
         # wider codes would help, else clustered data causes rebuild loops
@@ -327,6 +337,7 @@ class ShardedLSHIndex:
         self._built_n = max(n, 1)
         self._slot_ids = [[] for _ in range(self.shards)]
         self._id_to_loc = {}
+        self._next_slots = [0] * self.shards
         if n:
             self._insert_split(data, ids, splits)
 
@@ -371,6 +382,7 @@ class ShardedLSHIndex:
         self._slot_ids = [[] for _ in range(self.shards)]
         self._id_to_loc = {}
         self._built_n = 0
+        self._next_slots = [0] * self.shards
 
     # -- search --------------------------------------------------------------
 
@@ -414,6 +426,8 @@ class ShardedLSHIndex:
                 self.options.num_probes,
                 self.metric_power,
                 2048,
+                rerank=self.options.rerank,
+                max_candidates=self.options.max_candidates,
             )
         return np.asarray(d[:nq]), np.asarray(g[:nq]), np.asarray(v[:nq])
 
@@ -497,6 +511,7 @@ class ShardedLSHIndex:
             for sl, i in enumerate(table):
                 if i and valid[s, sl]:
                     idx._id_to_loc[i] = (s, sl)
+        idx._next_slots = [int(v) for v in np.asarray(stacked.next_slot)]
         return idx
 
     def stats(self) -> dict:
@@ -511,6 +526,6 @@ class ShardedLSHIndex:
             "bits": st.planes.shape[2],
             "bucket_capacity": st.buckets.shape[3],
             "slab_capacity_per_shard": st.vectors.shape[1],
-            "used_slots": int(np.sum(np.asarray(st.next_slot))),
+            "used_slots": sum(self._next_slots),
             "overflow": int(np.sum(np.asarray(st.overflow))),
         }

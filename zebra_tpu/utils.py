@@ -7,6 +7,22 @@ import secrets
 import time
 
 
+def enable_compile_cache(path: str = "") -> None:
+    """Turn on JAX's persistent compilation cache (huge win where compiles go
+    through a slow remote-compile service). Safe to call repeatedly."""
+    import jax
+
+    cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.expanduser(
+        "~/.cache/zebra_tpu_jax"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def next_pow2(n: int) -> int:
     n = max(1, int(n))
     return 1 << (n - 1).bit_length()
