@@ -38,8 +38,82 @@ def make_data(n: int, dim: int, seed: int = 0, n_clusters: int | None = None):
     return out
 
 
+def churn(args):
+    """BASELINE config (5): interleaved insert/delete/query at scale."""
+    import jax
+
+    from zebra_tpu.config import IndexOptions
+    from zebra_tpu.index.lsh import LSHIndex
+
+    idx = LSHIndex(
+        dim=args.dim,
+        metric=args.metric,
+        options=IndexOptions(num_tables=args.tables, num_probes=args.probes, seed=args.seed),
+    )
+    rng = np.random.default_rng(args.seed)
+    wave = max(args.n // 10, 1)
+    live: list[bytes] = []
+    t0 = time.perf_counter()
+    ops = 0
+    for r in range(10):
+        ids = idx.add(make_data(wave, args.dim, seed=args.seed + r))
+        live.extend(ids)
+        kill_n = len(live) // 4
+        kill_idx = rng.permutation(len(live))[:kill_n]
+        kill = [live[i] for i in kill_idx]
+        idx.remove(kill)
+        dead = set(kill)
+        live = [i for i in live if i not in dead]
+        q = make_data(args.qbatch, args.dim, seed=args.seed + 100 + r)
+        idx.search(q, k=args.k)
+        ops += wave + kill_n + args.qbatch
+        log(f"churn round {r}: live={len(live)} stats={idx.stats()}")
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"churn_ops_per_sec_{args.n}x{args.dim}",
+        "value": round(ops / dt, 1),
+        "unit": "ops/s",
+        "vs_baseline": 0.0,
+        "extra": {"rounds": 10, "final_live": len(live), "seconds": round(dt, 1)},
+    }), flush=True)
+
+
+def pipeline(args):
+    """BASELINE config (3): embedding pipeline -> insert -> semantic query."""
+    import tempfile
+
+    from zebra_tpu.config import DatabaseConfig
+    from zebra_tpu.db import Database
+
+    docs = [f"document {i} about topic {i % 97} with words {i * 7 % 1001}".encode()
+            for i in range(args.n)]
+    with tempfile.TemporaryDirectory() as td:
+        cfg = DatabaseConfig(dim=384, metric="sql2", model=args.model or "hash-384")
+        db = Database.create(f"{td}/p.zebra", cfg)
+        t0 = time.perf_counter()
+        db.insert_documents(docs)
+        t_ins = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = db.query_documents(docs[: args.qbatch], number_of_results=args.k)
+        t_q = time.perf_counter() - t0
+        hits = sum(docs[i] in res[i].values() for i in range(args.qbatch))
+        print(json.dumps({
+            "metric": f"text_pipeline_docs_per_sec_{args.n}",
+            "value": round(args.n / t_ins, 1),
+            "unit": "docs/s",
+            "vs_baseline": 0.0,
+            "extra": {
+                "query_docs_per_sec": round(args.qbatch / t_q, 1),
+                "self_retrieval": hits / args.qbatch,
+                "model": cfg.model,
+            },
+        }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["ann", "churn", "pipeline"], default="ann")
+    ap.add_argument("--model", default="")
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=768)
     ap.add_argument("--metric", default="cosine")
@@ -58,6 +132,13 @@ def main():
     from zebra_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
+
+    if args.mode == "churn":
+        args.n = min(args.n, 10_000_000)
+        return churn(args)
+    if args.mode == "pipeline":
+        args.n = min(args.n, 50_000)
+        return pipeline(args)
 
     from zebra_tpu.config import IndexOptions
     from zebra_tpu.index import buckets as B

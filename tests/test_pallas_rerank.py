@@ -47,7 +47,7 @@ def test_matches_oracle(metric, setup):
 def test_underfull_candidates(rng):
     vectors = rng.standard_normal((S, D)).astype(np.float32)
     q = rng.standard_normal((1, D)).astype(np.float32)
-    cand = np.full((1, 128), -1, np.int32)
+    cand = np.full((1, 256), -1, np.int32)  # multiple of PAIR (two DMA buffers)
     cand[0, :3] = [5, 9, 100]
     norms = (vectors**2).sum(1)[np.clip(cand, 0, S - 1)].astype(np.float32)
     valid = (cand >= 0).astype(np.float32)
@@ -59,6 +59,40 @@ def test_underfull_candidates(rng):
     assert (p[0, :3] >= 0).all()
     assert (p[0, 3:] == -1).all()
     assert np.isinf(d[0, 3:]).all()
+
+
+def test_lshindex_pallas_rerank_with_dim_padding(rng):
+    """LSHIndex(rerank='pallas') pads the stored dim to the DMA tiling unit;
+    results must match the xla index on the same data/seed."""
+    from zebra_tpu.config import IndexOptions
+    from zebra_tpu.index.lsh import LSHIndex
+    import zebra_tpu.ops.pallas_rerank as PR
+
+    orig = PR.pallas_rerank
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    PR.pallas_rerank = interp
+    try:
+        data = rng.standard_normal((400, 48)).astype(np.float32)
+        ids = [bytes([i % 256, i // 256]) + bytes(14) for i in range(400)]
+        ix_p = LSHIndex(dim=48, metric="cosine",
+                        options=IndexOptions(num_tables=6, num_probes=4, seed=0, rerank="pallas"))
+        ix_x = LSHIndex(dim=48, metric="cosine",
+                        options=IndexOptions(num_tables=6, num_probes=4, seed=0))
+        assert ix_p._dev_dim == 1024 and ix_x._dev_dim == 48
+        ix_p.add(data, ids=list(ids))
+        ix_x.add(data, ids=list(ids))
+        q = data[:8] + 0.01 * rng.standard_normal((8, 48)).astype(np.float32)
+        rp = ix_p.search(q, k=5)
+        rx = ix_x.search(q, k=5)
+        for a, b in zip(rp, rx):
+            assert [i for i, _ in a] == [i for i, _ in b]
+            np.testing.assert_allclose([d for _, d in a], [d for _, d in b], rtol=2e-3, atol=2e-3)
+    finally:
+        PR.pallas_rerank = orig
 
 
 def test_query_pallas_path_matches_xla(rng):

@@ -42,8 +42,8 @@ class IndexOptions:
     bucket_capacity: int = 0
     #: buckets probed per table at query time (1 = exact-code only).
     num_probes: int = 8
-    #: re-rank width after dedup-compaction; 0 = auto (~half the raw probe
-    #: width), -1 = no compaction (gather every probed bucket entry).
+    #: re-rank width after dedup-compaction; <= 0 = no compaction (gather
+    #: every probed bucket entry — measured faster on v5e unless memory-bound).
     max_candidates: int = 0
     #: re-rank backend: "xla" (any metric) or "pallas" (fused kernel,
     #: cosine/l2/sql2 on TPU).

@@ -129,9 +129,15 @@ def _append_one_table(bucket_t, count_t, code_t, slots):
     base = count_t[jnp.clip(c, 0, R - 1)]
     pos = base + rank
     in_row = c < R  # real (non-pad) rows
-    new_bucket = bucket_t.at[c, pos].set(s, mode="drop")
+    # (c, pos) pairs are unique by construction and c is sorted — the hints
+    # keep XLA on the vectorized scatter path
+    new_bucket = bucket_t.at[c, pos].set(
+        s, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
     ok = in_row & (pos < C)
-    new_count = count_t.at[c].add(ok.astype(jnp.int32), mode="drop")
+    new_count = count_t.at[c].add(
+        ok.astype(jnp.int32), mode="drop", indices_are_sorted=True
+    )
     overflow = jnp.sum((in_row & (pos >= C)).astype(jnp.int32))
     return new_bucket, new_count, overflow
 
@@ -158,11 +164,16 @@ def insert(state: IndexState, x: jnp.ndarray, n_valid: jnp.ndarray):
     real = ar < n_valid
     slots = jnp.where(real, state.next_slot + ar, OOB)
 
+    # slab rows are a contiguous block starting at next_slot — a single
+    # dynamic_update_slice, not a scatter. Pad rows land past n_valid with
+    # valid=False (overwritten by the next batch).
     xd = x.astype(state.vectors.dtype)
-    vectors = state.vectors.at[slots].set(xd, mode="drop")
+    vectors = jax.lax.dynamic_update_slice(state.vectors, xd, (state.next_slot, 0))
     x32 = x.astype(jnp.float32)
-    norms = state.norms.at[slots].set(jnp.sum(x32 * x32, axis=-1), mode="drop")
-    valid = state.valid.at[slots].set(True, mode="drop")
+    norms = jax.lax.dynamic_update_slice(
+        state.norms, jnp.sum(x32 * x32, axis=-1), (state.next_slot,)
+    )
+    valid = jax.lax.dynamic_update_slice(state.valid, real, (state.next_slot,))
 
     codes = H.hash_codes(x, state.planes, state.consts)  # [n, T]
     codes = jnp.where(real[:, None], codes, OOB)
@@ -281,13 +292,12 @@ def _candidates(
     cand_valid = in_slab & live & ~dup
 
     if max_candidates and max_candidates < cand.shape[1]:
+        # stable compaction via argsort on validity (XLA sorts beat scatters
+        # on TPU for this shape)
         M = max_candidates
-        pos = jnp.where(cand_valid, jnp.cumsum(cand_valid, axis=1) - 1, OOB)
-        rows = jnp.broadcast_to(
-            jnp.arange(B, dtype=jnp.int32)[:, None], cand.shape
-        )
-        out = jnp.full((B, M), -1, jnp.int32)
-        out = out.at[rows, pos].set(cand, mode="drop")
+        keys = jnp.where(cand_valid, jnp.cumsum(cand_valid, axis=1) - 1, OOB)
+        order = jnp.argsort(keys, axis=1)[:, :M]
+        out = jnp.take_along_axis(jnp.where(cand_valid, cand, -1), order, axis=1)
         return out, out >= 0
     return cand, cand_valid
 
@@ -319,15 +329,14 @@ def query(
       positions; the host maps them to ids. Invalid tail entries are -1/+inf.
     """
     full = state.num_tables * num_probes * state.bucket_capacity
-    if max_candidates == 0:
-        # auto: half the raw probe width (dup rate across 15 tables is high),
-        # floor 512, rounded to the pallas chunk width
-        max_candidates = min(full, max(512, (full // 2 + 127) // 128 * 128))
-    elif max_candidates < 0:
-        max_candidates = full  # no compaction
+    if max_candidates <= 0:
+        # default: no truncation — measured on v5e, compaction's extra pass
+        # costs more than the duplicate gathers save, and truncating below
+        # the unique-candidate count costs recall (small-db regime)
+        max_candidates = full
     cand, cand_valid = _candidates(state, q, num_probes, max_candidates)
     if rerank == "pallas" and metric in D.MXU_METRICS:
-        from zebra_tpu.ops.pallas_rerank import CHUNK as PCHUNK, pallas_rerank
+        from zebra_tpu.ops.pallas_rerank import PAIR as PCHUNK, pallas_rerank
 
         B, M = cand.shape
         pad = (-M) % PCHUNK

@@ -39,6 +39,28 @@ _REBUILD_OVERFLOW = 0.02
 _COMPACT_TOMBSTONES = 0.5
 
 
+@jax.jit
+def _pack_results(d, s, v):
+    """Pack (dists f32, slots i32, valid bool) into ONE int32 array so results
+    come back in a single device->host transfer (the slow direction).
+
+    The float distances travel as bit patterns inside the int array — the
+    reverse (ints as f32 bit patterns) would flush small slot ids to zero on
+    TPU, which treats denormal floats as 0.
+    """
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(d, jnp.int32), s, v.astype(jnp.int32)],
+        axis=1,
+    )
+
+
+def _unpack_results(packed: np.ndarray, nq: int, k: int):
+    d = packed[:nq, :k].view(np.float32)
+    s = packed[:nq, k : 2 * k]
+    v = packed[:nq, 2 * k :] > 0
+    return d, s, v
+
+
 class LSHIndex:
     """Single-shard ANN index: device bucket tables + host id maps."""
 
@@ -53,6 +75,15 @@ class LSHIndex:
         self.metric = metric
         self.metric_power = float(metric_power)
         self.options = options or IndexOptions()
+        # The pallas re-rank DMAs 1-D row segments of the slab, which TPU
+        # tiling requires to be 1024-f32 (2048-bf16) aligned — pad the stored
+        # dimension with zero columns (zero pads are identity for every
+        # metric: |0-0| contributes nothing).
+        if self.options.rerank == "pallas":
+            unit = 2048 if self.options.dtype == "bfloat16" else 1024
+            self._dev_dim = -(-self.dim // unit) * unit
+        else:
+            self._dev_dim = self.dim
         self.state: B.IndexState | None = None
         #: slab-slot -> 16-byte id (b"" for never-used / compacted slots)
         self._slot_ids: list[bytes] = []
@@ -84,12 +115,24 @@ class LSHIndex:
 
     # -- build ---------------------------------------------------------------
 
+    def _pad_dim(self, arr: np.ndarray) -> np.ndarray:
+        if arr.shape[-1] == self._dev_dim:
+            return arr
+        out = np.zeros((*arr.shape[:-1], self._dev_dim), dtype=np.float32)
+        out[..., : arr.shape[-1]] = arr
+        return out
+
     def _sample_planes(self, bits: int, data: np.ndarray | None):
         key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
         T = self.options.num_tables
         if self.options.plane_mode == "data" and data is not None and data.shape[0] >= 2:
-            return H.sample_planes_data(key, T, bits, jnp.asarray(data, jnp.float32))
-        return H.sample_planes_random(key, T, bits, self.dim)
+            return H.sample_planes_data(
+                key, T, bits, jnp.asarray(self._pad_dim(np.asarray(data, np.float32)))
+            )
+        planes, consts = H.sample_planes_random(key, T, bits, self.dim)
+        if self._dev_dim != self.dim:
+            planes = jnp.pad(planes, ((0, 0), (0, 0), (0, self._dev_dim - self.dim)))
+        return planes, consts
 
     def _fresh_state(self, n_hint: int, data: np.ndarray | None) -> B.IndexState:
         bits = self.options.resolved_bits(n_hint)
@@ -121,7 +164,11 @@ class LSHIndex:
             self.state = self._fresh_state(n, vectors)
             self._built_n = n
             self._next_slot = 0
-        self._ensure_slab(n)
+        # the last batch is padded to a power of two and written with one
+        # dynamic_update_slice — reserve room for the padded tail too
+        last = n % 65536 or n
+        pad_tail = next_pow2(max(min(last, 65536), _MIN_BATCH)) - min(last, 65536)
+        self._ensure_slab(n + pad_tail)
         self._insert_batches(vectors, ids)
         self._maybe_rebuild()
         return ids
@@ -132,7 +179,7 @@ class LSHIndex:
         if need <= st.slab_capacity:
             return
         new_cap = next_pow2(max(2 * st.slab_capacity, need))
-        vectors = jnp.zeros((new_cap, self.dim), st.vectors.dtype).at[: st.slab_capacity].set(st.vectors)
+        vectors = jnp.zeros((new_cap, self._dev_dim), st.vectors.dtype).at[: st.slab_capacity].set(st.vectors)
         norms = jnp.zeros((new_cap,), jnp.float32).at[: st.slab_capacity].set(st.norms)
         valid = jnp.zeros((new_cap,), jnp.bool_).at[: st.slab_capacity].set(st.valid)
         self.state = st.replace(vectors=vectors, norms=norms, valid=valid)
@@ -143,8 +190,8 @@ class LSHIndex:
         while start < n:
             count = min(n - start, 65536)
             padded = next_pow2(max(count, _MIN_BATCH))
-            batch = np.zeros((padded, self.dim), dtype=np.float32)
-            batch[:count] = vectors[start : start + count]
+            batch = np.zeros((padded, self._dev_dim), dtype=np.float32)
+            batch[:count, : vectors.shape[1]] = vectors[start : start + count]
             self.state, _slots = B.insert(
                 self.state, jnp.asarray(batch), jnp.int32(count)
             )
@@ -289,8 +336,8 @@ class LSHIndex:
             q = q[None, :]
         nq = q.shape[0]
         padded = next_pow2(max(nq, 8))
-        qp = np.zeros((padded, self.dim), np.float32)
-        qp[:nq] = q
+        qp = np.zeros((padded, self._dev_dim), np.float32)
+        qp[:nq, : q.shape[1]] = q
         qj = jnp.asarray(qp)
         if exact:
             d, s, v = B.brute_force(self.state, qj, k, metric=self.metric, power=self.metric_power)
@@ -305,7 +352,7 @@ class LSHIndex:
                 rerank=self.options.rerank,
                 max_candidates=self.options.max_candidates,
             )
-        return np.asarray(d[:nq]), np.asarray(s[:nq]), np.asarray(v[:nq])
+        return _unpack_results(np.asarray(_pack_results(d, s, v)), nq, k)
 
     # -- persistence ----------------------------------------------------------
 

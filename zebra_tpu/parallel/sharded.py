@@ -29,6 +29,7 @@ from zebra_tpu.config import IndexOptions
 from zebra_tpu.index import buckets as B
 from zebra_tpu.ops import hashing as H
 from zebra_tpu.ops import topk as TK
+from zebra_tpu.index.lsh import _pack_results, _unpack_results
 from zebra_tpu.parallel.mesh import SHARD_AXIS, make_mesh
 from zebra_tpu.utils import fsync_write, next_pow2, uuid7_bytes
 
@@ -242,7 +243,10 @@ class ShardedLSHIndex:
             self.state = self._fresh_state(max(len(s) for s in splits), datas)
             self._built_n = n
             self._next_slots = [0] * self.shards
-        self._ensure_slab(max(len(s) for s in splits))
+        per = max(len(s) for s in splits)
+        last = per % 65536 or per
+        pad_tail = next_pow2(max(min(last, 65536), _MIN_BATCH)) - min(last, 65536)
+        self._ensure_slab(per + pad_tail)
         self._insert_split(vectors, ids, splits)
         self._maybe_rebuild()
         return ids
@@ -429,7 +433,7 @@ class ShardedLSHIndex:
                 rerank=self.options.rerank,
                 max_candidates=self.options.max_candidates,
             )
-        return np.asarray(d[:nq]), np.asarray(g[:nq]), np.asarray(v[:nq])
+        return _unpack_results(np.asarray(_pack_results(d, g, v)), nq, k)
 
     # -- persistence ---------------------------------------------------------
 
