@@ -129,15 +129,13 @@ def _append_one_table(bucket_t, count_t, code_t, slots):
     base = count_t[jnp.clip(c, 0, R - 1)]
     pos = base + rank
     in_row = c < R  # real (non-pad) rows
-    # (c, pos) pairs are unique by construction and c is sorted — the hints
-    # keep XLA on the vectorized scatter path
-    new_bucket = bucket_t.at[c, pos].set(
-        s, mode="drop", unique_indices=True, indices_are_sorted=True
-    )
+    # NOTE: do NOT pass unique_indices/indices_are_sorted hints here — the
+    # (c, pos) pairs are provably unique and lexicographically sorted, yet
+    # the hinted scatter MISCOMPILES on TPU (v5e, jax 0.9): buckets corrupt
+    # and recall@10 drops from ~0.97 to ~0.48. Bisected 2026-08-16.
+    new_bucket = bucket_t.at[c, pos].set(s, mode="drop")
     ok = in_row & (pos < C)
-    new_count = count_t.at[c].add(
-        ok.astype(jnp.int32), mode="drop", indices_are_sorted=True
-    )
+    new_count = count_t.at[c].add(ok.astype(jnp.int32), mode="drop")
     overflow = jnp.sum((in_row & (pos >= C)).astype(jnp.int32))
     return new_bucket, new_count, overflow
 

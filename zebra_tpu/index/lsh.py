@@ -226,7 +226,8 @@ class LSHIndex:
         # rebuild when wider hash codes would actually spread the load —
         # otherwise tight clusters re-overflow forever and every add() loops.
         overflow_fixable = (
-            overflow > _REBUILD_OVERFLOW * n_live
+            self.options.index_type != "flat"
+            and overflow > _REBUILD_OVERFLOW * n_live
             and self.options.resolved_bits(n_live) > st.bits
         )
         if (
@@ -331,6 +332,8 @@ class LSHIndex:
 
     def search_arrays(self, queries: np.ndarray, k: int, exact: bool = False):
         """Array-level search: ``(dists [B,k], slots [B,k], valid [B,k])``."""
+        if self.options.index_type == "flat":
+            exact = True  # flat index: exact MXU scan is THE query path
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]

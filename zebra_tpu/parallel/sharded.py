@@ -313,7 +313,8 @@ class ShardedLSHIndex:
         # see LSHIndex._maybe_rebuild: overflow only warrants a rebuild when
         # wider codes would help, else clustered data causes rebuild loops
         overflow_fixable = (
-            overflow > 0.02 * n_live
+            self.options.index_type != "flat"
+            and overflow > 0.02 * n_live
             and self.options.resolved_bits(max(1, n_live // self.shards))
             > self.state.planes.shape[2]
         )
@@ -408,6 +409,8 @@ class ShardedLSHIndex:
         return out
 
     def search_arrays(self, queries: np.ndarray, k: int, exact: bool = False):
+        if self.options.index_type == "flat":
+            exact = True
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
