@@ -167,16 +167,6 @@ def main():
     inserts_per_sec = args.n / t_build
     log(f"build: {t_build:.2f}s  ({inserts_per_sec:,.0f} inserts/sec)  stats={idx.stats()}")
 
-    # ---- warm incremental insert rate (compile cache hot from build) ------
-    inc_n = min(65536, args.n)
-    inc = make_data(inc_n, args.dim, seed=args.seed + 7)
-    t0 = time.perf_counter()
-    idx.add(inc)
-    jax.block_until_ready(idx.state.buckets)
-    t_inc = time.perf_counter() - t0
-    warm_inserts_per_sec = inc_n / t_inc
-    log(f"incremental add: {inc_n} in {t_inc:.3f}s -> {warm_inserts_per_sec:,.0f} inserts/sec (warm)")
-
     # ---- query QPS ---------------------------------------------------------
     qsel = rng.permutation(args.n)[: args.qbatch]
     queries = data[qsel] + 0.05 * rng.standard_normal((args.qbatch, args.dim)).astype(np.float32)
@@ -211,6 +201,40 @@ def main():
     recall = hits / (nrq * args.k)
     log(f"recall@{args.k} vs brute force: {recall:.4f}")
 
+    # ---- warm incremental insert rate (compile cache hot from build) ------
+    inc_n = min(65536, args.n)
+    inc = make_data(inc_n, args.dim, seed=args.seed + 7)
+    t0 = time.perf_counter()
+    idx.add(inc)
+    jax.block_until_ready(idx.state.buckets)
+    t_inc = time.perf_counter() - t0
+    warm_inserts_per_sec = inc_n / t_inc
+    log(f"incremental add: {inc_n} in {t_inc:.3f}s -> {warm_inserts_per_sec:,.0f} inserts/sec (warm, incl. host transfer)")
+
+    # ---- device-side insert rate (batch pre-staged in HBM) -----------------
+    import jax.numpy as _jnp
+
+    from zebra_tpu.index import buckets as _BK
+
+    dev_batch = _jnp.asarray(
+        np.pad(inc.astype(np.float32), ((0, 0), (0, idx._dev_dim - args.dim)))
+    )
+    jax.block_until_ready(dev_batch)
+    st = idx.state
+    st, _ = _BK.insert(st, dev_batch, _jnp.int32(inc_n))  # warm shape
+    jax.block_until_ready(st.buckets)
+    t0 = time.perf_counter()
+    iters_dev = 5
+    for _ in range(iters_dev):
+        st, _ = _BK.insert(st, dev_batch, _jnp.int32(inc_n))
+    jax.block_until_ready(st.buckets)
+    t_dev = (time.perf_counter() - t0) / iters_dev
+    device_inserts_per_sec = inc_n / t_dev
+    idx.state = st
+    idx._next_slot += inc_n * (iters_dev + 1)  # keep host mirror consistent
+    log(f"device insert rate: {device_inserts_per_sec:,.0f} vectors/sec (HBM-resident batch)")
+
+
     result = {
         "metric": f"query_qps_{args.n}x{args.dim}_{args.metric}",
         "value": round(qps, 1),
@@ -221,6 +245,7 @@ def main():
             "k": args.k,
             "inserts_per_sec": round(inserts_per_sec, 1),
             "warm_inserts_per_sec": round(warm_inserts_per_sec, 1),
+            "device_inserts_per_sec": round(device_inserts_per_sec, 1),
             "build_seconds": round(t_build, 2),
             "n": args.n,
             "dim": args.dim,
