@@ -107,7 +107,16 @@ def empty_state(
 # ---------------------------------------------------------------------------
 
 
-def _append_one_table(bucket_t, count_t, code_t, slots):
+def _mix32(x: jnp.ndarray) -> jnp.ndarray:
+    """Cheap deterministic int32 mixer (murmur3 finalizer shape)."""
+    x = jnp.bitwise_xor(x, jax.lax.shift_right_logical(x, 16))
+    x = x * jnp.int32(-2048144789)  # 0x85ebca6b
+    x = jnp.bitwise_xor(x, jax.lax.shift_right_logical(x, 13))
+    x = x * jnp.int32(-1028477387)  # 0xc2b2ae35
+    return jnp.bitwise_xor(x, jax.lax.shift_right_logical(x, 16))
+
+
+def _append_one_table(bucket_t, count_t, code_t, slots, table_salt):
     """Scatter-append a batch into one table's buckets.
 
     ``code_t``: [n] int32 codes (OOB for padding rows); ``slots``: [n] slab
@@ -115,6 +124,20 @@ def _append_one_table(bucket_t, count_t, code_t, slots):
     sort + segmented-rank scan — the deterministic, atomics-free TPU analogue
     of the reference's per-vector read-modify-write of whole trees
     (``lsh.rs:445-462``).
+
+    Overflowing entries do RESERVOIR SAMPLING: the j-th vector ever hashed to
+    a bucket replaces a uniformly random occupant with probability C/(j+1),
+    using a per-(table, slot) deterministic hash. Without this, a bucket
+    keeps its first-C arrivals — IDENTICALLY in every table (insert order is
+    shared) — and later members of a hot bucket become unreachable through
+    any table. With it, each table keeps an independent random sample, so a
+    member survives in >=1 of T tables w.p. 1-(1-C/load)^T.
+
+    ``count_t`` holds TRUE occupancy counts (not clipped at capacity).
+
+    NOTE: do NOT pass unique_indices/indices_are_sorted scatter hints — the
+    hinted scatter MISCOMPILES on TPU (v5e, jax 0.9): buckets corrupt and
+    recall@10 drops from ~0.97 to ~0.48. Bisected 2026-08-16.
     """
     n = code_t.shape[0]
     R, C = bucket_t.shape
@@ -127,16 +150,15 @@ def _append_one_table(bucket_t, count_t, code_t, slots):
     seg_start = jax.lax.associative_scan(jnp.maximum, start_pos)
     rank = ar - seg_start
     base = count_t[jnp.clip(c, 0, R - 1)]
-    pos = base + rank
+    seen = base + rank  # true running occupancy index of this entry
     in_row = c < R  # real (non-pad) rows
-    # NOTE: do NOT pass unique_indices/indices_are_sorted hints here — the
-    # (c, pos) pairs are provably unique and lexicographically sorted, yet
-    # the hinted scatter MISCOMPILES on TPU (v5e, jax 0.9): buckets corrupt
-    # and recall@10 drops from ~0.97 to ~0.48. Bisected 2026-08-16.
+
+    h = _mix32(s + table_salt * jnp.int32(-1640531527))  # 0x9e3779b9
+    u = jax.lax.rem(jnp.abs(h), jnp.maximum(seen + 1, 1))
+    pos = jnp.where(seen < C, seen, jnp.where(u < C, u, OOB))
     new_bucket = bucket_t.at[c, pos].set(s, mode="drop")
-    ok = in_row & (pos < C)
-    new_count = count_t.at[c].add(ok.astype(jnp.int32), mode="drop")
-    overflow = jnp.sum((in_row & (pos >= C)).astype(jnp.int32))
+    new_count = count_t.at[c].add(in_row.astype(jnp.int32), mode="drop")
+    overflow = jnp.sum((in_row & (seen >= C)).astype(jnp.int32))
     return new_bucket, new_count, overflow
 
 
@@ -175,8 +197,9 @@ def insert(state: IndexState, x: jnp.ndarray, n_valid: jnp.ndarray):
 
     codes = H.hash_codes(x, state.planes, state.consts)  # [n, T]
     codes = jnp.where(real[:, None], codes, OOB)
-    buckets, counts, ovf = jax.vmap(_append_one_table, in_axes=(0, 0, 1, None))(
-        state.buckets, state.counts, codes, slots
+    salts = jnp.arange(1, state.num_tables + 1, dtype=jnp.int32)
+    buckets, counts, ovf = jax.vmap(_append_one_table, in_axes=(0, 0, 1, None, 0))(
+        state.buckets, state.counts, codes, slots, salts
     )
     return (
         state.replace(
