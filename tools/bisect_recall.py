@@ -21,7 +21,7 @@ import zebra_tpu.index.buckets as BK
 
 flags = set(sys.argv[1:])
 
-if "nohints" in flags:
+if "nohints" in flags:  # stale variant — hints already removed in mainline
     def _append_one_table(bucket_t, count_t, code_t, slots):
         n = code_t.shape[0]
         R, C = bucket_t.shape

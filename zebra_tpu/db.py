@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 
 import numpy as np
 
@@ -80,6 +81,11 @@ class Database:
 
         #: per-database operation counters (insert/query timings & rates)
         self.stats = Stats()
+        # Each public operation is atomic under one re-entrant lock — the
+        # concurrency contract of the reference (thread-safe multi-reader/
+        # multi-writer, README.md:9,15; parallelism lives INSIDE ops: rayon
+        # there, the device mesh here). Host id maps have a single writer.
+        self._lock = threading.RLock()
 
     # -- paths ---------------------------------------------------------------
 
@@ -190,7 +196,7 @@ class Database:
         embeddings = np.asarray(embeddings, dtype=np.float32)
         if len(documents) != embeddings.shape[0]:
             raise ValueError("embeddings/documents length mismatch")
-        with timed("insert", items=len(documents), stats=self.stats):
+        with self._lock, timed("insert", items=len(documents), stats=self.stats):
             ids = self.index.add(embeddings)
             self._docs.save_many(ids, list(documents))
             self.save()
@@ -198,21 +204,24 @@ class Database:
 
     def insert_vectors(self, vectors: np.ndarray) -> list[bytes]:
         """Vector-only insert (no payloads) — extension over the reference."""
-        ids = self.index.add(np.asarray(vectors, dtype=np.float32))
-        self.save()
+        with self._lock:
+            ids = self.index.add(np.asarray(vectors, dtype=np.float32))
+            self.save()
         return ids
 
     def remove(self, ids: list[bytes]) -> None:
         """Remove records and their blobs (``core.rs:205-213``)."""
-        removed = self.index.remove(ids)
-        self._docs.remove_many(removed)
-        self.save()
+        with self._lock:
+            removed = self.index.remove(ids)
+            self._docs.remove_many(removed)
+            self.save()
 
     def deduplicate(self) -> None:
         """Drop exact-duplicate vectors and their blobs (``core.rs:216-224``)."""
-        removed = self.index.deduplicate()
-        self._docs.remove_many(removed)
-        self.save()
+        with self._lock:
+            removed = self.index.deduplicate()
+            self._docs.remove_many(removed)
+            self.save()
 
     # -- queries -------------------------------------------------------------
 
@@ -235,7 +244,7 @@ class Database:
             return {}
         v = np.asarray(vectors, dtype=np.float32)
         nq = 1 if v.ndim == 1 else v.shape[0]
-        with timed("query", items=nq, stats=self.stats):
+        with self._lock, timed("query", items=nq, stats=self.stats):
             results = self.index.search(v, number_of_results)
             out: dict[int, dict[bytes, bytes]] = {}
             for qi, row in enumerate(results):
@@ -249,7 +258,8 @@ class Database:
             v = np.asarray(vectors)
             nq = 1 if v.ndim == 1 else v.shape[0]
             return [[] for _ in range(nq)]
-        results = self.index.search(np.asarray(vectors, dtype=np.float32), number_of_results)
+        with self._lock:
+            results = self.index.search(np.asarray(vectors, dtype=np.float32), number_of_results)
         if not with_documents:
             return results
         enriched = []
