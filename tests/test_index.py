@@ -167,6 +167,27 @@ def test_save_load_roundtrip(rng, tmp_path):
     assert [[i for i, _ in row] for row in r1] == [[i for i, _ in row] for row in r2]
 
 
+def test_add_after_reload_does_not_clobber(rng, tmp_path):
+    """Regression: load() must restore the host bump allocator, else new adds
+    overwrite slot 0.. of the reopened index."""
+    idx = make_index()
+    a = rng.standard_normal((80, 32)).astype(np.float32)
+    ids_a = idx.add(a)
+    idx.save(str(tmp_path / "r"))
+    idx2 = LSHIndex.load(str(tmp_path / "r"))
+    assert idx2._next_slot == idx._next_slot
+    b = rng.standard_normal((40, 32)).astype(np.float32)
+    ids_b = idx2.add(b)
+    # both old and new vectors must resolve to themselves
+    for probe, want in ((a[:5], ids_a[:5]), (b[:5], ids_b[:5])):
+        res = idx2.search(probe, k=1)
+        for i, row in enumerate(res):
+            assert row[0][0] == want[i]
+            assert row[0][1] < 1e-3
+    st = idx2.stats()
+    assert st["used_slots"] == 120 and st["tombstones"] == 0
+
+
 def test_empty_index_queries(rng):
     idx = make_index()
     assert idx.search(rng.standard_normal((3, 32)).astype(np.float32), 5) == [[], [], []]

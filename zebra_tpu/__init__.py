@@ -21,6 +21,7 @@ A ground-up JAX/XLA/Pallas rebuild of the capability surface of ``emmyoh/zebra``
 from zebra_tpu.config import IndexOptions, DatabaseConfig
 from zebra_tpu.db import Database
 from zebra_tpu.index.lsh import LSHIndex
+from zebra_tpu import defaults
 from zebra_tpu.defaults import (
     DefaultTextDatabase,
     DefaultImageDatabase,
@@ -32,11 +33,22 @@ from zebra_tpu.defaults import (
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # lazy: ShardedLSHIndex builds a Mesh at construction, keep import light
+    if name == "ShardedLSHIndex":
+        from zebra_tpu.parallel.sharded import ShardedLSHIndex
+
+        return ShardedLSHIndex
+    raise AttributeError(name)
+
+
 __all__ = [
     "IndexOptions",
     "DatabaseConfig",
     "Database",
     "LSHIndex",
+    "ShardedLSHIndex",
     "DefaultTextDatabase",
     "DefaultImageDatabase",
     "DefaultAudioDatabase",

@@ -26,6 +26,7 @@ import numpy as np
 
 from zebra_tpu.config import IndexOptions
 from zebra_tpu.index import buckets as B
+from zebra_tpu.profiling import logger
 from zebra_tpu.ops import hashing as H
 from zebra_tpu.utils import fsync_write, next_pow2, uuid7_bytes
 
@@ -245,6 +246,11 @@ class LSHIndex:
         (``lsh.rs:368-377``) — here it is one global, batched re-insert: a
         single matmul re-hashes everything.
         """
+        logger.info(
+            "rebuild: %d live vectors (used=%d, overflow=%s)",
+            len(self._id_to_slot), self._next_slot,
+            int(self.state.overflow) if self.state is not None else 0,
+        )
         live_slots = [s for i, s in self._id_to_slot.items()]
         if not live_slots:
             ids: list[bytes] = []
@@ -432,6 +438,9 @@ class LSHIndex:
         idx._id_to_slot = {
             i: s for s, i in enumerate(idx._slot_ids) if i and s < len(valid) and valid[s]
         }
+        # restore the host bump-allocator mirror — without this, adds after a
+        # reopen would overwrite slots from 0
+        idx._next_slot = int(np.asarray(idx.state.next_slot))
         return idx
 
     # -- maintenance stats ----------------------------------------------------
