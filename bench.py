@@ -118,10 +118,12 @@ def main():
     ap.add_argument("--dim", type=int, default=768)
     ap.add_argument("--metric", default="cosine")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--qbatch", type=int, default=256)
+    ap.add_argument("--qbatch", type=int, default=1024)
     ap.add_argument("--qiters", type=int, default=20)
     ap.add_argument("--recall-queries", type=int, default=256)
-    ap.add_argument("--tables", type=int, default=15)
+    # 10 tables x 8 probes: +40% QPS over the reference-parity 15 tables at
+    # recall@10 ~0.98 on 200k clustered (tools/sweep2.py)
+    ap.add_argument("--tables", type=int, default=10)
     ap.add_argument("--probes", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -185,7 +187,7 @@ def main():
     jax.block_until_ready(d)
     t_query = time.perf_counter() - t0
     qps = args.qbatch * args.qiters / t_query
-    log(f"query: {t_query:.3f}s for {args.qbatch * args.qiters} queries -> {qps:,.0f} QPS")
+    log(f"query: {t_query:.3f}s for {args.qbatch * args.qiters} queries -> {qps:,.0f} QPS (device)")
 
     # ---- recall@k vs brute force ------------------------------------------
     nrq = min(args.recall_queries, args.qbatch)

@@ -76,11 +76,14 @@ def _kernel_factory(metric: str, C: int, D: int, k: int, slab_rows: int):
 
             jax.lax.fori_loop(0, CHUNK, body, 0)
             x = buf[:].reshape(CHUNK, D)
+            # HIGHEST: full-f32 MXU passes — default precision is bf16-grade
+            # and mis-ranks near-ties (recall 0.91 vs 0.98 on clustered data)
             return jax.lax.dot_general(
                 q.astype(jnp.float32),
                 x.astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # [1, CHUNK]
 
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (n_chunks, CHUNK), 0)
