@@ -124,7 +124,7 @@ def main():
     # 10 tables x 8 probes: +40% QPS over the reference-parity 15 tables at
     # recall@10 ~0.98 on 200k clustered (tools/sweep2.py)
     ap.add_argument("--tables", type=int, default=10)
-    ap.add_argument("--probes", type=int, default=8)
+    ap.add_argument("--probes", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 

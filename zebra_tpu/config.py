@@ -46,7 +46,9 @@ class IndexOptions:
     #: physical slots per bucket row; 0 = auto (4x max_node_size, min 16).
     bucket_capacity: int = 0
     #: buckets probed per table at query time (1 = exact-code only).
-    num_probes: int = 8
+    #: 10 is the measured v5e sweet spot with the default capacity: candidate
+    #: width stays within one re-rank chunk (2048) — crossing it halves QPS.
+    num_probes: int = 10
     #: re-rank width after dedup-compaction; <= 0 = no compaction (gather
     #: every probed bucket entry — measured faster on v5e unless memory-bound).
     max_candidates: int = 0
