@@ -189,9 +189,12 @@ def insert(state: IndexState, x: jnp.ndarray, n_valid: jnp.ndarray):
     # valid=False (overwritten by the next batch).
     xd = x.astype(state.vectors.dtype)
     vectors = jax.lax.dynamic_update_slice(state.vectors, xd, (state.next_slot, 0))
-    x32 = x.astype(jnp.float32)
+    # norms of the STORED (possibly bf16-rounded) vector, not the input —
+    # re-rank combines stored norms with dots of stored vectors, and a
+    # mismatch biases distances on low-precision slabs
+    xs32 = xd.astype(jnp.float32)
     norms = jax.lax.dynamic_update_slice(
-        state.norms, jnp.sum(x32 * x32, axis=-1), (state.next_slot,)
+        state.norms, jnp.sum(xs32 * xs32, axis=-1), (state.next_slot,)
     )
     valid = jax.lax.dynamic_update_slice(state.valid, real, (state.next_slot,))
 
