@@ -30,6 +30,23 @@ def test_flat_churn_no_rebuild_loop(rng):
     assert idx.search(rng.standard_normal((16,)).astype(np.float32), 3)[0]
 
 
+def test_flat_approx_topk(rng):
+    data = rng.standard_normal((2000, 32)).astype(np.float32)
+    exact = LSHIndex(dim=32, options=IndexOptions(index_type="flat", seed=0))
+    approx = LSHIndex(dim=32, options=IndexOptions(index_type="flat", seed=0, approx_topk=True))
+    ids = [int(i).to_bytes(16, "little") for i in range(2000)]
+    exact.add(data, ids=list(ids))
+    approx.add(data, ids=list(ids))
+    q = data[:16] + 0.01 * rng.standard_normal((16, 32)).astype(np.float32)
+    re = exact.search(q, k=10)
+    ra = approx.search(q, k=10)
+    agree = np.mean([
+        len({i for i, _ in a} & {i for i, _ in b}) / 10 for a, b in zip(re, ra)
+    ])
+    assert agree >= 0.9  # approx_max_k default recall target ~0.95
+    assert ra[0][0][0] == ids[0]  # self-match survives approximation
+
+
 def test_flat_sharded(rng):
     data = rng.standard_normal((400, 24)).astype(np.float32)
     idx = ShardedLSHIndex(dim=24, metric="sql2",

@@ -55,6 +55,14 @@ class IndexOptions:
     #: re-rank backend: "xla" (any metric) or "pallas" (fused kernel,
     #: cosine/l2/sql2 on TPU).
     rerank: str = "xla"
+    #: matmul precision for EXACT (flat / brute-force) scans: "highest" =
+    #: full f32 (6 MXU passes), "default" = bf16-grade passes (~6x faster,
+    #: ~0.5% distance error — usually fine for ranking).
+    exact_precision: str = "highest"
+    #: use lax.approx_max_k in flat scans (TPU-native partial top-k reduction:
+    #: measured 1M x 768 per chip: 8.5k QPS at 0.997 top-10 agreement with
+    #: exact, or 32k QPS combined with exact_precision="default" at ~0.92).
+    approx_topk: bool = False
     #: initial vector-slab capacity; 0 = auto.
     slab_capacity: int = 0
     #: slab / compute dtype: "float32" or "bfloat16" (hash & re-rank in f32).

@@ -385,7 +385,9 @@ def query(
     return _chunked_rerank(state, q, cand, cand_valid, k, metric, power, chunk)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "chunk", "precision", "approx")
+)
 def brute_force(
     state: IndexState,
     q: jnp.ndarray,
@@ -393,6 +395,8 @@ def brute_force(
     metric: str = "cosine",
     power: float = 3.0,
     chunk: int = 8192,
+    precision: str = "highest",
+    approx: bool = False,
 ):
     """Exact top-k over the whole slab (test oracle and small-db fast path)."""
     S = state.slab_capacity
@@ -415,14 +419,24 @@ def brute_force(
         start = i * chunk
         vecs = jax.lax.dynamic_slice_in_dim(state.vectors, start, chunk, axis=0)
         vl = jax.lax.dynamic_slice_in_dim(state.valid, start, chunk, axis=0)
-        sl = start + jnp.arange(chunk, dtype=jnp.int32)
-        d = D.pairwise(q, vecs, metric=metric, power=power)
-        td, ti, tv = TK.masked_topk(
-            d,
-            jnp.broadcast_to(vl[None, :], (B, chunk)),
-            jnp.broadcast_to(sl[None, :], (B, chunk)),
-            k,
-        )
+        d = D.pairwise(q, vecs, metric=metric, power=power, precision=precision)
+        if approx:
+            # lax.approx_max_k: TPU-native partial reduction — ~3-8x faster
+            # than exact top_k on wide chunks at ~0.997 top-10 agreement
+            d = jnp.where(vl[None, :], d, jnp.inf)
+            neg, idxs = jax.lax.approx_max_k(-d, k)
+            td = -neg
+            ti = start + idxs.astype(jnp.int32)
+            tv = jnp.isfinite(td)
+            ti = jnp.where(tv, ti, -1)
+        else:
+            sl = start + jnp.arange(chunk, dtype=jnp.int32)
+            td, ti, tv = TK.masked_topk(
+                d,
+                jnp.broadcast_to(vl[None, :], (B, chunk)),
+                jnp.broadcast_to(sl[None, :], (B, chunk)),
+                k,
+            )
         return TK.merge_topk(carry[0], carry[1], carry[2], td, ti, tv, k), None
 
     (dk, ik, vk), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))

@@ -349,7 +349,12 @@ class LSHIndex:
         qp[:nq, : q.shape[1]] = q
         qj = jnp.asarray(qp)
         if exact:
-            d, s, v = B.brute_force(self.state, qj, k, metric=self.metric, power=self.metric_power)
+            d, s, v = B.brute_force(
+                self.state, qj, k, metric=self.metric, power=self.metric_power,
+                precision=self.options.exact_precision,
+                approx=self.options.approx_topk,
+                chunk=131072 if self.options.approx_topk else 8192,
+            )
         else:
             d, s, v = B.query(
                 self.state,

@@ -113,16 +113,24 @@ def _elementwise_rowwise(fn, q, x, **kw):
 
 # Exact re-rank needs true f32 dots: the platform's DEFAULT matmul precision
 # may run bf16 passes (fine for hash sign bits, ~0.5% error is not fine for
-# distances near ties). HIGHEST forces full-f32 accumulation on the MXU.
-_PREC = jax.lax.Precision.HIGHEST
+# distances near ties). HIGHEST forces full-f32 accumulation on the MXU; the
+# "default" tier trades ~0.5% distance error for ~6x matmul throughput (flat
+# scans are compute-bound at scale).
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
 
 
-def _dot_pairwise(q, x):
-    return jnp.dot(q, x.T, preferred_element_type=jnp.float32, precision=_PREC)
+def _dot_pairwise(q, x, precision="highest"):
+    return jnp.dot(q, x.T, preferred_element_type=jnp.float32,
+                   precision=_PRECISIONS[precision])
 
 
-def _dot_rowwise(q, x):
-    return jnp.einsum("bd,bcd->bc", q, x, preferred_element_type=jnp.float32, precision=_PREC)
+def _dot_rowwise(q, x, precision="highest"):
+    return jnp.einsum("bd,bcd->bc", q, x, preferred_element_type=jnp.float32,
+                      precision=_PRECISIONS[precision])
 
 
 def _sq_norms(v, axis=-1):
@@ -141,9 +149,9 @@ def _sql2_from_parts(dot, qn2, xn2):
     return jnp.maximum(qn2 + xn2 - 2.0 * dot, 0.0)
 
 
-def _mxu_pairwise(name, q, x):
+def _mxu_pairwise(name, q, x, precision="highest"):
     q32, x32 = _f32(q), _f32(x)
-    dot = _dot_pairwise(q32, x32)
+    dot = _dot_pairwise(q32, x32, precision)
     qn2 = _sq_norms(q32)[:, None]
     xn2 = _sq_norms(x32)[None, :]
     if name == "cosine":
@@ -152,9 +160,9 @@ def _mxu_pairwise(name, q, x):
     return d2 if name == "sql2" else jnp.sqrt(d2)
 
 
-def _mxu_rowwise(name, q, x):
+def _mxu_rowwise(name, q, x, precision="highest"):
     q32, x32 = _f32(q), _f32(x)
-    dot = _dot_rowwise(q32, x32)
+    dot = _dot_rowwise(q32, x32, precision)
     qn2 = _sq_norms(q32)[:, None]
     xn2 = _sq_norms(x32)
     if name == "cosine":
@@ -194,8 +202,9 @@ def _check(name: str) -> None:
         raise ValueError(f"unknown metric {name!r}; choose from {METRICS}")
 
 
-@functools.partial(jax.jit, static_argnames=("metric",))
-def pairwise(q: jnp.ndarray, x: jnp.ndarray, metric: str = "cosine", power: float = 3.0):
+@functools.partial(jax.jit, static_argnames=("metric", "precision"))
+def pairwise(q: jnp.ndarray, x: jnp.ndarray, metric: str = "cosine", power: float = 3.0,
+             precision: str = "highest"):
     """Full distance matrix between query rows and candidate rows.
 
     Args:
@@ -209,7 +218,7 @@ def pairwise(q: jnp.ndarray, x: jnp.ndarray, metric: str = "cosine", power: floa
     """
     _check(metric)
     if metric in MXU_METRICS:
-        return _mxu_pairwise(metric, q, x)
+        return _mxu_pairwise(metric, q, x, precision)
     if metric == "minkowski":
         return _elementwise_pairwise(_minkowski, _f32(q), _f32(x), power=power)
     if metric == "p_norm":
@@ -217,8 +226,9 @@ def pairwise(q: jnp.ndarray, x: jnp.ndarray, metric: str = "cosine", power: floa
     return _elementwise_pairwise(_ELEMENTWISE[metric], _f32(q), _f32(x))
 
 
-@functools.partial(jax.jit, static_argnames=("metric",))
-def rowwise(q: jnp.ndarray, x: jnp.ndarray, metric: str = "cosine", power: float = 3.0):
+@functools.partial(jax.jit, static_argnames=("metric", "precision"))
+def rowwise(q: jnp.ndarray, x: jnp.ndarray, metric: str = "cosine", power: float = 3.0,
+            precision: str = "highest"):
     """Per-row candidate distances (re-rank workhorse).
 
     Args:
@@ -230,7 +240,7 @@ def rowwise(q: jnp.ndarray, x: jnp.ndarray, metric: str = "cosine", power: float
     """
     _check(metric)
     if metric in MXU_METRICS:
-        return _mxu_rowwise(metric, q, x)
+        return _mxu_rowwise(metric, q, x, precision)
     if metric == "minkowski":
         return _elementwise_rowwise(_minkowski, _f32(q), _f32(x), power=power)
     if metric == "p_norm":

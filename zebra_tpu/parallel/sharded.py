@@ -101,11 +101,15 @@ def _sharded_query(mesh, state, q, k, metric, num_probes, power, chunk,
     )(state, q)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "k", "metric", "chunk"))
-def _sharded_brute_force(mesh, state, q, k, metric, power, chunk):
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "k", "metric", "chunk", "precision", "approx")
+)
+def _sharded_brute_force(mesh, state, q, k, metric, power, chunk,
+                         precision="highest", approx=False):
     def inner(state, q):
         st = _unstack(state)
-        d, s, v = B.brute_force(st, q, k, metric=metric, power=power, chunk=chunk)
+        d, s, v = B.brute_force(st, q, k, metric=metric, power=power, chunk=chunk,
+                                precision=precision, approx=approx)
         shard = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
         gid = jnp.where(v, shard * st.slab_capacity + s, -1)
         d_all = jax.lax.all_gather(d, SHARD_AXIS)
@@ -421,7 +425,10 @@ class ShardedLSHIndex:
         qj = jnp.asarray(qp)
         if exact:
             d, g, v = _sharded_brute_force(
-                self.mesh, self.state, qj, k, self.metric, self.metric_power, 8192
+                self.mesh, self.state, qj, k, self.metric, self.metric_power,
+                65536 if self.options.approx_topk else 8192,
+                precision=self.options.exact_precision,
+                approx=self.options.approx_topk,
             )
         else:
             d, g, v = _sharded_query(
