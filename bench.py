@@ -203,6 +203,33 @@ def main():
     recall = hits / (nrq * args.k)
     log(f"recall@{args.k} vs brute force: {recall:.4f}")
 
+    # ---- flat (exact/approx scan) alternatives on the same slab ------------
+    flat_stats = {}
+    for tag, prec, approx in (
+        ("flat_exact", "highest", False),
+        ("flat_approx", "highest", True),
+        ("flat_approx_fast", "default", True),
+    ):
+        fd, fs, fv = B.brute_force(
+            idx.state, qj, args.k, metric=args.metric, chunk=131072,
+            precision=prec, approx=approx,
+        )
+        jax.block_until_ready(fd)
+        t0 = time.perf_counter()
+        for _ in range(max(args.qiters // 4, 3)):
+            fd, fs, fv = B.brute_force(
+                idx.state, qj, args.k, metric=args.metric, chunk=131072,
+                precision=prec, approx=approx,
+            )
+        jax.block_until_ready(fd)
+        fqps = args.qbatch * max(args.qiters // 4, 3) / (time.perf_counter() - t0)
+        fsn = np.asarray(fs[:nrq])
+        agree = sum(
+            len(set(fsn[i].tolist()) & set(sb[i][vb[i]].tolist())) for i in range(nrq)
+        ) / (nrq * args.k)
+        flat_stats[tag] = {"qps": round(fqps, 1), "recall": round(agree, 4)}
+        log(f"{tag}: {fqps:,.0f} QPS, recall {agree:.4f}")
+
     # ---- warm incremental insert rate (compile cache hot from build) ------
     inc_n = min(65536, args.n)
     inc = make_data(inc_n, args.dim, seed=args.seed + 7)
@@ -252,6 +279,7 @@ def main():
             "n": args.n,
             "dim": args.dim,
             "devices": len(devs),
+            "flat": flat_stats,
             "index": idx.stats(),
         },
     }
