@@ -123,14 +123,23 @@ _PRECISIONS = {
 }
 
 
+def _resolve_precision(precision: str):
+    try:
+        return _PRECISIONS[precision]
+    except KeyError:
+        raise ValueError(
+            f"unknown matmul precision {precision!r}; choose from {sorted(_PRECISIONS)}"
+        ) from None
+
+
 def _dot_pairwise(q, x, precision="highest"):
     return jnp.dot(q, x.T, preferred_element_type=jnp.float32,
-                   precision=_PRECISIONS[precision])
+                   precision=_resolve_precision(precision))
 
 
 def _dot_rowwise(q, x, precision="highest"):
     return jnp.einsum("bd,bcd->bc", q, x, preferred_element_type=jnp.float32,
-                      precision=_PRECISIONS[precision])
+                      precision=_resolve_precision(precision))
 
 
 def _sq_norms(v, axis=-1):
