@@ -117,6 +117,30 @@ def test_recall_vs_brute_force(rng, metric):
     assert recall >= 0.9, f"recall@10 = {recall:.3f}"
 
 
+@pytest.mark.parametrize("metric", ["manhattan", "chebyshev", "l4"])
+def test_non_mxu_metrics_through_index(rng, metric):
+    """The re-rank has a separate code path for metrics without a Gram
+    expansion — exercise it end-to-end."""
+    from zebra_tpu.ops.distances import pairwise
+
+    n, dim, k = 400, 24, 5
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = make_index(dim=dim, metric=metric, num_tables=10, num_probes=10)
+    ids = idx.add(data)
+    q = data[:4] + 0.01 * rng.standard_normal((4, dim)).astype(np.float32)
+    res = idx.search(q, k=k)
+    d = np.asarray(pairwise(q, data, metric=metric))
+    for b, row in enumerate(res):
+        assert row[0][0] == ids[b]  # self-match first
+        dd = [x[1] for x in row]
+        assert dd == sorted(dd)
+        # distances reported must match the metric's true values
+        got_ids = [i for i, _ in row]
+        for (rid, rdist) in row:
+            j = ids.index(rid)
+            np.testing.assert_allclose(rdist, d[b, j], rtol=1e-4, atol=1e-4)
+
+
 def test_exact_search_matches_brute_force(rng):
     n, dim, k = 500, 16, 5
     data = rng.standard_normal((n, dim)).astype(np.float32)
