@@ -97,6 +97,25 @@ def test_clear_database_removes_everything(tmp_path, cfg):
     assert len(db) == 0
 
 
+def test_explicit_durability_defers_snapshot(tmp_path, rng):
+    cfg = DatabaseConfig(dim=16, model="hash-16", durability="explicit")
+    path = str(tmp_path / "e.zebra")
+    db = Database.create(path, cfg)
+    # create() snapshots once; subsequent inserts should NOT rewrite arrays
+    import os
+
+    arrays = os.path.join(path + ".d", "index", "arrays.npz")
+    mtime0 = os.path.getmtime(arrays) if os.path.exists(arrays) else None
+    db.insert_documents([f"d{i}".encode() for i in range(20)])
+    mtime1 = os.path.getmtime(arrays) if os.path.exists(arrays) else None
+    assert mtime0 == mtime1  # no per-insert snapshot
+    db.save()  # explicit snapshot
+    db2 = Database.open(path)
+    assert len(db2) == 20
+    res = db2.query_documents([b"d3"], 1)
+    assert b"d3" in res[0].values()
+
+
 def test_open_or_create_corrupt_manifest_falls_back(tmp_path, cfg):
     path = str(tmp_path / "bad.zebra")
     with open(path, "w") as f:

@@ -120,6 +120,11 @@ class DatabaseConfig:
     index: IndexOptions = field(default_factory=IndexOptions)
     #: number of mesh shards the index is distributed over (1 = single device).
     shards: int = 1
+    #: crash-durability of CRUD ops: "full" snapshots the index after every
+    #: mutation (reference semantics — fjall fsyncs each upsert, lsh.rs:87-89;
+    #: costly for multi-GB slabs), "explicit" persists blobs+manifest per op
+    #: but snapshots index arrays only on save()/close.
+    durability: str = "full"
 
     def to_json(self) -> dict[str, Any]:
         d = dataclasses.asdict(self)

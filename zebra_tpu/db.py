@@ -140,6 +140,13 @@ class Database:
                 raise
             return cls.create(path, config)
 
+    def _autosave(self) -> None:
+        """Post-mutation persistence per the configured durability policy."""
+        if self.config.durability == "full":
+            self.save()
+        else:  # "explicit": blobs are already flushed; record metadata only
+            self._write_manifest(self.path)
+
     def save(self, path: str | None = None) -> None:
         """Persist manifest + index snapshot (+ blobs on save-as).
 
@@ -156,6 +163,9 @@ class Database:
             if os.path.abspath(dst) != os.path.abspath(self._docs_dir()):
                 shutil.copytree(self._docs_dir(), dst, dirs_exist_ok=True)
         self.index.save(os.path.join(data_dir, "index"))
+        self._write_manifest(target)
+
+    def _write_manifest(self, target: str) -> None:
         manifest = {
             "format": _FORMAT_VERSION,
             "uuid": uuid_hex(self.uuid),
@@ -199,14 +209,14 @@ class Database:
         with self._lock, timed("insert", items=len(documents), stats=self.stats):
             ids = self.index.add(embeddings)
             self._docs.save_many(ids, list(documents))
-            self.save()
+            self._autosave()
         return ids
 
     def insert_vectors(self, vectors: np.ndarray) -> list[bytes]:
         """Vector-only insert (no payloads) — extension over the reference."""
         with self._lock:
             ids = self.index.add(np.asarray(vectors, dtype=np.float32))
-            self.save()
+            self._autosave()
         return ids
 
     def remove(self, ids: list[bytes]) -> None:
@@ -214,14 +224,14 @@ class Database:
         with self._lock:
             removed = self.index.remove(ids)
             self._docs.remove_many(removed)
-            self.save()
+            self._autosave()
 
     def deduplicate(self) -> None:
         """Drop exact-duplicate vectors and their blobs (``core.rs:216-224``)."""
         with self._lock:
             removed = self.index.deduplicate()
             self._docs.remove_many(removed)
-            self.save()
+            self._autosave()
 
     # -- queries -------------------------------------------------------------
 
