@@ -245,8 +245,8 @@ def _chunked_rerank(state, q, cand, cand_valid, k, metric, power, chunk):
     """Gather candidate vectors chunk-by-chunk, compute exact distances,
     and keep a running top-k (bounds peak memory to ``B * chunk * D``)."""
     B, M = cand.shape
-    # cap the gather buffer at ~4GB so big batches don't OOM HBM
-    max_chunk = max(256, (2**30) // max(B * state.dim, 1) * 4)
+    # cap the gather buffer at ~8GB (f32 elements) so big batches don't OOM
+    max_chunk = max(256, (2**31) // max(B * state.dim, 1))
     chunk = min(chunk, max_chunk)
     n_chunks = -(-M // chunk)
     pad = n_chunks * chunk - M
