@@ -43,6 +43,19 @@ def test_text_insert_from_files(tmp_path, capsys):
     assert "file content number" in out
 
 
+def test_stats_verb(capsys):
+    import json
+
+    db = "st.zebra"
+    main(["--database-path", db, "text", "insert", "alpha", "beta"])
+    capsys.readouterr()
+    assert main(["--database-path", db, "text", "stats"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["records"] == 2
+    assert info["config"]["dim"] == 384
+    assert info["index"]["built"] is True
+
+
 def test_query_empty_database(capsys):
     assert main(["--database-path", "e.zebra", "text", "query", "nothing"]) == 0
     assert "empty" in capsys.readouterr().out.lower()

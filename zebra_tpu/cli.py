@@ -105,6 +105,19 @@ def _cmd_clear(args) -> int:
     return 0
 
 
+def _cmd_stats(args) -> int:
+    import json
+
+    db = _open_db(args.modality, args.database_path)
+    info = {
+        "records": len(db),
+        "config": db.config.to_json(),
+        "index": db.index.stats(),
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="zebra-tpu",
@@ -140,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
 
         c = verbs.add_parser("clear", help="delete the database")
         c.set_defaults(fn=_cmd_clear)
+
+        st = verbs.add_parser("stats", help="print database/index statistics")
+        st.set_defaults(fn=_cmd_stats)
     return ap
 
 
