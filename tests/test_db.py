@@ -97,6 +97,25 @@ def test_clear_database_removes_everything(tmp_path, cfg):
     assert len(db) == 0
 
 
+def test_insert_after_clear_survives_reopen(tmp_path, cfg):
+    """Round-1 advisor (high): with the packed backend, clear_database left
+    the blob-log fd pointing at a deleted inode — documents inserted after a
+    clear were silently lost on reopen."""
+    path = str(tmp_path / "cc.zebra")
+    db = Database.create(path, cfg)
+    db.insert_documents([b"before-a", b"before-b"])
+    db.clear_database()
+    ids = db.insert_documents([b"after-a", b"after-b"])
+    db.save()
+    db2 = Database.open(path)
+    assert len(db2) == 2
+    res = db2.query_documents([b"after-a"], 1)
+    assert b"after-a" in res[0].values()
+    rows = db2.query(db2.model.embed_documents([b"after-b"]), 1, with_documents=True)
+    assert rows[0][0][2] == b"after-b"
+    assert set(ids) == {rows[0][0][0]} | set(res[0].keys())
+
+
 def test_explicit_durability_defers_snapshot(tmp_path, rng):
     cfg = DatabaseConfig(dim=16, model="hash-16", durability="explicit")
     path = str(tmp_path / "e.zebra")

@@ -216,3 +216,20 @@ def test_empty_index_queries(rng):
     idx = make_index()
     assert idx.search(rng.standard_normal((3, 32)).astype(np.float32), 5) == [[], [], []]
     assert idx.no_vectors() and idx.is_empty()
+
+
+def test_user_supplied_id_validation(rng):
+    """Snapshot format contract: ids are 16 bytes, non-zero, unique."""
+    idx = make_index(dim=8)
+    v = rng.standard_normal((3, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="16-byte"):
+        idx.add(v, ids=[b"short", b"x" * 16, b"y" * 16])
+    with pytest.raises(ValueError, match="reserved"):
+        idx.add(v, ids=[b"\x00" * 16, b"x" * 16, b"y" * 16])
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.add(v, ids=[b"x" * 16, b"x" * 16, b"y" * 16])
+    ok = [bytes([i] * 16) for i in (1, 2, 3)]
+    idx.add(v, ids=ok)
+    with pytest.raises(ValueError, match="duplicate"):
+        idx.add(v[:1], ids=ok[:1])  # collides with an existing id
+    assert len(idx) == 3

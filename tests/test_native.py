@@ -108,6 +108,27 @@ def test_idmap_basic_and_bulk():
     np.testing.assert_array_equal(got, np.arange(500) + 10_000)
 
 
+def test_idmap_churn_does_not_saturate():
+    """Round-1 advisor (medium): put+delete cycles of distinct keys used to
+    fill every slot with tombstones (grow keyed on live size only), after
+    which all probe loops spun forever."""
+    m = native.NativeIdMap(initial_cap=64)
+    # Far more distinct keys than any plausible capacity growth from a live
+    # size that never exceeds 1.
+    for i in range(50_000):
+        k = i.to_bytes(16, "little")
+        m.put(k, i)
+        assert m.get(k) == i
+        assert m.delete(k)
+    assert len(m) == 0
+    # Map still fully functional afterwards.
+    keys = [os.urandom(16) for _ in range(1000)]
+    for i, k in enumerate(keys):
+        m.put(k, i)
+    assert len(m) == 1000
+    assert m.get(keys[500]) == 500
+
+
 def test_packed_document_store(tmp_path):
     from zebra_tpu.storage.blobs import PackedDocumentStore
 

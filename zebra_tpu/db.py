@@ -76,6 +76,8 @@ class Database:
         self.path = path
         self.uuid = uuid or uuid7_bytes()
         self.index = index if index is not None else _make_index(config)
+        self._blob_backend = blob_backend
+        self._blob_codec = codec
         self._docs = make_document_store(self._docs_dir(), backend=blob_backend, codec=codec)
         from zebra_tpu.profiling import Stats
 
@@ -176,13 +178,25 @@ class Database:
         fsync_write(target, json.dumps(manifest, indent=2).encode())
 
     def clear_database(self) -> None:
-        """Delete the manifest, snapshots and all blobs (``core.rs:194-198``)."""
-        self.index.clear()
-        try:
-            os.remove(self.path)
-        except FileNotFoundError:
-            pass
-        shutil.rmtree(self._data_dir(), ignore_errors=True)
+        """Delete the manifest, snapshots and all blobs (``core.rs:194-198``).
+
+        The document store is closed BEFORE the data dir is removed and then
+        recreated: the packed backend holds an open fd on ``blobs.log``, and
+        writing through a stale fd after the rmtree would append to a deleted
+        inode — documents inserted after a clear would silently vanish on
+        reopen (round-1 advisor finding).
+        """
+        with self._lock:
+            self.index.clear()
+            self._docs.clear()  # closes native fds where applicable
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
+            shutil.rmtree(self._data_dir(), ignore_errors=True)
+            self._docs = make_document_store(
+                self._docs_dir(), backend=self._blob_backend, codec=self._blob_codec
+            )
 
     # -- model ---------------------------------------------------------------
 

@@ -158,8 +158,21 @@ class LSHIndex:
             return []
         if ids is None:
             ids = [uuid7_bytes() for _ in range(n)]
-        elif len(ids) != n:
-            raise ValueError("ids/vectors length mismatch")
+        else:
+            if len(ids) != n:
+                raise ValueError("ids/vectors length mismatch")
+            # The snapshot format stores ids as fixed [n,16] bytes with the
+            # all-zero row meaning "empty slot" — enforce that contract here
+            # rather than crash in save()/silently drop on load().
+            seen = set()
+            for i in ids:
+                if not isinstance(i, (bytes, bytearray)) or len(i) != 16:
+                    raise ValueError("ids must be 16-byte bytes values")
+                if i == b"\x00" * 16:
+                    raise ValueError("the all-zero id is reserved")
+                if i in seen or i in self._id_to_slot:
+                    raise ValueError(f"duplicate id: {bytes(i).hex()}")
+                seen.add(bytes(i))
 
         if self.state is None:
             self.state = self._fresh_state(n, vectors)

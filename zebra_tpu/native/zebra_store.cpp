@@ -286,7 +286,11 @@ void zs_close(void* h) {
 struct IdMap {
   std::vector<uint8_t> keys;    // 16B per bucket
   std::vector<int64_t> values;  // -1 = empty, -2 = tombstone
-  size_t cap = 0, size_ = 0;
+  // used_ counts live + tombstone slots. Load-factor checks MUST use used_,
+  // not size_: probe loops terminate only on an empty (-1) slot, so a table
+  // whose every slot is live-or-tombstone spins forever. put/delete churn of
+  // distinct keys creates exactly that state if tombstones are unaccounted.
+  size_t cap = 0, size_ = 0, used_ = 0;
   std::mutex mu;
 
   void init(size_t c) {
@@ -294,6 +298,7 @@ struct IdMap {
     keys.assign(cap * 16, 0);
     values.assign(cap, -1);
     size_ = 0;
+    used_ = 0;
   }
   size_t probe_start(const uint8_t* k) const {
     uint64_t hv = 1469598103934665603ull;
@@ -302,7 +307,7 @@ struct IdMap {
   }
   void grow();
   bool put(const uint8_t* k, int64_t v) {
-    if ((size_ + 1) * 10 > cap * 7) grow();
+    if ((used_ + 1) * 10 > cap * 7) grow();
     size_t i = probe_start(k);
     size_t first_tomb = SIZE_MAX;
     for (;;) {
@@ -312,6 +317,7 @@ struct IdMap {
         memcpy(&keys[target * 16], k, 16);
         values[target] = v;
         size_++;
+        if (target == i) used_++;  // reused tombstone slots were already counted
         return true;
       }
       if (cur == -2) {
@@ -349,14 +355,17 @@ struct IdMap {
 
 void IdMap::grow() {
   IdMap bigger;
-  bigger.init(cap * 2);
+  // Rehash always drops tombstones; double capacity only when the live load
+  // is actually high — churn-heavy workloads just reclaim dead slots in place.
+  size_t ncap = (size_ * 2 > cap) ? cap * 2 : cap;
+  bigger.init(ncap);
   for (size_t i = 0; i < cap; i++) {
     if (values[i] >= 0) bigger.put(&keys[i * 16], values[i]);
   }
   keys = std::move(bigger.keys);
   values = std::move(bigger.values);
   cap = bigger.cap;
-  // size_ unchanged
+  used_ = size_;  // tombstones gone; size_ unchanged
 }
 
 extern "C" void* zim_new(uint64_t initial_cap) {

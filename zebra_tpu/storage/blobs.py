@@ -115,18 +115,30 @@ class PackedDocumentStore:
     codec = "packed-zlib"
 
     def __init__(self, directory: str):
+        self.directory = directory
+        # Opened lazily so constructing a store (e.g. right after
+        # ``clear_database``) does not recreate the on-disk directory until
+        # the first actual read/write.
+        self._store = None
+        if os.path.isdir(directory):
+            self._open()
+
+    def _open(self):
         from zebra_tpu.native import NativeBlobStore
 
-        self.directory = directory
-        os.makedirs(directory, exist_ok=True)
-        self._store = NativeBlobStore(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._store = NativeBlobStore(self.directory)
+        return self._store
 
     def save_many(self, ids: list[bytes], docs: list[bytes]) -> None:
+        store = self._store or self._open()
         for doc_id, doc in zip(ids, docs):
-            self._store.put(doc_id, doc)
-        self._store.flush()
+            store.put(doc_id, doc)
+        store.flush()
 
     def read_many(self, ids: list[bytes]) -> dict[bytes, bytes]:
+        if self._store is None:
+            return {}
         out = {}
         for doc_id in ids:
             doc = self._store.get(doc_id)
@@ -135,15 +147,20 @@ class PackedDocumentStore:
         return out
 
     def remove_many(self, ids: list[bytes]) -> None:
+        if self._store is None:
+            return
         for doc_id in ids:
             self._store.delete(doc_id)
         self._store.flush()
 
     def compact(self) -> None:
-        self._store.compact()
+        if self._store is not None:
+            self._store.compact()
 
     def clear(self) -> None:
-        self._store.close()
+        if self._store is not None:
+            self._store.close()
+            self._store = None
         import shutil
 
         shutil.rmtree(self.directory, ignore_errors=True)
