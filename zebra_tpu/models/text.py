@@ -3,11 +3,16 @@
 Reference: fastembed/ONNX BGE-small-en-v1.5, re-instantiated on every call
 (``src/model/text.rs:15-17``) — here the tokenizer, module and params are
 built once and cached. Architecture matches BGE-small (BERT: 12 layers,
-hidden 384, 12 heads, FFN 1536, vocab 30522); pooling is CLS + L2-normalise
-(the BGE convention). Real weights load from a local HF cache or the
-``ZEBRA_TPU_BGE_WEIGHTS``/tokenizer paths when present; in zero-egress
-environments a deterministic random init plus a hashing tokenizer keeps the
-pipeline functional (stable embeddings, not semantic ones).
+hidden 384, 12 heads, FFN 1536, vocab 30522, exact-erf GELU, eps 1e-12);
+pooling is CLS + L2-normalise (the BGE convention).
+
+Weights: point ``ZEBRA_TPU_BGE_WEIGHTS`` at a local ``model.safetensors`` /
+``.npz`` — the FULL parameter set (embeddings, all 12 encoder layers,
+layernorms) is mapped, and any tensor left at random init is reported loudly.
+Tokenizer: a local HF cache if ``transformers`` finds one, else the vendored
+pure-Python WordPiece (``ZEBRA_TPU_BGE_VOCAB`` or ``vocab.txt`` next to the
+weights), else a deterministic hashing fallback that keeps the pipeline
+functional (stable embeddings, not semantic ones) in zero-egress environments.
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zebra_tpu.models.base import BaseModel, DIM_BGESMALL_EN_1_5
+from zebra_tpu.profiling import logger
 
 VOCAB = 30522
 HIDDEN = 384
@@ -30,6 +36,7 @@ HEADS = 12
 FFN = 1536
 MAX_LEN = 512
 SEQ_LEN = 128  # static padded length per batch
+LN_EPS = 1e-12  # HF BertConfig.layer_norm_eps
 
 
 class BertLayer(nn.Module):
@@ -38,11 +45,11 @@ class BertLayer(nn.Module):
         h = nn.MultiHeadDotProductAttention(
             num_heads=HEADS, qkv_features=HIDDEN, name="attn"
         )(x, x, mask=mask)
-        x = nn.LayerNorm(name="ln1")(x + h)
+        x = nn.LayerNorm(name="ln1", epsilon=LN_EPS)(x + h)
         h = nn.Dense(FFN, name="fc1")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # HF BERT uses exact erf GELU
         h = nn.Dense(HIDDEN, name="fc2")(h)
-        return nn.LayerNorm(name="ln2")(x + h)
+        return nn.LayerNorm(name="ln2", epsilon=LN_EPS)(x + h)
 
 
 class BertEncoder(nn.Module):
@@ -51,7 +58,10 @@ class BertEncoder(nn.Module):
         n, L = ids.shape
         tok = nn.Embed(VOCAB, HIDDEN, name="tok_embed")(ids)
         pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, MAX_LEN, HIDDEN))
-        x = nn.LayerNorm(name="ln_embed")(tok + pos[:, :L])
+        # single-segment inputs: token_type is all-zero, so only row 0 is used
+        # (the parameter keeps the checkpoint's [2, HIDDEN] shape)
+        tt = self.param("tt_embed", nn.initializers.normal(0.02), (2, HIDDEN))
+        x = nn.LayerNorm(name="ln_embed", epsilon=LN_EPS)(tok + pos[:, :L] + tt[0])
         mask = attn[:, None, None, :]  # broadcast over heads & query positions
         for i in range(LAYERS):
             x = BertLayer(name=f"layer{i}")(x, mask)
@@ -80,6 +90,18 @@ class _HashTokenizer:
         return ids, attn
 
 
+def _find_vocab_file() -> str | None:
+    cand = os.environ.get("ZEBRA_TPU_BGE_VOCAB", "")
+    if cand and os.path.exists(cand):
+        return cand
+    weights = os.environ.get("ZEBRA_TPU_BGE_WEIGHTS", "")
+    if weights:
+        sibling = os.path.join(os.path.dirname(weights), "vocab.txt")
+        if os.path.exists(sibling):
+            return sibling
+    return None
+
+
 @functools.lru_cache(maxsize=1)
 def _tokenizer():
     try:  # local HF cache only — zero-egress safe
@@ -99,7 +121,22 @@ def _tokenizer():
 
         return call
     except Exception:
-        return _HashTokenizer()
+        pass
+    vocab = _find_vocab_file()
+    if vocab:
+        from zebra_tpu.models.wordpiece import BertTokenizer
+
+        bt = BertTokenizer(vocab)
+
+        def call(texts):
+            return bt(texts, max_length=SEQ_LEN)
+
+        return call
+    logger.warning(
+        "bge-small: no tokenizer found (transformers cache or vocab.txt) — "
+        "falling back to the non-semantic hashing tokenizer"
+    )
+    return _HashTokenizer()
 
 
 @functools.lru_cache(maxsize=1)
@@ -110,33 +147,72 @@ def _encoder(seed: int = 0):
     params = model.init(jax.random.PRNGKey(seed), dummy_ids, dummy_attn)["params"]
     weights = os.environ.get("ZEBRA_TPU_BGE_WEIGHTS", "")
     if weights and os.path.exists(weights):
-        params = _load_hf_weights(weights, params)
+        params, report = load_bert_weights(weights, params)
+        if report["problems"]:
+            logger.warning(
+                "bge-small checkpoint %s: %d tensors NOT mapped (random init "
+                "remains!): %s", weights, len(report["problems"]),
+                report["problems"][:8],
+            )
+        else:
+            logger.info(
+                "bge-small: loaded %d tensors from %s", report["mapped"], weights
+            )
+    elif weights:
+        logger.warning("ZEBRA_TPU_BGE_WEIGHTS=%s does not exist — random init", weights)
     apply_fn = jax.jit(lambda p, i, a: model.apply({"params": p}, i, a))
     return apply_fn, params
 
 
-def _load_hf_weights(path: str, params):
-    """Best-effort mapping of a local BGE/BERT checkpoint; unmapped tensors
-    keep their random init."""
-    try:
-        import safetensors.numpy as st
+#: checkpoint tensors that are legitimately unused by CLS-pooled inference
+_BERT_IGNORED_PREFIXES = ("pooler.", "cls.", "embeddings.position_ids")
 
-        raw = st.load_file(path)
-    except Exception:
-        try:
-            raw = dict(np.load(path))
-        except Exception:
-            return params
+
+def load_bert_weights(path: str, params):
+    """Map the FULL HF BERT/BGE parameter set onto our tree.
+
+    Returns ``(params, report)`` where ``report`` lists every mapping problem
+    (missing tensor, shape mismatch) and every checkpoint tensor that went
+    unused — so callers (and tests) can assert zero unmapped tensors.
+    """
+    from zebra_tpu.models.hfload import Mapper, read_checkpoint
+
+    raw = read_checkpoint(path)
+    if raw is None:
+        return params, {"mapped": 0, "problems": [f"unreadable checkpoint {path}"],
+                        "unused": []}
+    raw = {(k[5:] if k.startswith("bert.") else k): np.asarray(v) for k, v in raw.items()}
     params = jax.tree.map(np.asarray, params)
-    if "embeddings.word_embeddings.weight" in raw:
-        v = raw["embeddings.word_embeddings.weight"]
-        if params["tok_embed"]["embedding"].shape == v.shape:
-            params["tok_embed"]["embedding"] = v
-    if "embeddings.position_embeddings.weight" in raw:
-        v = raw["embeddings.position_embeddings.weight"][None]
-        if params["pos_embed"].shape == v.shape:
-            params["pos_embed"] = v
-    return params
+    m = Mapper(raw, params)
+    put = m.put
+
+    hd = HIDDEN // HEADS
+    put(["tok_embed", "embedding"], "embeddings.word_embeddings.weight")
+    put(["pos_embed"], "embeddings.position_embeddings.weight", lambda v: v[None])
+    put(["tt_embed"], "embeddings.token_type_embeddings.weight")
+    put(["ln_embed", "scale"], "embeddings.LayerNorm.weight")
+    put(["ln_embed", "bias"], "embeddings.LayerNorm.bias")
+    for i in range(LAYERS):
+        hf = f"encoder.layer.{i}"
+        ours = f"layer{i}"
+        for proj in ("query", "key", "value"):
+            put([ours, "attn", proj, "kernel"], f"{hf}.attention.self.{proj}.weight",
+                lambda v: v.T.reshape(HIDDEN, HEADS, hd))
+            put([ours, "attn", proj, "bias"], f"{hf}.attention.self.{proj}.bias",
+                lambda v: v.reshape(HEADS, hd))
+        put([ours, "attn", "out", "kernel"], f"{hf}.attention.output.dense.weight",
+            lambda v: v.T.reshape(HEADS, hd, HIDDEN))
+        put([ours, "attn", "out", "bias"], f"{hf}.attention.output.dense.bias")
+        put([ours, "ln1", "scale"], f"{hf}.attention.output.LayerNorm.weight")
+        put([ours, "ln1", "bias"], f"{hf}.attention.output.LayerNorm.bias")
+        put([ours, "fc1", "kernel"], f"{hf}.intermediate.dense.weight", lambda v: v.T)
+        put([ours, "fc1", "bias"], f"{hf}.intermediate.dense.bias")
+        put([ours, "fc2", "kernel"], f"{hf}.output.dense.weight", lambda v: v.T)
+        put([ours, "fc2", "bias"], f"{hf}.output.dense.bias")
+        put([ours, "ln2", "scale"], f"{hf}.output.LayerNorm.weight")
+        put([ours, "ln2", "bias"], f"{hf}.output.LayerNorm.bias")
+
+    return params, m.report(_BERT_IGNORED_PREFIXES)
 
 
 class BGESmallEn15(BaseModel):

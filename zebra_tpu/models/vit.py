@@ -53,17 +53,20 @@ class VitEmbeddings(nn.Module):
         return x + pos
 
 
+LN_EPS = 1e-12  # HF ViTConfig.layer_norm_eps
+
+
 class VitBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(name="ln1")(x)
+        h = nn.LayerNorm(name="ln1", epsilon=LN_EPS)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=HEADS, qkv_features=HIDDEN, name="attn"
         )(h, h)
         x = x + h
-        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.LayerNorm(name="ln2", epsilon=LN_EPS)(x)
         h = nn.Dense(MLP, name="fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # HF ViT uses exact erf GELU
         h = nn.Dense(HIDDEN, name="fc2")(h)
         return x + h
 
@@ -78,7 +81,7 @@ class VitTower(nn.Module):
             return jnp.mean(x, axis=1)
         for i in range(LAYERS):
             x = VitBlock(name=f"block{i}")(x)
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(name="ln_final", epsilon=LN_EPS)(x)
         if self.mode == "encoder_cls":
             return x[:, 0]
         return jnp.mean(x, axis=1)
@@ -86,49 +89,92 @@ class VitTower(nn.Module):
 
 @functools.lru_cache(maxsize=4)
 def _tower_and_params(mode: str, seed: int = 0):
+    from zebra_tpu.profiling import logger
+
     model = VitTower(mode=mode)
     dummy = jnp.zeros((1, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32)
     weights_path = os.environ.get("ZEBRA_TPU_VIT_WEIGHTS", "")
     params = model.init(jax.random.PRNGKey(seed), dummy)["params"]
     if weights_path and os.path.exists(weights_path):
-        params = _load_hf_weights(weights_path, params)
+        params, report = load_vit_weights(weights_path, params, mode=mode)
+        if report["problems"]:
+            logger.warning(
+                "vit checkpoint %s: %d tensors NOT mapped (random init "
+                "remains!): %s", weights_path, len(report["problems"]),
+                report["problems"][:8],
+            )
+        else:
+            logger.info("vit: loaded %d tensors from %s", report["mapped"], weights_path)
+    elif weights_path:
+        logger.warning("ZEBRA_TPU_VIT_WEIGHTS=%s does not exist — random init", weights_path)
     apply_fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
     return apply_fn, params
 
 
-def _load_hf_weights(path: str, params):
-    """Map a local ``google/vit-base-patch16-224`` checkpoint onto our tree.
+#: checkpoint tensors legitimately unused by our pooling modes
+_VIT_IGNORED_PREFIXES = ("pooler.", "classifier.")
 
-    Best effort: any tensor that can't be mapped keeps its random init.
+
+def load_vit_weights(path: str, params, mode: str = "encoder_cls"):
+    """Map the FULL ``google/vit-base-patch16-224`` parameter set onto our
+    tree (reference downloads the same safetensors from the HF hub,
+    ``src/model/image.rs:60-64``). Returns ``(params, report)``; tests assert
+    ``report["problems"] == []`` and ``report["unused"] == []``.
+
+    ``mode="embeddings_mean"`` only instantiates the embeddings layer (what
+    the reference actually executes, ``image.rs:65-72``) — encoder tensors are
+    then reported as unused-but-ignored rather than problems.
     """
-    try:
-        import safetensors.numpy as st
+    from zebra_tpu.models.hfload import Mapper, read_checkpoint
 
-        raw = st.load_file(path)
-    except Exception:
-        try:
-            raw = dict(np.load(path))
-        except Exception:
-            return params
+    raw = read_checkpoint(path)
+    if raw is None:
+        return params, {"mapped": 0, "problems": [f"unreadable checkpoint {path}"],
+                        "unused": []}
+    raw = {(k[4:] if k.startswith("vit.") else k): np.asarray(v) for k, v in raw.items()}
     params = jax.tree.map(np.asarray, params)
+    m = Mapper(raw, params)
+    put = m.put
+    hd = HIDDEN // HEADS
 
-    def put(dst_keys, value):
-        node = params
-        for k in dst_keys[:-1]:
-            node = node[k]
-        if node[dst_keys[-1]].shape == value.shape:
-            node[dst_keys[-1]] = value
+    put(["embeddings", "cls"], "embeddings.cls_token")
+    put(["embeddings", "pos"], "embeddings.position_embeddings")
+    # HF conv weight is OIHW; flax nn.Conv kernel is HWIO
+    put(["embeddings", "patch_embed", "kernel"],
+        "embeddings.patch_embeddings.projection.weight",
+        lambda v: np.transpose(v, (2, 3, 1, 0)))
+    put(["embeddings", "patch_embed", "bias"],
+        "embeddings.patch_embeddings.projection.bias")
 
-    for name, v in raw.items():
-        if name.endswith("embeddings.cls_token"):
-            put(["embeddings", "cls"], v)
-        elif name.endswith("embeddings.position_embeddings"):
-            put(["embeddings", "pos"], v)
-        elif "patch_embeddings.projection.weight" in name:
-            put(["embeddings", "patch_embed", "kernel"], np.transpose(v, (2, 3, 1, 0)))
-        elif "patch_embeddings.projection.bias" in name:
-            put(["embeddings", "patch_embed", "bias"], v)
-    return params
+    ignored = _VIT_IGNORED_PREFIXES
+    if mode == "embeddings_mean":
+        ignored = ignored + ("encoder.", "layernorm.")
+    else:
+        for i in range(LAYERS):
+            hf = f"encoder.layer.{i}"
+            ours = f"block{i}"
+            for proj in ("query", "key", "value"):
+                put([ours, "attn", proj, "kernel"],
+                    f"{hf}.attention.attention.{proj}.weight",
+                    lambda v: v.T.reshape(HIDDEN, HEADS, hd))
+                put([ours, "attn", proj, "bias"],
+                    f"{hf}.attention.attention.{proj}.bias",
+                    lambda v: v.reshape(HEADS, hd))
+            put([ours, "attn", "out", "kernel"], f"{hf}.attention.output.dense.weight",
+                lambda v: v.T.reshape(HEADS, hd, HIDDEN))
+            put([ours, "attn", "out", "bias"], f"{hf}.attention.output.dense.bias")
+            put([ours, "ln1", "scale"], f"{hf}.layernorm_before.weight")
+            put([ours, "ln1", "bias"], f"{hf}.layernorm_before.bias")
+            put([ours, "ln2", "scale"], f"{hf}.layernorm_after.weight")
+            put([ours, "ln2", "bias"], f"{hf}.layernorm_after.bias")
+            put([ours, "fc1", "kernel"], f"{hf}.intermediate.dense.weight", lambda v: v.T)
+            put([ours, "fc1", "bias"], f"{hf}.intermediate.dense.bias")
+            put([ours, "fc2", "kernel"], f"{hf}.output.dense.weight", lambda v: v.T)
+            put([ours, "fc2", "bias"], f"{hf}.output.dense.bias")
+        put(["ln_final", "scale"], "layernorm.weight")
+        put(["ln_final", "bias"], "layernorm.bias")
+
+    return params, m.report(ignored)
 
 
 def embed_pixels(pixels: np.ndarray, mode: str = "embeddings_mean", seed: int = 0):
