@@ -34,7 +34,7 @@ def test_flat_approx_topk(rng):
     data = rng.standard_normal((2000, 32)).astype(np.float32)
     exact = LSHIndex(dim=32, options=IndexOptions(index_type="flat", seed=0))
     approx = LSHIndex(dim=32, options=IndexOptions(index_type="flat", seed=0, approx_topk=True))
-    ids = [int(i).to_bytes(16, "little") for i in range(2000)]
+    ids = [int(i + 1).to_bytes(16, "little") for i in range(2000)]
     exact.add(data, ids=list(ids))
     approx.add(data, ids=list(ids))
     q = data[:16] + 0.01 * rng.standard_normal((16, 32)).astype(np.float32)

@@ -77,7 +77,7 @@ def test_lshindex_pallas_rerank_with_dim_padding(rng):
     PR.pallas_rerank = interp
     try:
         data = rng.standard_normal((400, 48)).astype(np.float32)
-        ids = [bytes([i % 256, i // 256]) + bytes(14) for i in range(400)]
+        ids = [bytes([(i + 1) % 256, (i + 1) // 256]) + bytes(14) for i in range(400)]
         ix_p = LSHIndex(dim=48, metric="cosine",
                         options=IndexOptions(num_tables=6, num_probes=4, seed=0, rerank="pallas"))
         ix_x = LSHIndex(dim=48, metric="cosine",

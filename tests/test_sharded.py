@@ -50,8 +50,8 @@ def test_sharded_exact_matches_single_device_brute_force(rng):
     q = rng.standard_normal((5, 16)).astype(np.float32)
     sharded = make_index(dim=16, shards=8)
     single = LSHIndex(dim=16, metric="cosine", options=IndexOptions(num_tables=8, seed=0))
-    ids = [bytes([j]) + bytes(15) for j in range(256)] + [
-        bytes([1, j]) + bytes(14) for j in range(244)
+    ids = [bytes([j]) + bytes([1]) + bytes(14) for j in range(256)] + [
+        bytes([j, 2]) + bytes(14) for j in range(244)
     ]
     sharded.add(data, ids=list(ids))
     single.add(data, ids=list(ids))

@@ -17,7 +17,7 @@ from bench import make_data
 
 
 def row_ids(n):
-    return [int(i).to_bytes(16, "little") for i in range(n)]
+    return [int(i + 1).to_bytes(16, "little") for i in range(n)]
 
 
 def run(tag, data, q, truth_rows, opts, metric="cosine", k=10, iters=20):

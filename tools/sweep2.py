@@ -19,7 +19,7 @@ n, dim, nq, k = 200_000, 768, 512, 10
 data = make_data(n, dim, seed=0)
 rng = np.random.default_rng(1)
 qall = data[rng.permutation(n)[:nq]] + 0.05 * rng.standard_normal((nq, dim)).astype(np.float32)
-row_ids = [int(i).to_bytes(16, "little") for i in range(n)]
+row_ids = [int(i + 1).to_bytes(16, "little") for i in range(n)]
 
 ref = LSHIndex(dim=dim, metric="cosine", options=IndexOptions(num_tables=2, bits=4, seed=0))
 ref.add(data, ids=list(row_ids))
