@@ -1,0 +1,188 @@
+"""IVF backend: device ops, host facade, CRUD, persistence, db integration."""
+
+import numpy as np
+import pytest
+
+from zebra_tpu.config import DatabaseConfig, IndexOptions
+from zebra_tpu.index import make_index, load_index
+from zebra_tpu.index.ivf_host import IVFIndex
+
+
+def _data(rng, n, dim, clusters=16, sigma=0.1):
+    centers = rng.standard_normal((clusters, dim)).astype(np.float32)
+    a = rng.integers(0, clusters, n)
+    return centers[a] + sigma * rng.standard_normal((n, dim)).astype(np.float32)
+
+
+def _opts(**kw):
+    kw.setdefault("index_type", "ivf")
+    kw.setdefault("seed", 0)
+    return IndexOptions(**kw)
+
+
+def test_ivf_recall_vs_brute(rng):
+    data = _data(rng, 3000, 48)
+    idx = IVFIndex(dim=48, metric="cosine", options=_opts(num_probes=16))
+    ids = idx.add(data)
+    assert len(ids) == 3000 and len(idx) == 3000
+    q = data[:100] + 0.02 * rng.standard_normal((100, 48)).astype(np.float32)
+    approx = idx.search(q, k=10)
+    exact = idx.search(q, k=10, exact=True)
+    hits = sum(
+        len({i for i, _ in approx[b]} & {i for i, _ in exact[b]}) for b in range(100)
+    )
+    assert hits / 1000 >= 0.95
+
+
+def test_ivf_self_lookup_and_distances(rng):
+    data = _data(rng, 500, 32)
+    idx = IVFIndex(dim=32, metric="sql2", options=_opts())
+    ids = idx.add(data)
+    res = idx.search(data[:50], k=1)
+    for i, row in enumerate(res):
+        assert row[0][0] == ids[i]
+        assert row[0][1] < 1e-3
+
+
+def test_ivf_remove_and_tombstones(rng):
+    data = _data(rng, 400, 24)
+    idx = IVFIndex(dim=24, options=_opts())
+    ids = idx.add(data)
+    removed = idx.remove(ids[:100])
+    assert sorted(removed) == sorted(ids[:100])
+    assert len(idx) == 300
+    res = idx.search(data[:100], k=1)
+    gone = {bytes(i) for i in ids[:100]}
+    for row in res:
+        assert row and row[0][0] not in gone
+    # removing unknown ids is a no-op
+    assert idx.remove([b"\x01" * 16]) == []
+
+
+def test_ivf_spill_overflow_grows_capacity(rng):
+    # tiny capacity + all vectors in one blob forces spill + capacity growth
+    data = np.ones((200, 16), np.float32) + 0.001 * rng.standard_normal(
+        (200, 16)
+    ).astype(np.float32)
+    idx = IVFIndex(
+        dim=16,
+        options=_opts(num_clusters=4, cluster_capacity=16, spill=2),
+    )
+    ids = idx.add(data)
+    assert len(idx) == 200  # nothing dropped
+    st = idx.stats()
+    assert st["used_slots"] == 200
+    assert st["cluster_capacity"] > 16  # grew
+    res = idx.search(data[:20], k=1)
+    assert all(row for row in res)
+
+
+def test_ivf_rebuild_on_growth(rng):
+    # every add() draws FRESH blob centers, so the final index holds ~96
+    # scattered blobs — probe wide enough for that (IVF recall is a
+    # probes/clusters ratio; the auto sizing targets the clustered regime)
+    idx = IVFIndex(dim=24, options=_opts(num_probes=32))
+    centers = rng.standard_normal((96, 24)).astype(np.float32)
+
+    def wave(seed, n):
+        r = np.random.default_rng(seed)
+        a = r.integers(0, 96, n)
+        return centers[a] + 0.05 * r.standard_normal((n, 24)).astype(np.float32)
+
+    idx.add(wave(0, 200))
+    k0 = idx.stats()["clusters"]
+    for s in range(5):
+        idx.add(wave(s + 1, 400))
+    assert len(idx) == 2200
+    assert idx.stats()["clusters"] > k0  # retrained with more partitions
+    q = wave(9, 32)
+    approx = idx.search(q, 10)
+    exact = idx.search(q, 10, exact=True)
+    hits = sum(
+        len({i for i, _ in approx[b]} & {i for i, _ in exact[b]}) for b in range(32)
+    )
+    assert hits / 320 >= 0.9
+
+
+def test_ivf_tombstone_compaction(rng):
+    idx = IVFIndex(dim=16, options=_opts())
+    data = _data(rng, 600, 16)
+    ids = idx.add(data)
+    idx.remove(ids[:400])
+    st = idx.stats()
+    assert st["tombstones"] <= 200  # compaction triggered
+    res = idx.search(data[400:420], k=1)
+    for i, row in enumerate(res):
+        assert row[0][0] == ids[400 + i]
+
+
+def test_ivf_save_load_roundtrip(tmp_path, rng):
+    data = _data(rng, 300, 32)
+    idx = IVFIndex(dim=32, metric="cosine", options=_opts())
+    ids = idx.add(data)
+    idx.remove(ids[:10])
+    idx.save(str(tmp_path / "ix"))
+    idx2 = load_index(str(tmp_path / "ix"))
+    assert isinstance(idx2, IVFIndex)
+    assert len(idx2) == 290
+    r1 = idx.search(data[10:40], k=5)
+    r2 = idx2.search(data[10:40], k=5)
+    assert r1 == r2
+    # adds after reopen keep working
+    more = idx2.add(_data(np.random.default_rng(7), 50, 32))
+    assert len(idx2) == 340 and len(more) == 50
+
+
+def test_ivf_deduplicate(rng):
+    data = _data(rng, 200, 16)
+    dup = np.concatenate([data, data[:50]])
+    idx = IVFIndex(dim=16, options=_opts())
+    idx.add(dup)
+    removed = idx.deduplicate()
+    assert len(removed) == 50
+    assert len(idx) == 200
+
+
+def test_factory_dispatch():
+    ix = make_index(8, options=_opts())
+    assert isinstance(ix, IVFIndex)
+    from zebra_tpu.index import LSHIndex
+
+    assert isinstance(make_index(8, options=IndexOptions()), LSHIndex)
+
+
+def test_ivf_database_integration(tmp_path, rng):
+    cfg = DatabaseConfig(dim=24, metric="sql2", index=_opts(), durability="explicit")
+    from zebra_tpu.db import Database
+
+    db = Database.create(str(tmp_path / "v.zebra"), cfg)
+    vecs = _data(rng, 200, 24)
+    docs = [f"doc {i}".encode() for i in range(200)]
+    ids = db.insert_records(vecs, docs)
+    out = db.query_vectors(vecs[:5], number_of_results=1)
+    for qi in range(5):
+        assert out[qi] == {ids[qi]: docs[qi]}
+    db.save()
+    db2 = Database.open(str(tmp_path / "v.zebra"))
+    assert isinstance(db2.index, IVFIndex)
+    out2 = db2.query_vectors(vecs[:5], number_of_results=1)
+    assert out2 == out
+
+
+def test_ivf_bf16_slab(rng):
+    data = _data(rng, 300, 32)
+    idx = IVFIndex(dim=32, options=_opts(dtype="bfloat16"))
+    ids = idx.add(data)
+    res = idx.search(data[:20], k=1)
+    for i, row in enumerate(res):
+        assert row[0][0] == ids[i]
+
+
+@pytest.mark.parametrize("metric", ["manhattan", "chebyshev"])
+def test_ivf_non_mxu_metric(rng, metric):
+    data = _data(rng, 400, 16)
+    idx = IVFIndex(dim=16, metric=metric, options=_opts(num_probes=8))
+    ids = idx.add(data)
+    res = idx.search(data[:20], k=1)
+    for i, row in enumerate(res):
+        assert row[0][0] == ids[i]

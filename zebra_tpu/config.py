@@ -36,7 +36,10 @@ class IndexOptions:
     #: "lsh" = bucketed ANN (reference parity); "flat" = exact brute-force
     #: scan on the MXU — recall 1.0 and, below a few million vectors, FASTER
     #: than the gather-based LSH path on TPU (batched matmul beats random
-    #: HBM gathers). No reference analogue; TPU-native addition.
+    #: HBM gathers); "ivf" = learned k-means partitions over a
+    #: cluster-contiguous slab — probes are block reads, the fastest ANN
+    #: path on TPU (see index/ivf.py). No reference analogue for flat/ivf;
+    #: TPU-native additions.
     index_type: str = "lsh"
     num_tables: int = 15
     #: target mean bucket load; reference leaf capacity ``max_node_size=5``.
@@ -67,6 +70,18 @@ class IndexOptions:
     approx_topk: bool = False
     #: initial vector-slab capacity; 0 = auto.
     slab_capacity: int = 0
+    # -- ivf backend knobs ---------------------------------------------------
+    #: number of k-means partitions; 0 = auto (~4*sqrt(n), power of two).
+    num_clusters: int = 0
+    #: slab rows reserved per cluster; 0 = auto (2x mean load, power of two).
+    cluster_capacity: int = 0
+    #: nearest-centroid fallbacks when a cluster is full before the host
+    #: grows capacity (FAISS-style spill; vectors are never dropped).
+    spill: int = 4
+    #: Lloyd iterations for centroid training.
+    kmeans_iters: int = 8
+    #: max training-sample rows for k-means (subsampled from the build data).
+    kmeans_sample: int = 131072
     #: slab / compute dtype: "float32" or "bfloat16" (hash & re-rank in f32).
     dtype: str = "float32"
     #: "data" samples hyperplanes as bisectors of random stored-vector pairs

@@ -37,7 +37,9 @@ def _make_index(config: DatabaseConfig):
             metric_power=config.metric_power,
             shards=config.shards,
         )
-    return LSHIndex(
+    from zebra_tpu.index import make_index
+
+    return make_index(
         dim=config.dim,
         metric=config.metric,
         options=config.index,
@@ -50,7 +52,9 @@ def _load_index(config: DatabaseConfig, directory: str):
         from zebra_tpu.parallel.sharded import ShardedLSHIndex
 
         return ShardedLSHIndex.load(directory)
-    return LSHIndex.load(directory)
+    from zebra_tpu.index import load_index
+
+    return load_index(directory)
 
 
 class Database:

@@ -388,9 +388,6 @@ def query(
     return _chunked_rerank(state, q, cand, cand_valid, k, metric, power, chunk)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "metric", "chunk", "precision", "approx")
-)
 def brute_force(
     state: IndexState,
     q: jnp.ndarray,
@@ -401,49 +398,16 @@ def brute_force(
     precision: str = "highest",
     approx: bool = False,
 ):
-    """Exact top-k over the whole slab (test oracle and small-db fast path)."""
-    S = state.slab_capacity
-    B = q.shape[0]
-    chunk = min(chunk, S)
-    if S % chunk != 0:
-        # Slab capacities are powers of two (host layer invariant); fall back
-        # to the largest power-of-two divisor if a custom chunk doesn't fit.
-        chunk = S & -S if S & -S < chunk else chunk
-        while S % chunk != 0:
-            chunk //= 2
-    n_chunks = S // chunk
-    init = (
-        jnp.full((B, k), jnp.inf, jnp.float32),
-        jnp.full((B, k), -1, jnp.int32),
-        jnp.zeros((B, k), jnp.bool_),
+    """Exact top-k over the whole slab (test oracle and small-db fast path).
+
+    Thin wrapper over the shared :func:`zebra_tpu.ops.scan.exact_scan` (also
+    the IVF backend's exact path)."""
+    from zebra_tpu.ops.scan import exact_scan
+
+    return exact_scan(
+        state.vectors, state.valid, q, k, metric=metric, power=power,
+        chunk=chunk, precision=precision, approx=approx,
     )
-
-    def body(carry, i):
-        start = i * chunk
-        vecs = jax.lax.dynamic_slice_in_dim(state.vectors, start, chunk, axis=0)
-        vl = jax.lax.dynamic_slice_in_dim(state.valid, start, chunk, axis=0)
-        d = D.pairwise(q, vecs, metric=metric, power=power, precision=precision)
-        if approx:
-            # lax.approx_max_k: TPU-native partial reduction — ~3-8x faster
-            # than exact top_k on wide chunks at ~0.997 top-10 agreement
-            d = jnp.where(vl[None, :], d, jnp.inf)
-            neg, idxs = jax.lax.approx_max_k(-d, k)
-            td = -neg
-            ti = start + idxs.astype(jnp.int32)
-            tv = jnp.isfinite(td)
-            ti = jnp.where(tv, ti, -1)
-        else:
-            sl = start + jnp.arange(chunk, dtype=jnp.int32)
-            td, ti, tv = TK.masked_topk(
-                d,
-                jnp.broadcast_to(vl[None, :], (B, chunk)),
-                jnp.broadcast_to(sl[None, :], (B, chunk)),
-                k,
-            )
-        return TK.merge_topk(carry[0], carry[1], carry[2], td, ti, tv, k), None
-
-    (dk, ik, vk), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
-    return dk, ik, vk
 
 
 @jax.jit

@@ -1,0 +1,265 @@
+"""Device-resident IVF index: cluster-contiguous slab, pure jit ops.
+
+This is the TPU-first redesign of the reference's LSH forest for the hot
+path (``src/database/index/lsh.rs:333-345,544-565``). Where LSH stores slot
+*indirection* (buckets of int32 ids into an insert-ordered slab, so every
+probe is a random row gather), IVF makes the slab itself partition-ordered:
+
+  coarse quantizer   -> K learned centroids (ops/kmeans.py); scoring a query
+                        against ALL partitions is one [B, D] x [D, K] MXU
+                        matmul — the analogue of descending T trees at once
+  bucket             -> a CONTIGUOUS block of ``C`` slab rows per cluster
+                        (cluster c owns rows [c*C, (c+1)*C)); probing a
+                        cluster is a block read, not C row gathers
+  multiprobe         -> top-P nearest centroids per query
+  re-rank            -> exact distances over the P gathered blocks + top-k
+
+Clusters are disjoint, so — unlike multi-table LSH — candidates never need
+deduplication, and a vector lives in exactly one place.
+
+Inserts assign each vector to its nearest centroid with free capacity
+(``spill`` attempts over the next-nearest centroids, FAISS-style), using the
+same sort + segmented-rank scan as the LSH bucket append: deterministic,
+atomics-free, one scatter. A vector is only *dropped* (counted in
+``overflow``) when all ``spill`` nearest clusters are full — the host layer
+then grows capacity / retrains and re-inserts, so no data is ever lost.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from zebra_tpu.ops import distances as D
+from zebra_tpu.ops import topk as TK
+
+#: Out-of-bounds sentinel used to make scatter writes drop.
+OOB = jnp.int32(2**30)
+
+
+@struct.dataclass
+class IVFState:
+    """All device arrays of one IVF shard (a pytree)."""
+
+    centroids: jnp.ndarray  # [K, D] f32 coarse quantizer
+    counts: jnp.ndarray  # [K]    int32 allocated slots per cluster (<= C;
+    #                       monotone until compaction — tombstoned rows keep
+    #                       their slot, `valid` masks them)
+    vectors: jnp.ndarray  # [K*C, D] slab, cluster-contiguous
+    norms: jnp.ndarray  # [K*C]  f32 squared L2 norms of stored rows
+    valid: jnp.ndarray  # [K*C]  bool liveness
+    overflow: jnp.ndarray  # []  int32 vectors dropped (all spill targets full)
+
+    @property
+    def num_clusters(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def cluster_capacity(self) -> int:
+        return self.vectors.shape[0] // self.centroids.shape[0]
+
+    @property
+    def slab_capacity(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.vectors.shape[1]
+
+
+def empty_state(centroids: jnp.ndarray, cluster_capacity: int, dtype=jnp.float32) -> IVFState:
+    """Fresh state for trained centroids and a per-cluster capacity."""
+    K, dim = centroids.shape
+    S = K * cluster_capacity
+    return IVFState(
+        centroids=centroids.astype(jnp.float32),
+        counts=jnp.zeros((K,), dtype=jnp.int32),
+        vectors=jnp.zeros((S, dim), dtype=dtype),
+        norms=jnp.zeros((S,), dtype=jnp.float32),
+        valid=jnp.zeros((S,), dtype=jnp.bool_),
+        overflow=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def _segmented_ranks(c: jnp.ndarray) -> jnp.ndarray:
+    """Rank of each row among same-valued entries of ``c`` (original order).
+
+    Sort + cummax segment-start scan + inverse scatter — the contention-free
+    TPU substitute for an atomic fetch-and-add per bucket.
+    """
+    n = c.shape[0]
+    order = jnp.argsort(c)
+    cs = c[order]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), cs[1:] != cs[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, ar, jnp.int32(0))
+    )
+    rank_sorted = ar - seg_start
+    return jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("spill",))
+def insert(state: IVFState, x: jnp.ndarray, n_valid: jnp.ndarray, spill: int = 4):
+    """Insert a (padded) batch; state donated.
+
+    Args:
+      state: IVF state.
+      x: ``[n, D]`` batch; rows ``>= n_valid`` are padding.
+      n_valid: scalar int32 count of real rows.
+      spill: nearest-centroid fallback attempts before counting a drop.
+
+    Returns:
+      ``(new_state, slots [n] int32)`` — slab position per row; ``-1`` for
+      rows dropped on overflow (host retries them after growing) and for pads.
+    """
+    n = x.shape[0]
+    K = state.num_clusters
+    C = state.cluster_capacity
+    real = jnp.arange(n, dtype=jnp.int32) < n_valid
+
+    x32 = x.astype(jnp.float32)
+    # nearest `spill` centroids by sql2 (||x||^2 is constant per row — omit).
+    # DEFAULT precision: partition assignment tolerates bf16-grade error.
+    dot = jnp.dot(x32, state.centroids.T, preferred_element_type=jnp.float32)
+    cn2 = jnp.sum(state.centroids * state.centroids, axis=-1)
+    _, choice = jax.lax.top_k(-(cn2[None, :] - 2.0 * dot), min(spill, K))  # [n, a]
+
+    slots = jnp.full((n,), -1, jnp.int32)
+    counts = state.counts
+    assigned = ~real  # pads never write
+    for a in range(min(spill, K)):
+        c = jnp.where(assigned, OOB, choice[:, a].astype(jnp.int32))
+        rank = _segmented_ranks(c)
+        base = counts[jnp.clip(c, 0, K - 1)]
+        pos = base + rank
+        ok = ~assigned & (pos < C)
+        slots = jnp.where(ok, c * C + pos, slots)
+        counts = counts.at[jnp.where(ok, c, OOB)].add(1, mode="drop")
+        assigned = assigned | ok
+
+    dropped = jnp.sum((real & (slots < 0)).astype(jnp.int32))
+    widx = jnp.where(slots >= 0, slots, OOB)
+    xd = x.astype(state.vectors.dtype)
+    xs32 = xd.astype(jnp.float32)  # norms of the STORED (rounded) vector
+    return (
+        state.replace(
+            counts=counts,
+            vectors=state.vectors.at[widx].set(xd, mode="drop"),
+            norms=state.norms.at[widx].set(jnp.sum(xs32 * xs32, axis=-1), mode="drop"),
+            valid=state.valid.at[widx].set(slots >= 0, mode="drop"),
+            overflow=state.overflow + dropped,
+        ),
+        slots,
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def delete_slots(state: IVFState, slots: jnp.ndarray) -> IVFState:
+    """Tombstone slab slots (negative entries ignored); state donated.
+
+    Cluster ``counts`` keep the allocated width — tombstoned rows stay masked
+    until the host compacts (see lsh.rs:487-492 note in buckets.delete_slots).
+    """
+    s = jnp.where(slots >= 0, slots, OOB)
+    return state.replace(valid=state.valid.at[s].set(False, mode="drop"))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "num_probes", "rerank", "qchunk")
+)
+def query(
+    state: IVFState,
+    q: jnp.ndarray,
+    k: int,
+    metric: str = "cosine",
+    num_probes: int = 8,
+    power: float = 3.0,
+    rerank: str = "xla",
+    qchunk: int = 256,
+):
+    """Approximate top-k: score centroids -> top-P blocks -> exact re-rank.
+
+    Cluster *selection* uses the index metric for MXU metrics and sql2
+    geometry otherwise (elementwise metrics over [B, K, D] would dwarf the
+    re-rank; sql2 picks the same nearby regions). Re-rank always uses the
+    true metric.
+
+    Returns:
+      ``(dists [B, k], slots [B, k], valid [B, k])``.
+    """
+    B = q.shape[0]
+    K = state.num_clusters
+    C = state.cluster_capacity
+    P = min(num_probes, K)
+    q32 = q.astype(jnp.float32)
+
+    sel_metric = metric if metric in D.MXU_METRICS else "sql2"
+    score = D.pairwise(q32, state.centroids, metric=sel_metric, precision="default")
+    _, probes = jax.lax.top_k(-score, P)  # [B, P] cluster ids
+
+    if rerank == "pallas" and metric in D.MXU_METRICS:
+        from zebra_tpu.ops.pallas_ivf import ivf_rerank
+
+        return ivf_rerank(state, q32, probes.astype(jnp.int32), k, metric=metric)
+
+    vec3 = state.vectors.reshape(K, C, -1)
+    nrm2 = state.norms.reshape(K, C)
+    val2 = state.valid.reshape(K, C)
+    qn2 = jnp.sum(q32 * q32, axis=-1)[:, None]
+    col = jnp.arange(C, dtype=jnp.int32)[None, :]
+
+    init = (
+        jnp.full((B, k), jnp.inf, jnp.float32),
+        jnp.full((B, k), -1, jnp.int32),
+        jnp.zeros((B, k), jnp.bool_),
+    )
+
+    def body(carry, p):
+        cl = probes[:, p]  # [B]
+        vecs = vec3[cl]  # [B, C, D] — contiguous block gather
+        vl = val2[cl]
+        sl = cl[:, None] * C + col
+        if metric in D.MXU_METRICS:
+            dots = jnp.einsum(
+                "bd,bcd->bc",
+                q32,
+                vecs.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            d = D.mxu_from_parts(metric, dots, qn2, nrm2[cl])
+        else:
+            d = D.rowwise(q32, vecs.astype(jnp.float32), metric=metric, power=power)
+        td, ti, tv = TK.masked_topk(d, vl, sl, k)
+        return TK.merge_topk(carry[0], carry[1], carry[2], td, ti, tv, k), None
+
+    (dk, ik, vk), _ = jax.lax.scan(body, init, jnp.arange(P))
+    return dk, ik, vk
+
+
+def brute_force(
+    state: IVFState,
+    q: jnp.ndarray,
+    k: int,
+    metric: str = "cosine",
+    power: float = 3.0,
+    chunk: int = 8192,
+    precision: str = "highest",
+    approx: bool = False,
+):
+    """Exact top-k over the whole slab (shared scan op)."""
+    from zebra_tpu.ops.scan import exact_scan
+
+    return exact_scan(
+        state.vectors, state.valid, q, k, metric=metric, power=power,
+        chunk=chunk, precision=precision, approx=approx,
+    )
+
+
+@jax.jit
+def num_valid(state: IVFState) -> jnp.ndarray:
+    return jnp.sum(state.valid.astype(jnp.int32))

@@ -1,0 +1,273 @@
+"""Host orchestration for the IVF cluster-block backend.
+
+IVF-specific host logic on top of :class:`zebra_tpu.index.base.BaseVectorIndex`:
+k-means training, cluster-capacity sizing, spill-overflow handling (grow
+capacity and retry — a vector is NEVER silently dropped), retrain-on-growth,
+and snapshots. The device half is :mod:`zebra_tpu.index.ivf`.
+
+Slot assignment is data-dependent (nearest centroid with room), so unlike the
+LSH bump allocator the host cannot mirror it — each insert batch reads back
+one int32 per vector. That is 4 bytes against the ~3KB/vector host->device
+payload (<1% of wire time even on this box's slow readback tunnel), and it is
+what makes every probe a contiguous block read at query time.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zebra_tpu.config import IndexOptions
+from zebra_tpu.index import ivf as V
+from zebra_tpu.index.base import BaseVectorIndex
+from zebra_tpu.ops.kmeans import kmeans
+from zebra_tpu.profiling import logger
+from zebra_tpu.utils import next_pow2
+
+#: retrain when live vectors outgrow the built size by this factor
+_REBUILD_GROWTH = 4.0
+#: compact when tombstones exceed this fraction of allocated slots
+_COMPACT_TOMBSTONES = 0.5
+#: capacity-grow retries per batch before giving up (2^8 growth = plenty)
+_MAX_GROWS = 8
+
+
+class IVFIndex(BaseVectorIndex):
+    """Single-shard IVF index: learned partitions, cluster-contiguous slab.
+
+    The TPU-first answer to the reference's LSH forest: same API, same
+    recall regime, but probes are block DMAs instead of row gathers (see
+    the design note in :mod:`zebra_tpu.index.ivf`).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "cosine",
+        options: IndexOptions | None = None,
+        metric_power: float = 3.0,
+    ):
+        super().__init__(dim, metric, options, metric_power)
+        # Pallas block re-rank DMAs 2-D [C, D] tiles: last dim must be a
+        # multiple of 128 lanes (any float dtype) — a far lighter constraint
+        # than the LSH kernel's 1024-element flat-slab alignment.
+        if self.options.rerank == "pallas":
+            self._dev_dim = -(-self.dim // 128) * 128
+        self.state: V.IVFState | None = None
+
+    # -- sizing ----------------------------------------------------------------
+
+    def _resolved_clusters(self, n: int) -> int:
+        if self.options.num_clusters > 0:
+            return self.options.num_clusters
+        # sqrt scaling (FAISS rule of thumb ~4*sqrt(n)), clamped so tiny
+        # indexes keep a few vectors per cluster and huge ones stay probeable
+        k = 4.0 * math.sqrt(max(n, 1))
+        return int(min(next_pow2(max(int(k), 8)), 65536, next_pow2(max(n // 4, 8))))
+
+    def _resolved_capacity(self, n: int, k: int) -> int:
+        if self.options.cluster_capacity > 0:
+            return self.options.cluster_capacity
+        # 2x the mean load absorbs k-means imbalance; spill handles the tail
+        return next_pow2(max(2 * -(-n // k), 16))
+
+    # -- build -------------------------------------------------------------------
+
+    def _train_centroids(self, k: int, data: np.ndarray | None) -> jnp.ndarray:
+        key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
+        if data is None or data.shape[0] < 2:
+            cents = jax.random.normal(key, (k, self._dev_dim), dtype=jnp.float32)
+            if self._dev_dim != self.dim:
+                cents = cents.at[:, self.dim :].set(0.0)
+            return cents
+        sample_n = min(data.shape[0], max(self.options.kmeans_sample, 4 * k))
+        if sample_n < data.shape[0]:
+            idx = self._rng.choice(data.shape[0], size=sample_n, replace=False)
+            sample = np.asarray(data, np.float32)[np.sort(idx)]
+        else:
+            sample = np.asarray(data, np.float32)
+        sample = self._pad_dim(sample)
+        padded = next_pow2(sample.shape[0])
+        if padded != sample.shape[0]:
+            sample = np.pad(sample, ((0, padded - sample.shape[0]), (0, 0)))
+        cents, _counts = kmeans(
+            key,
+            jnp.asarray(sample),
+            jnp.int32(sample_n),
+            k=k,
+            iters=self.options.kmeans_iters,
+        )
+        return cents
+
+    def _fresh_state(self, n_hint: int, data: np.ndarray | None) -> V.IVFState:
+        k = self._resolved_clusters(n_hint)
+        cap = self._resolved_capacity(n_hint, k)
+        cents = self._train_centroids(k, data)
+        return V.empty_state(cents, cap, dtype=self.dtype)
+
+    # -- insert --------------------------------------------------------------------
+
+    def _insert_batch(self, batch: np.ndarray, count: int) -> np.ndarray:
+        out = np.full(count, -1, dtype=np.int64)
+        pending = np.arange(count)  # rows of `batch` still unplaced
+        cur = batch
+        cur_count = count
+        for _ in range(_MAX_GROWS):
+            self.state, slots_dev = V.insert(
+                self.state, jnp.asarray(cur), jnp.int32(cur_count),
+                spill=self.options.spill,
+            )
+            slots = np.asarray(slots_dev[:cur_count])  # the one insert readback
+            out[pending] = slots
+            failed = slots < 0
+            if not failed.any():
+                return out
+            # all spill targets full for these rows: double every cluster's
+            # capacity (slot remap is pure arithmetic — no readback) and retry
+            pending = pending[failed]
+            n_fail = int(failed.sum())
+            logger.info(
+                "ivf: %d spill overflows — growing cluster capacity %d -> %d",
+                n_fail, self.state.cluster_capacity, 2 * self.state.cluster_capacity,
+            )
+            cap = self.state.cluster_capacity
+            self._grow_capacity()
+            # slots recorded in earlier iterations use the PRE-growth
+            # numbering — remap them like _grow_capacity does for host maps
+            placed = out >= 0
+            out[placed] = (out[placed] // cap) * 2 * cap + (out[placed] % cap)
+            cur = np.zeros((next_pow2(max(n_fail, 8)), self._dev_dim), np.float32)
+            cur[:n_fail] = batch[pending]
+            cur_count = n_fail
+        raise RuntimeError("ivf insert could not place batch after capacity growth")
+
+    def _grow_capacity(self) -> None:
+        """Double per-cluster capacity in place (device reshape+pad) and remap
+        host slot ids arithmetically: slot' = (slot//C)*2C + slot%C."""
+        st = self.state
+        K, C = st.num_clusters, st.cluster_capacity
+        self.state = _grow_capacity_dev(st)
+        new_slot_ids = [b""] * (len(self._slot_ids) * 2)
+        for s, i in enumerate(self._slot_ids):
+            if i:
+                s2 = (s // C) * 2 * C + (s % C)
+                new_slot_ids[s2] = i
+                self._id_to_slot[i] = s2
+        self._slot_ids = new_slot_ids
+
+    # -- rebuild / compaction ----------------------------------------------------
+
+    def _maybe_rebuild(self) -> None:
+        n_live = len(self._id_to_slot)
+        if n_live == 0 or self.state is None:
+            return
+        used = int(np.sum(np.asarray(self.state.counts)))  # cheap [K] readback
+        tombstones = used - n_live
+        if (
+            n_live > _REBUILD_GROWTH * max(self._built_n, 1)
+            or tombstones > _COMPACT_TOMBSTONES * max(used, 1)
+        ):
+            self.rebuild()
+
+    def rebuild(self) -> None:
+        """Retrain centroids sized to the live population and re-insert —
+        compacts tombstones and restores partition balance."""
+        logger.info("ivf rebuild: %d live vectors", len(self._id_to_slot))
+        live_slots = sorted(self._id_to_slot.values())
+        if not live_slots:
+            ids: list[bytes] = []
+            data = np.zeros((0, self.dim), np.float32)
+        else:
+            order = np.asarray(live_slots, dtype=np.int64)
+            data = np.asarray(self.state.vectors, dtype=np.float32)[order][:, : self.dim]
+            ids = [self._slot_ids[s] for s in order.tolist()]
+        n = len(ids)
+        self.state = self._fresh_state(max(n, 1), data if n else None)
+        self._built_n = max(n, 1)
+        self._slot_ids = []
+        self._id_to_slot = {}
+        if n:
+            self._insert_batches(data, ids)
+
+    # -- delete / search -----------------------------------------------------------
+
+    def _delete_slots_device(self, slots: np.ndarray) -> None:
+        self.state = V.delete_slots(self.state, jnp.asarray(slots))
+
+    def _query_device(self, qj: jnp.ndarray, k: int, exact: bool):
+        if exact:
+            return V.brute_force(
+                self.state, qj, k, metric=self.metric, power=self.metric_power,
+                precision=self.options.exact_precision,
+                approx=self.options.approx_topk,
+                chunk=131072 if self.options.approx_topk else 8192,
+            )
+        return V.query(
+            self.state,
+            qj,
+            k,
+            metric=self.metric,
+            num_probes=self.options.num_probes,
+            power=self.metric_power,
+            rerank=self.options.rerank,
+        )
+
+    # -- persistence -----------------------------------------------------------------
+
+    def _snapshot_arrays(self) -> dict:
+        st = self.state
+        return {
+            "centroids": np.asarray(st.centroids),
+            "counts": np.asarray(st.counts),
+            "vectors": np.asarray(st.vectors, dtype=np.float32),
+            "norms": np.asarray(st.norms),
+            "valid": np.asarray(st.valid),
+            "overflow": np.asarray(st.overflow),
+        }
+
+    def _restore_arrays(self, z) -> None:
+        self.state = V.IVFState(
+            centroids=jnp.asarray(z["centroids"]),
+            counts=jnp.asarray(z["counts"]),
+            vectors=jnp.asarray(z["vectors"]).astype(self.dtype),
+            norms=jnp.asarray(z["norms"]),
+            valid=jnp.asarray(z["valid"]),
+            overflow=jnp.asarray(z["overflow"]),
+        )
+
+    # -- maintenance stats --------------------------------------------------------
+
+    def stats(self) -> dict:
+        if self.state is None:
+            return {"vectors": 0, "built": False}
+        st = self.state
+        counts = np.asarray(st.counts)
+        used = int(counts.sum())
+        return {
+            "vectors": len(self._id_to_slot),
+            "built": True,
+            "clusters": st.num_clusters,
+            "cluster_capacity": st.cluster_capacity,
+            "slab_capacity": st.slab_capacity,
+            "used_slots": used,
+            "max_cluster_load": int(counts.max()),
+            "overflow": int(st.overflow),
+            "tombstones": used - len(self._id_to_slot),
+        }
+
+
+def _grow_capacity_dev(st: V.IVFState) -> V.IVFState:
+    """[K, C, ...] -> [K, 2C, ...] zero-padded reshape of the slab arrays."""
+    K, C = st.num_clusters, st.cluster_capacity
+    D = st.dim
+
+    def pad3(a):
+        return jnp.pad(a.reshape(K, C, -1), ((0, 0), (0, C), (0, 0))).reshape(2 * K * C, -1)
+
+    vectors = pad3(st.vectors).reshape(2 * K * C, D)
+    norms = jnp.pad(st.norms.reshape(K, C), ((0, 0), (0, C))).reshape(-1)
+    valid = jnp.pad(st.valid.reshape(K, C), ((0, 0), (0, C))).reshape(-1)
+    return st.replace(vectors=vectors, norms=norms, valid=valid)

@@ -1,0 +1,131 @@
+"""Device k-means (Lloyd's) for IVF coarse quantization.
+
+The reference partitions space with random perpendicular-bisector hyperplanes
+(``src/database/index/lsh.rs:221-230``); the IVF index instead learns K
+centroids from the data — a strictly better partition for the same probe
+budget, and a perfect fit for the TPU: every Lloyd iteration is one big
+assignment matmul (MXU) plus one segment-sum scatter (VPU), all static shapes.
+
+Assignment runs in ``lax.Precision.DEFAULT`` (bf16-grade MXU passes): k-means
+regions tolerate ~0.5% relative distance error — only exact ties flip — and
+the default tier is ~6x faster, which matters at 1M x 4096 x 768.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+#: out-of-bounds cluster id used to drop masked rows from scatters
+_OOB = jnp.int32(2**30)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def assign_clusters(x: jnp.ndarray, centroids: jnp.ndarray, chunk: int = 65536):
+    """Nearest-centroid assignment, chunked over rows.
+
+    Args:
+      x: ``[n, D]`` vectors (n a multiple of ``chunk`` or smaller than it).
+      centroids: ``[K, D]`` float32.
+
+    Returns:
+      ``[n]`` int32 cluster ids.
+    """
+    n = x.shape[0]
+    cn2 = jnp.sum(centroids * centroids, axis=-1)  # [K]
+    if n <= chunk:
+        dot = jnp.dot(x.astype(jnp.float32), centroids.T,
+                      preferred_element_type=jnp.float32)
+        return jnp.argmin(cn2[None, :] - 2.0 * dot, axis=1).astype(jnp.int32)
+
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+    def body(_, xc):
+        dot = jnp.dot(xc.astype(jnp.float32), centroids.T,
+                      preferred_element_type=jnp.float32)
+        return 0, jnp.argmin(cn2[None, :] - 2.0 * dot, axis=1).astype(jnp.int32)
+
+    _, a = jax.lax.scan(body, 0, xp.reshape(n_chunks, chunk, -1))
+    return a.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters", "chunk"))
+def kmeans(
+    key: jax.Array,
+    data: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    k: int,
+    iters: int = 8,
+    chunk: int = 65536,
+):
+    """Lloyd's k-means on device.
+
+    Args:
+      key: PRNG key (init sampling + empty-cluster reseeding).
+      data: ``[n, D]`` training vectors; rows ``>= n_valid`` are padding.
+      n_valid: scalar int32 count of real rows (must be ``>= k`` for a
+        sensible result; fewer real rows leave some clusters on random init).
+      k: number of centroids (static).
+      iters: Lloyd iterations (static).
+
+    Returns:
+      ``(centroids [k, D] f32, counts [k] i32)`` — counts from the final
+      assignment pass (diagnostic; emptiness drives host sizing decisions).
+    """
+    n, dim = data.shape
+    data32 = data.astype(jnp.float32)
+    row = jnp.arange(n, dtype=jnp.int32)
+    mask = row < n_valid
+
+    k_init, k_reseed = jax.random.split(key)
+    # init: k random real rows (with replacement — duplicates collapse to
+    # empty clusters that the per-iteration reseed repairs; this also keeps
+    # the op total when k exceeds the sample size)
+    init_idx = jax.random.randint(k_init, (k,), 0, n) % jnp.maximum(n_valid, 1)
+    centroids = data32[init_idx]
+
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    dp = jnp.pad(data32, ((0, pad), (0, 0))) if pad else data32
+    mp = jnp.pad(mask, (0, pad)) if pad else mask
+    dchunks = dp.reshape(n_chunks, -1, dim)
+    mchunks = mp.reshape(n_chunks, -1)
+
+    # per-iteration reseed candidates for empty clusters: random real rows
+    reseed_idx = (
+        jax.random.randint(k_reseed, (iters, k), 0, n) % jnp.maximum(n_valid, 1)
+    )
+
+    def lloyd(carry, it):
+        cents = carry
+        cn2 = jnp.sum(cents * cents, axis=-1)  # [K]
+
+        def body(acc, xs):
+            sums, counts = acc
+            xc, mc = xs
+            dot = jnp.dot(xc, cents.T, preferred_element_type=jnp.float32)
+            a = jnp.argmin(cn2[None, :] - 2.0 * dot, axis=1).astype(jnp.int32)
+            a = jnp.where(mc, a, _OOB)
+            sums = sums.at[a].add(xc, mode="drop")
+            counts = counts.at[a].add(mc.astype(jnp.int32), mode="drop")
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((k, dim), jnp.float32), jnp.zeros((k,), jnp.int32)),
+            (dchunks, mchunks),
+        )
+        mean = sums / jnp.maximum(counts, 1)[:, None]
+        # empty clusters restart at a random data point (classic Lloyd repair)
+        fresh = data32[reseed_idx[it]]
+        cents = jnp.where((counts > 0)[:, None], mean, fresh)
+        return cents, counts
+
+    centroids, counts_hist = jax.lax.scan(
+        lloyd, centroids, jnp.arange(iters, dtype=jnp.int32)
+    )
+    return centroids, counts_hist[-1]
