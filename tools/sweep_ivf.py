@@ -1,0 +1,100 @@
+"""IVF config sweep at the headline scale (1M x 768 cosine, one chip).
+
+Builds one IVFIndex, then sweeps probe counts x rerank backends measuring
+device QPS and recall@10 vs brute force. Run serially:
+  nohup python -u tools/sweep_ivf.py > /tmp/sweep_ivf.log 2>&1 &
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from zebra_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+from bench import make_data
+from zebra_tpu.config import IndexOptions
+from zebra_tpu.index import ivf as V
+from zebra_tpu.index.ivf_host import IVFIndex
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--n", type=int, default=1_000_000)
+ap.add_argument("--dim", type=int, default=768)
+ap.add_argument("--dtype", default="float32")
+ap.add_argument("--clusters", type=int, default=0)
+ap.add_argument("--capacity", type=int, default=0)
+ap.add_argument("--spill", type=int, default=8)
+ap.add_argument("--qbatch", type=int, default=1024)
+ap.add_argument("--probes", default="4,8,16")
+ap.add_argument("--reranks", default="xla,pallas")
+args = ap.parse_args()
+
+print("devices:", jax.devices(), flush=True)
+n, dim = args.n, args.dim
+data = make_data(n, dim, seed=0)
+rng = np.random.default_rng(1)
+
+idx = IVFIndex(
+    dim=dim,
+    metric="cosine",
+    options=IndexOptions(
+        index_type="ivf",
+        rerank="pallas",  # sizes _dev_dim for the kernel; backend chosen per query below
+        num_clusters=args.clusters,
+        cluster_capacity=args.capacity,
+        spill=args.spill,
+        dtype=args.dtype,
+        seed=0,
+    ),
+)
+t0 = time.perf_counter()
+idx.add(data)
+jax.block_until_ready(idx.state.vectors)
+t_build = time.perf_counter() - t0
+print(f"build: {t_build:.1f}s ({n/t_build:,.0f}/s)  stats={idx.stats()}", flush=True)
+
+qsel = rng.permutation(n)[: args.qbatch]
+queries = data[qsel] + 0.05 * rng.standard_normal((args.qbatch, dim)).astype(np.float32)
+qp = np.zeros((args.qbatch, idx._dev_dim), np.float32)
+qp[:, :dim] = queries
+qj = jnp.asarray(qp)
+
+# ground truth on 256 queries
+nrq = 256
+t0 = time.perf_counter()
+db_, sb, vb = V.brute_force(idx.state, qj[:nrq], 10, metric="cosine")
+jax.block_until_ready(db_)
+sb, vb = np.asarray(sb), np.asarray(vb)
+truth = [set(sb[i][vb[i]].tolist()) for i in range(nrq)]
+print(f"brute truth: {time.perf_counter()-t0:.1f}s", flush=True)
+
+for P in [int(x) for x in args.probes.split(",")]:
+    for rr in args.reranks.split(","):
+        t0 = time.perf_counter()
+        d, s, v = V.query(idx.state, qj, 10, metric="cosine", num_probes=P, rerank=rr)
+        jax.block_until_ready(d)
+        t_compile = time.perf_counter() - t0
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            d, s, v = V.query(
+                idx.state, qj, 10, metric="cosine", num_probes=P, rerank=rr
+            )
+        jax.block_until_ready(d)
+        qps = args.qbatch * iters / (time.perf_counter() - t0)
+        sa, va = np.asarray(s[:nrq]), np.asarray(v[:nrq])
+        hits = sum(len(set(sa[i][va[i]].tolist()) & truth[i]) for i in range(nrq))
+        recall = hits / (nrq * 10)
+        print(
+            f"P={P:3d} rerank={rr:6s}: {qps:10,.0f} QPS  recall@10={recall:.4f}"
+            f"  (compile {t_compile:.0f}s)",
+            flush=True,
+        )
+print("sweep done", flush=True)
