@@ -59,22 +59,43 @@ def test_ivf_remove_and_tombstones(rng):
     assert idx.remove([b"\x01" * 16]) == []
 
 
-def test_ivf_spill_overflow_grows_capacity(rng):
-    # tiny capacity + all vectors in one blob forces spill + capacity growth
+def test_ivf_spill_overflow_lands_in_spare(rng):
+    # tiny capacity + all vectors in one blob forces spill into the spare
     data = np.ones((200, 16), np.float32) + 0.001 * rng.standard_normal(
         (200, 16)
     ).astype(np.float32)
     idx = IVFIndex(
         dim=16,
-        options=_opts(num_clusters=4, cluster_capacity=16, spill=2),
+        options=_opts(num_clusters=4, cluster_capacity=16, spill=2,
+                      spare_capacity=4096),
     )
     ids = idx.add(data)
     assert len(idx) == 200  # nothing dropped
     st = idx.stats()
     assert st["used_slots"] == 200
-    assert st["cluster_capacity"] > 16  # grew
-    res = idx.search(data[:20], k=1)
-    assert all(row for row in res)
+    assert st["spare_used"] > 0  # overflow went to the spare region
+    # spare members are searchable (vectors are near-identical, so exact
+    # self-match is not guaranteed under f32 near-ties — distance ~0 is)
+    res = idx.search(data[:200], k=1)
+    assert all(row and row[0][1] < 1e-4 for row in res)
+
+
+def test_ivf_spare_growth_never_drops(rng):
+    # spare too small for the overflow: it must grow, ids never dropped,
+    # and slot numbering must stay stable (search still exact)
+    data = np.ones((300, 16), np.float32) + 0.001 * rng.standard_normal(
+        (300, 16)
+    ).astype(np.float32)
+    idx = IVFIndex(
+        dim=16,
+        options=_opts(num_clusters=4, cluster_capacity=8, spill=1,
+                      spare_capacity=64),
+    )
+    ids = idx.add(data)
+    assert len(idx) == 300
+    assert idx.stats()["spare_capacity"] > 64
+    res = idx.search(data[:50], k=1)
+    assert all(row[0][0] == ids[i] for i, row in enumerate(res))
 
 
 def test_ivf_rebuild_on_growth(rng):

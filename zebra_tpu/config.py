@@ -75,6 +75,9 @@ class IndexOptions:
     num_clusters: int = 0
     #: slab rows reserved per cluster; 0 = auto (2x mean load, power of two).
     cluster_capacity: int = 0
+    #: shared spare-region rows (always-scanned overflow heap for vectors
+    #: whose spill targets are all full); 0 = auto (~n/32).
+    spare_capacity: int = 0
     #: nearest-centroid fallbacks when a cluster is full before the host
     #: grows capacity (FAISS-style spill; vectors are never dropped).
     spill: int = 4
@@ -135,10 +138,12 @@ class DatabaseConfig:
     index: IndexOptions = field(default_factory=IndexOptions)
     #: number of mesh shards the index is distributed over (1 = single device).
     shards: int = 1
-    #: crash-durability of CRUD ops: "full" snapshots the index after every
-    #: mutation (reference semantics — fjall fsyncs each upsert, lsh.rs:87-89;
-    #: costly for multi-GB slabs), "explicit" persists blobs+manifest per op
-    #: but snapshots index arrays only on save()/close.
+    #: crash-durability of CRUD ops: "full" appends every mutation to an
+    #: fsync'd delta log replayed on open (O(batch) — the reference's
+    #: per-upsert LSM sync, lsh.rs:87-89, at the same cost class; the log
+    #: folds into a real snapshot on save() or when it outgrows one),
+    #: "explicit" persists blobs+manifest per op but index state only on
+    #: save()/close.
     durability: str = "full"
 
     def to_json(self) -> dict[str, Any]:

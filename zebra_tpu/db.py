@@ -21,6 +21,7 @@ from zebra_tpu.config import DatabaseConfig, IndexOptions
 from zebra_tpu.index.lsh import LSHIndex
 from zebra_tpu.models.base import get_model
 from zebra_tpu.storage.blobs import make_document_store
+from zebra_tpu.storage.deltalog import DeltaLog
 from zebra_tpu.utils import fsync_write, uuid_hex, uuid7_bytes
 
 _FORMAT_VERSION = 1
@@ -83,6 +84,8 @@ class Database:
         self._blob_backend = blob_backend
         self._blob_codec = codec
         self._docs = make_document_store(self._docs_dir(), backend=blob_backend, codec=codec)
+        #: O(batch) mutation log for durability="full" (see storage/deltalog.py)
+        self._delta = DeltaLog(os.path.join(self._data_dir(), "delta.log"))
         from zebra_tpu.profiling import Stats
 
         #: per-database operation counters (insert/query timings & rates)
@@ -129,11 +132,13 @@ class Database:
         backend = manifest.get("blob_backend")
         if backend is None:  # legacy manifests: infer from codec
             backend = "packed" if manifest.get("codec") == "packed-zlib" else "files"
-        return cls(
+        db = cls(
             config, path, index=index, uuid=uuid,
             codec=None if backend == "packed" else manifest.get("codec"),
             blob_backend=backend,
         )
+        db._replay_delta()
+        return db
 
     @classmethod
     def open_or_create(cls, path: str, config: DatabaseConfig | None = None) -> "Database":
@@ -146,12 +151,62 @@ class Database:
                 raise
             return cls.create(path, config)
 
-    def _autosave(self) -> None:
-        """Post-mutation persistence per the configured durability policy."""
+    def _replay_delta(self) -> None:
+        """Apply the mutation-log tail onto the loaded snapshot (open path).
+
+        Idempotent: ids already present in the snapshot are skipped (covers a
+        crash between snapshot write and log reset in :meth:`save`)."""
+        applied = 0
+        for op, ids, vecs in self._delta.replay():
+            if op == "insert":
+                fresh = [j for j, i in enumerate(ids) if i not in self.index]
+                if fresh:
+                    self.index.add(
+                        np.asarray(vecs)[fresh], ids=[ids[j] for j in fresh]
+                    )
+                    applied += len(fresh)
+            else:  # remove (missing ids are a no-op)
+                applied += len(self.index.remove(ids))
+        if applied:
+            from zebra_tpu.profiling import logger
+
+            logger.info("delta log: replayed %d records onto the snapshot", applied)
+
+    def _autosave(
+        self,
+        insert: tuple[list[bytes], np.ndarray] | None = None,
+        remove: list[bytes] | None = None,
+    ) -> None:
+        """Post-mutation persistence per the configured durability policy.
+
+        "full": O(batch) — append the mutation to the fsync'd delta log (the
+        reference's per-upsert LSM sync, ``lsh.rs:87-89``, at the same cost
+        class), checkpointing to a real snapshot when the log outgrows one.
+        "explicit": blobs are already flushed; record metadata only — index
+        arrays persist on save()/close.
+        """
         if self.config.durability == "full":
-            self.save()
-        else:  # "explicit": blobs are already flushed; record metadata only
+            if insert is not None:
+                self._delta.append_insert(insert[0], insert[1])
+            if remove:
+                self._delta.append_remove(remove)
             self._write_manifest(self.path)
+            self._maybe_checkpoint()
+        else:
+            self._write_manifest(self.path)
+
+    def _maybe_checkpoint(self) -> None:
+        """Fold the log into a full snapshot once replaying it would cost more
+        than re-snapshotting (log bytes > max(64MB, last snapshot bytes))."""
+        log_bytes = self._delta.size()
+        if log_bytes < 64 * 1024 * 1024:
+            return
+        try:
+            snap_bytes = os.path.getsize(os.path.join(self._index_dir(), "arrays.npz"))
+        except OSError:
+            snap_bytes = 0
+        if log_bytes > max(64 * 1024 * 1024, snap_bytes):
+            self.save()
 
     def save(self, path: str | None = None) -> None:
         """Persist manifest + index snapshot (+ blobs on save-as).
@@ -170,6 +225,9 @@ class Database:
                 shutil.copytree(self._docs_dir(), dst, dirs_exist_ok=True)
         self.index.save(os.path.join(data_dir, "index"))
         self._write_manifest(target)
+        if target == self.path:
+            # the snapshot now covers every logged mutation — reset the log
+            self._delta.reset()
 
     def _write_manifest(self, target: str) -> None:
         manifest = {
@@ -193,6 +251,7 @@ class Database:
         with self._lock:
             self.index.clear()
             self._docs.clear()  # closes native fds where applicable
+            self._delta.close()  # the log lives inside the data dir
             try:
                 os.remove(self.path)
             except FileNotFoundError:
@@ -227,14 +286,15 @@ class Database:
         with self._lock, timed("insert", items=len(documents), stats=self.stats):
             ids = self.index.add(embeddings)
             self._docs.save_many(ids, list(documents))
-            self._autosave()
+            self._autosave(insert=(ids, embeddings))
         return ids
 
     def insert_vectors(self, vectors: np.ndarray) -> list[bytes]:
         """Vector-only insert (no payloads) — extension over the reference."""
         with self._lock:
-            ids = self.index.add(np.asarray(vectors, dtype=np.float32))
-            self._autosave()
+            v = np.asarray(vectors, dtype=np.float32)
+            ids = self.index.add(v)
+            self._autosave(insert=(ids, v if v.ndim == 2 else v[None, :]))
         return ids
 
     def remove(self, ids: list[bytes]) -> None:
@@ -242,14 +302,14 @@ class Database:
         with self._lock:
             removed = self.index.remove(ids)
             self._docs.remove_many(removed)
-            self._autosave()
+            self._autosave(remove=removed)
 
     def deduplicate(self) -> None:
         """Drop exact-duplicate vectors and their blobs (``core.rs:216-224``)."""
         with self._lock:
             removed = self.index.deduplicate()
             self._docs.remove_many(removed)
-            self._autosave()
+            self._autosave(remove=removed)
 
     # -- queries -------------------------------------------------------------
 

@@ -90,6 +90,9 @@ class BaseVectorIndex:
     def __len__(self) -> int:
         return len(self._id_to_slot)
 
+    def __contains__(self, doc_id: bytes) -> bool:
+        return doc_id in self._id_to_slot
+
     def no_vectors(self) -> bool:
         return len(self._id_to_slot) == 0
 

@@ -20,9 +20,13 @@ deduplication, and a vector lives in exactly one place.
 Inserts assign each vector to its nearest centroid with free capacity
 (``spill`` attempts over the next-nearest centroids, FAISS-style), using the
 same sort + segmented-rank scan as the LSH bucket append: deterministic,
-atomics-free, one scatter. A vector is only *dropped* (counted in
-``overflow``) when all ``spill`` nearest clusters are full — the host layer
-then grows capacity / retrains and re-inserts, so no data is ever lost.
+atomics-free, one scatter. Vectors whose ``spill`` nearest clusters are ALL
+full land in a shared SPARE region at the slab tail — scanned for every
+query as one batched matmul (the [G, D] block is shared by the whole query
+batch, so it costs compute, not per-query gathers) — which keeps them
+exactly searchable without growing the multi-GB slab in place. Only a full
+spare counts into ``overflow`` and triggers a host rebuild; no data is ever
+lost.
 """
 
 from __future__ import annotations
@@ -45,13 +49,16 @@ class IVFState:
     """All device arrays of one IVF shard (a pytree)."""
 
     centroids: jnp.ndarray  # [K, D] f32 coarse quantizer
-    counts: jnp.ndarray  # [K]    int32 allocated slots per cluster (<= C;
+    counts: jnp.ndarray  # [K+1]  int32 allocated slots per cluster (<= C;
     #                       monotone until compaction — tombstoned rows keep
-    #                       their slot, `valid` masks them)
-    vectors: jnp.ndarray  # [K*C, D] slab, cluster-contiguous
-    norms: jnp.ndarray  # [K*C]  f32 squared L2 norms of stored rows
-    valid: jnp.ndarray  # [K*C]  bool liveness
-    overflow: jnp.ndarray  # []  int32 vectors dropped (all spill targets full)
+    #                       their slot, `valid` masks them). Entry K counts
+    #                       the shared spare region.
+    vectors: jnp.ndarray  # [K*C + G, D] slab: cluster blocks then the spare
+    norms: jnp.ndarray  # [K*C + G]  f32 squared L2 norms of stored rows
+    valid: jnp.ndarray  # [K*C + G]  bool liveness
+    overflow: jnp.ndarray  # []  int32 vectors dropped (spare also full)
+    #: per-cluster block width (static metadata, not a traced leaf)
+    ccap: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_clusters(self) -> int:
@@ -59,7 +66,15 @@ class IVFState:
 
     @property
     def cluster_capacity(self) -> int:
-        return self.vectors.shape[0] // self.centroids.shape[0]
+        return self.ccap
+
+    @property
+    def spare_capacity(self) -> int:
+        return self.vectors.shape[0] - self.num_clusters * self.ccap
+
+    @property
+    def spare_start(self) -> int:
+        return self.num_clusters * self.ccap
 
     @property
     def slab_capacity(self) -> int:
@@ -70,17 +85,23 @@ class IVFState:
         return self.vectors.shape[1]
 
 
-def empty_state(centroids: jnp.ndarray, cluster_capacity: int, dtype=jnp.float32) -> IVFState:
-    """Fresh state for trained centroids and a per-cluster capacity."""
+def empty_state(
+    centroids: jnp.ndarray,
+    cluster_capacity: int,
+    spare_capacity: int = 0,
+    dtype=jnp.float32,
+) -> IVFState:
+    """Fresh state for trained centroids, per-cluster and spare capacities."""
     K, dim = centroids.shape
-    S = K * cluster_capacity
+    S = K * cluster_capacity + spare_capacity
     return IVFState(
         centroids=centroids.astype(jnp.float32),
-        counts=jnp.zeros((K,), dtype=jnp.int32),
+        counts=jnp.zeros((K + 1,), dtype=jnp.int32),
         vectors=jnp.zeros((S, dim), dtype=dtype),
         norms=jnp.zeros((S,), dtype=jnp.float32),
         valid=jnp.zeros((S,), dtype=jnp.bool_),
         overflow=jnp.zeros((), dtype=jnp.int32),
+        ccap=cluster_capacity,
     )
 
 
@@ -141,6 +162,16 @@ def insert(state: IVFState, x: jnp.ndarray, n_valid: jnp.ndarray, spill: int = 4
         counts = counts.at[jnp.where(ok, c, OOB)].add(1, mode="drop")
         assigned = assigned | ok
 
+    # final round: everything still unplaced goes to the shared spare region
+    # (always scanned at query time, so these stay exactly searchable)
+    G = state.spare_capacity
+    spare_rank = jnp.cumsum((~assigned).astype(jnp.int32)) - 1
+    spare_pos = counts[K] + spare_rank
+    spare_ok = ~assigned & (spare_pos < G)
+    slots = jnp.where(spare_ok, K * C + spare_pos, slots)
+    counts = counts.at[K].add(jnp.sum(spare_ok.astype(jnp.int32)))
+    assigned = assigned | spare_ok
+
     dropped = jnp.sum((real & (slots < 0)).astype(jnp.int32))
     widx = jnp.where(slots >= 0, slots, OOB)
     xd = x.astype(state.vectors.dtype)
@@ -154,6 +185,22 @@ def insert(state: IVFState, x: jnp.ndarray, n_valid: jnp.ndarray, spill: int = 4
             overflow=state.overflow + dropped,
         ),
         slots,
+    )
+
+
+def grow_spare(state: IVFState) -> IVFState:
+    """Double the spare region by appending zero rows at the slab tail.
+
+    Existing slot numbering is untouched (clusters keep their offsets, spare
+    rows keep theirs), so the host id maps need no remapping, and the HBM
+    transient is old-slab + pad — never 2x slab like an in-place
+    cluster-capacity doubling would be.
+    """
+    g = max(state.spare_capacity, 1024)
+    return state.replace(
+        vectors=jnp.pad(state.vectors, ((0, g), (0, 0))),
+        norms=jnp.pad(state.norms, (0, g)),
+        valid=jnp.pad(state.valid, (0, g)),
     )
 
 
@@ -204,11 +251,21 @@ def query(
     if rerank == "pallas" and metric in D.MXU_METRICS:
         from zebra_tpu.ops.pallas_ivf import ivf_rerank
 
-        return ivf_rerank(state, q32, probes.astype(jnp.int32), k, metric=metric)
+        dk, ik, vk = ivf_rerank(state, q32, probes.astype(jnp.int32), k, metric=metric)
+        return _merge_spare(state, q32, dk, ik, vk, k, metric, power)
 
-    vec3 = state.vectors.reshape(K, C, -1)
-    nrm2 = state.norms.reshape(K, C)
-    val2 = state.valid.reshape(K, C)
+    # contiguous block reads off the full slab (the spare tail forbids a
+    # [K, C, D] reshape; vmapped dynamic_slice lowers to the same block gather)
+    Dd = state.dim
+
+    def take_block(arr, width):
+        def one(c):
+            if arr.ndim == 2:
+                return jax.lax.dynamic_slice(arr, (c * C, 0), (C, width))
+            return jax.lax.dynamic_slice(arr, (c * C,), (C,))
+
+        return jax.vmap(one)
+
     qn2 = jnp.sum(q32 * q32, axis=-1)[:, None]
     col = jnp.arange(C, dtype=jnp.int32)[None, :]
 
@@ -220,8 +277,9 @@ def query(
 
     def body(carry, p):
         cl = probes[:, p]  # [B]
-        vecs = vec3[cl]  # [B, C, D] — contiguous block gather
-        vl = val2[cl]
+        vecs = take_block(state.vectors, Dd)(cl)  # [B, C, D]
+        vl = take_block(state.valid, 1)(cl)  # [B, C]
+        nrm = take_block(state.norms, 1)(cl)  # [B, C]
         sl = cl[:, None] * C + col
         if metric in D.MXU_METRICS:
             dots = jnp.einsum(
@@ -231,14 +289,39 @@ def query(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            d = D.mxu_from_parts(metric, dots, qn2, nrm2[cl])
+            d = D.mxu_from_parts(metric, dots, qn2, nrm)
         else:
             d = D.rowwise(q32, vecs.astype(jnp.float32), metric=metric, power=power)
         td, ti, tv = TK.masked_topk(d, vl, sl, k)
         return TK.merge_topk(carry[0], carry[1], carry[2], td, ti, tv, k), None
 
     (dk, ik, vk), _ = jax.lax.scan(body, init, jnp.arange(P))
-    return dk, ik, vk
+    return _merge_spare(state, q32, dk, ik, vk, k, metric, power)
+
+
+def _merge_spare(state: IVFState, q32, dk, ik, vk, k: int, metric: str, power: float):
+    """Fold the shared spare region into partial top-k results.
+
+    One ``[B, D] x [D, G]`` matmul streamed once for the whole batch — the
+    spare block is query-independent, so unlike cluster probes it rides the
+    MXU at full batch efficiency.
+    """
+    G = state.spare_capacity
+    if G == 0:
+        return dk, ik, vk
+    start = state.spare_start
+    vecs = jax.lax.dynamic_slice_in_dim(state.vectors, start, G, axis=0)
+    vl = jax.lax.dynamic_slice_in_dim(state.valid, start, G, axis=0)
+    d = D.pairwise(q32, vecs, metric=metric, power=power)
+    B = q32.shape[0]
+    sl = start + jnp.arange(G, dtype=jnp.int32)
+    td, ti, tv = TK.masked_topk(
+        d,
+        jnp.broadcast_to(vl[None, :], (B, G)),
+        jnp.broadcast_to(sl[None, :], (B, G)),
+        k,
+    )
+    return TK.merge_topk(dk, ik, vk, td, ti, tv, k)
 
 
 def brute_force(

@@ -71,8 +71,16 @@ class IVFIndex(BaseVectorIndex):
     def _resolved_capacity(self, n: int, k: int) -> int:
         if self.options.cluster_capacity > 0:
             return self.options.cluster_capacity
-        # 2x the mean load absorbs k-means imbalance; spill handles the tail
+        # 2x the mean load absorbs k-means imbalance; spill + the spare
+        # region handle the tail
         return next_pow2(max(2 * -(-n // k), 16))
+
+    def _resolved_spare(self, n: int) -> int:
+        if self.options.spare_capacity > 0:
+            return self.options.spare_capacity
+        # ~3% of n: an always-scanned overflow heap is one shared [G, D]
+        # matmul per query batch — cheap insurance against partition skew
+        return next_pow2(max(n // 32, 1024))
 
     # -- build -------------------------------------------------------------------
 
@@ -105,8 +113,9 @@ class IVFIndex(BaseVectorIndex):
     def _fresh_state(self, n_hint: int, data: np.ndarray | None) -> V.IVFState:
         k = self._resolved_clusters(n_hint)
         cap = self._resolved_capacity(n_hint, k)
+        spare = self._resolved_spare(n_hint)
         cents = self._train_centroids(k, data)
-        return V.empty_state(cents, cap, dtype=self.dtype)
+        return V.empty_state(cents, cap, spare, dtype=self.dtype)
 
     # -- insert --------------------------------------------------------------------
 
@@ -125,38 +134,21 @@ class IVFIndex(BaseVectorIndex):
             failed = slots < 0
             if not failed.any():
                 return out
-            # all spill targets full for these rows: double every cluster's
-            # capacity (slot remap is pure arithmetic — no readback) and retry
+            # even the spare region is full: append more spare rows at the
+            # slab tail — existing slot numbering is untouched, and unlike a
+            # cluster-capacity doubling the HBM transient is slab + spare,
+            # not 2x slab (the round-1 OOM at 1M x 768)
             pending = pending[failed]
             n_fail = int(failed.sum())
             logger.info(
-                "ivf: %d spill overflows — growing cluster capacity %d -> %d",
-                n_fail, self.state.cluster_capacity, 2 * self.state.cluster_capacity,
+                "ivf: %d vectors overflow into a grown spare (%d -> %d rows)",
+                n_fail, self.state.spare_capacity, 2 * self.state.spare_capacity,
             )
-            cap = self.state.cluster_capacity
-            self._grow_capacity()
-            # slots recorded in earlier iterations use the PRE-growth
-            # numbering — remap them like _grow_capacity does for host maps
-            placed = out >= 0
-            out[placed] = (out[placed] // cap) * 2 * cap + (out[placed] % cap)
+            self.state = V.grow_spare(self.state)
             cur = np.zeros((next_pow2(max(n_fail, 8)), self._dev_dim), np.float32)
             cur[:n_fail] = batch[pending]
             cur_count = n_fail
-        raise RuntimeError("ivf insert could not place batch after capacity growth")
-
-    def _grow_capacity(self) -> None:
-        """Double per-cluster capacity in place (device reshape+pad) and remap
-        host slot ids arithmetically: slot' = (slot//C)*2C + slot%C."""
-        st = self.state
-        K, C = st.num_clusters, st.cluster_capacity
-        self.state = _grow_capacity_dev(st)
-        new_slot_ids = [b""] * (len(self._slot_ids) * 2)
-        for s, i in enumerate(self._slot_ids):
-            if i:
-                s2 = (s // C) * 2 * C + (s % C)
-                new_slot_ids[s2] = i
-                self._id_to_slot[i] = s2
-        self._slot_ids = new_slot_ids
+        raise RuntimeError("ivf insert could not place batch after spare growth")
 
     # -- rebuild / compaction ----------------------------------------------------
 
@@ -164,11 +156,16 @@ class IVFIndex(BaseVectorIndex):
         n_live = len(self._id_to_slot)
         if n_live == 0 or self.state is None:
             return
-        used = int(np.sum(np.asarray(self.state.counts)))  # cheap [K] readback
+        counts = np.asarray(self.state.counts)  # cheap [K+1] readback
+        used = int(counts.sum())
         tombstones = used - n_live
+        # heavy spare pressure means the partitions no longer fit the data —
+        # a retrain rebalances and resizes the spare to the grown population
+        spare_pressure = counts[-1] > 0.5 * max(self.state.spare_capacity, 1)
         if (
             n_live > _REBUILD_GROWTH * max(self._built_n, 1)
             or tombstones > _COMPACT_TOMBSTONES * max(used, 1)
+            or spare_pressure
         ):
             self.rebuild()
 
@@ -226,6 +223,7 @@ class IVFIndex(BaseVectorIndex):
             "norms": np.asarray(st.norms),
             "valid": np.asarray(st.valid),
             "overflow": np.asarray(st.overflow),
+            "ccap": np.asarray(st.cluster_capacity, dtype=np.int32),
         }
 
     def _restore_arrays(self, z) -> None:
@@ -236,6 +234,7 @@ class IVFIndex(BaseVectorIndex):
             norms=jnp.asarray(z["norms"]),
             valid=jnp.asarray(z["valid"]),
             overflow=jnp.asarray(z["overflow"]),
+            ccap=int(z["ccap"]),
         )
 
     # -- maintenance stats --------------------------------------------------------
@@ -251,23 +250,11 @@ class IVFIndex(BaseVectorIndex):
             "built": True,
             "clusters": st.num_clusters,
             "cluster_capacity": st.cluster_capacity,
+            "spare_capacity": st.spare_capacity,
+            "spare_used": int(counts[-1]),
             "slab_capacity": st.slab_capacity,
             "used_slots": used,
-            "max_cluster_load": int(counts.max()),
+            "max_cluster_load": int(counts[:-1].max()),
             "overflow": int(st.overflow),
             "tombstones": used - len(self._id_to_slot),
         }
-
-
-def _grow_capacity_dev(st: V.IVFState) -> V.IVFState:
-    """[K, C, ...] -> [K, 2C, ...] zero-padded reshape of the slab arrays."""
-    K, C = st.num_clusters, st.cluster_capacity
-    D = st.dim
-
-    def pad3(a):
-        return jnp.pad(a.reshape(K, C, -1), ((0, 0), (0, C), (0, 0))).reshape(2 * K * C, -1)
-
-    vectors = pad3(st.vectors).reshape(2 * K * C, D)
-    norms = jnp.pad(st.norms.reshape(K, C), ((0, 0), (0, C))).reshape(-1)
-    valid = jnp.pad(st.valid.reshape(K, C), ((0, 0), (0, C))).reshape(-1)
-    return st.replace(vectors=vectors, norms=norms, valid=valid)

@@ -53,7 +53,9 @@ def assign_clusters(x: jnp.ndarray, centroids: jnp.ndarray, chunk: int = 65536):
     return a.reshape(-1)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "iters", "chunk", "balance_rounds")
+)
 def kmeans(
     key: jax.Array,
     data: jnp.ndarray,
@@ -61,27 +63,35 @@ def kmeans(
     k: int,
     iters: int = 8,
     chunk: int = 65536,
+    balance_rounds: int = 2,
 ):
-    """Lloyd's k-means on device.
+    """Lloyd's k-means on device, with load-balancing split passes.
+
+    After the main Lloyd iterations, each balance round moves the k/8
+    lightest centroids next to the k/8 heaviest (a perturbed copy) and runs
+    two more Lloyd iterations — the classic split-heavy repair. This shrinks
+    the max cluster load substantially, which directly bounds the IVF
+    spill/spare pressure (cluster blocks have fixed capacity).
 
     Args:
-      key: PRNG key (init sampling + empty-cluster reseeding).
+      key: PRNG key (init sampling + empty-cluster reseeding + splits).
       data: ``[n, D]`` training vectors; rows ``>= n_valid`` are padding.
       n_valid: scalar int32 count of real rows (must be ``>= k`` for a
         sensible result; fewer real rows leave some clusters on random init).
       k: number of centroids (static).
-      iters: Lloyd iterations (static).
+      iters: main Lloyd iterations (static).
+      balance_rounds: split-heavy repair rounds of 2 Lloyd iterations each.
 
     Returns:
-      ``(centroids [k, D] f32, counts [k] i32)`` — counts from the final
-      assignment pass (diagnostic; emptiness drives host sizing decisions).
+      ``(centroids [k, D] f32, counts [k] i32)`` — counts from the last
+      assignment pass (diagnostic; drives host sizing decisions).
     """
     n, dim = data.shape
     data32 = data.astype(jnp.float32)
     row = jnp.arange(n, dtype=jnp.int32)
     mask = row < n_valid
 
-    k_init, k_reseed = jax.random.split(key)
+    k_init, k_reseed, k_split = jax.random.split(key, 3)
     # init: k random real rows (with replacement — duplicates collapse to
     # empty clusters that the per-iteration reseed repairs; this also keeps
     # the op total when k exceeds the sample size)
@@ -95,13 +105,14 @@ def kmeans(
     dchunks = dp.reshape(n_chunks, -1, dim)
     mchunks = mp.reshape(n_chunks, -1)
 
+    total_iters = iters + 2 * balance_rounds
     # per-iteration reseed candidates for empty clusters: random real rows
     reseed_idx = (
-        jax.random.randint(k_reseed, (iters, k), 0, n) % jnp.maximum(n_valid, 1)
+        jax.random.randint(k_reseed, (total_iters, k), 0, n)
+        % jnp.maximum(n_valid, 1)
     )
 
-    def lloyd(carry, it):
-        cents = carry
+    def lloyd(cents, it):
         cn2 = jnp.sum(cents * cents, axis=-1)  # [K]
 
         def body(acc, xs):
@@ -125,7 +136,32 @@ def kmeans(
         cents = jnp.where((counts > 0)[:, None], mean, fresh)
         return cents, counts
 
+    def main_step(carry, it):
+        cents, counts = lloyd(carry, it)
+        return cents, counts
+
     centroids, counts_hist = jax.lax.scan(
-        lloyd, centroids, jnp.arange(iters, dtype=jnp.int32)
+        main_step, centroids, jnp.arange(iters, dtype=jnp.int32)
     )
-    return centroids, counts_hist[-1]
+    counts = counts_hist[-1]
+
+    m = max(k // 8, 1)
+    # symmetry-breaking nudge toward a random real data point: index-based
+    # randomness keeps the op identical across zero-padded stored dims (the
+    # pallas-aligned and unpadded variants of one index must train the same)
+    split_idx = (
+        jax.random.randint(k_split, (balance_rounds, m), 0, n)
+        % jnp.maximum(n_valid, 1)
+    )
+    for r in range(balance_rounds):
+        # move the m lightest centroids next to the m heaviest: each heavy
+        # cell splits roughly in half over the settle iterations
+        order = jnp.argsort(-counts)
+        heavy = order[:m]
+        light = order[k - m :]
+        nudged = 0.99 * centroids[heavy] + 0.01 * data32[split_idx[r]]
+        centroids = centroids.at[light].set(nudged)
+        centroids, counts = lloyd(centroids, iters + 2 * r)
+        centroids, counts = lloyd(centroids, iters + 2 * r + 1)
+
+    return centroids, counts

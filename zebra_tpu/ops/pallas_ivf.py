@@ -39,8 +39,10 @@ def _kernel_factory(metric: str, P: int, C: int, D: int, k: int):
         qn2 = jnp.sum(q * q)
 
         def block_dma(buf, sem, p):
+            # C-row slice of the FLAT [S, D] slab (the spare tail after the
+            # cluster blocks forbids a [K, C, D] reshape)
             c = probes_ref[0, 0, p]
-            return pltpu.make_async_copy(vec_ref.at[c], buf, sem)
+            return pltpu.make_async_copy(vec_ref.at[pl.ds(c * C, C), :], buf, sem)
 
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
 
@@ -124,15 +126,16 @@ def _kernel_factory(metric: str, P: int, C: int, D: int, k: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("counts_shape_k", "metric", "k", "interpret")
+    jax.jit, static_argnames=("cluster_capacity", "metric", "k", "interpret")
 )
-def pallas_ivf_rerank(vectors, counts_shape_k, q, probes, cand_norms, cand_valid,
+def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_valid,
                       metric: str = "cosine", k: int = 10, interpret: bool = False):
     """Fused IVF block re-rank.
 
     Args:
-      vectors: ``[K*C, D]`` cluster-contiguous slab; stays in HBM.
-      counts_shape_k: static int — number of clusters K (shapes the block view).
+      vectors: ``[K*C + G, D]`` cluster-contiguous slab (+ spare tail, which
+        this kernel never touches); stays in HBM.
+      cluster_capacity: static int — block width C.
       q: ``[B, D]`` f32 queries.
       probes: ``[B, P]`` int32 cluster ids (P even; pad with a masked probe).
       cand_norms: ``[B, P, C]`` f32 squared norms of the probed blocks.
@@ -144,9 +147,8 @@ def pallas_ivf_rerank(vectors, counts_shape_k, q, probes, cand_norms, cand_valid
       probe axis (or -1 when fewer than k valid candidates exist).
     """
     B, P = probes.shape
-    K = counts_shape_k
     S, D = vectors.shape
-    C = S // K
+    C = cluster_capacity
     assert P % 2 == 0, "probe count must be even (pad with a masked probe)"
     assert k <= OUT_K
     if not interpret:
@@ -154,7 +156,6 @@ def pallas_ivf_rerank(vectors, counts_shape_k, q, probes, cand_norms, cand_valid
         assert C % 8 == 0, f"cluster capacity {C} must be a multiple of 8 sublanes"
 
     kernel = _kernel_factory(metric, P, C, D, k)
-    vec3 = vectors.reshape(K, C, D)
     probes3 = probes.reshape(B, 1, P)
     q3 = q.astype(jnp.float32).reshape(B, 1, D)
 
@@ -183,7 +184,7 @@ def pallas_ivf_rerank(vectors, counts_shape_k, q, probes, cand_norms, cand_valid
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(probes3, cand_norms, cand_valid, q3, vec3)
+    )(probes3, cand_norms, cand_valid, q3, vectors)
 
     d = out_d[:, 0, :k]
     p = out_p[:, 0, :k]
@@ -196,18 +197,24 @@ def ivf_rerank(state, q32, probes, k, metric: str = "cosine"):
     """Adapter used by :func:`zebra_tpu.index.ivf.query`: gathers the probed
     blocks' norms/validity (tiny [B, P, C] f32 arrays), pads the probe axis to
     an even width, runs the kernel, and maps positions -> slab slots."""
-    K = state.num_clusters
     C = state.cluster_capacity
     B, P = probes.shape
     pad = P % 2
     if pad:
         probes = jnp.pad(probes, ((0, 0), (0, 1)))
-    nrm = state.norms.reshape(K, C)[probes]  # [B, P2, C]
-    val = state.valid.reshape(K, C)[probes].astype(jnp.float32)
+
+    def one_block(arr):
+        def take(c):
+            return jax.lax.dynamic_slice(arr, (c * C,), (C,))
+
+        return jax.vmap(jax.vmap(take))
+
+    nrm = one_block(state.norms)(probes)  # [B, P2, C]
+    val = one_block(state.valid)(probes).astype(jnp.float32)
     if pad:
         val = val.at[:, -1, :].set(0.0)
     d, pos = pallas_ivf_rerank(
-        state.vectors, K, q32, probes.astype(jnp.int32), nrm, val,
+        state.vectors, C, q32, probes.astype(jnp.int32), nrm, val,
         metric=metric, k=k,
     )
     valid = pos >= 0

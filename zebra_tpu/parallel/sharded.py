@@ -183,6 +183,9 @@ class ShardedLSHIndex:
     def __len__(self) -> int:
         return len(self._id_to_loc)
 
+    def __contains__(self, doc_id: bytes) -> bool:
+        return doc_id in self._id_to_loc
+
     def no_vectors(self) -> bool:
         return not self._id_to_loc
 
