@@ -114,9 +114,16 @@ class BaseVectorIndex:
     def _before_batches(self, n: int) -> None:
         """Reserve capacity for an incoming batch run (optional)."""
 
-    def _insert_batch(self, batch: np.ndarray, count: int) -> np.ndarray:
-        """Insert ``batch[:count]`` (padded, dev-dim) and return their slots."""
+    def _insert_batch_dev(self, batch: jnp.ndarray, count: int):
+        """Insert a staged device batch; return its slots — either an np
+        array (host-mirrored allocators) or a device array resolved later
+        (data-dependent placement)."""
         raise NotImplementedError
+
+    def _resolve_failed(self, rows: np.ndarray) -> np.ndarray:
+        """Place rows whose deferred slots came back negative (backend grew
+        some capacity); returns their final slots. Default: never happens."""
+        raise RuntimeError(f"{type(self).__name__} reported failed inserts")
 
     def _delete_slots_device(self, slots: np.ndarray) -> None:
         raise NotImplementedError
@@ -182,17 +189,61 @@ class BaseVectorIndex:
         self._maybe_rebuild()
         return ids
 
-    def _insert_batches(self, vectors: np.ndarray, ids: list[bytes]) -> None:
+    @property
+    def _wire_dtype(self):
+        """Host->device staging dtype: bf16 slabs ship bf16 (half the wire
+        bytes on slow links); f32 slabs must ship exact f32."""
+        if self.options.dtype == "bfloat16":
+            import ml_dtypes
+
+            return ml_dtypes.bfloat16
+        return np.float32
+
+    def _insert_batches(self, vectors, ids: list[bytes]) -> None:
+        """Pipelined insert: stage batch t+1 (async device_put) while batch t
+        executes; slot readbacks resolve two batches behind so host<->device
+        transfers overlap device compute instead of serialising it.
+
+        ``vectors`` may be a host np array (padded + staged per batch) or a
+        DEVICE array already at ``_dev_dim`` width (rebuild path: batches are
+        dynamic slices — the slab never round-trips to the host)."""
         n = vectors.shape[0]
-        start = 0
-        while start < n:
-            count = min(n - start, BATCH)
+        spans = [(s, min(n - s, BATCH)) for s in range(0, n, BATCH)]
+        on_device = isinstance(vectors, jnp.ndarray)
+        wire = self._wire_dtype
+        if on_device:
+            pad_rows = next_pow2(max(spans[-1][1], _MIN_BATCH)) - spans[-1][1]
+            src = jnp.pad(vectors, ((0, pad_rows), (0, 0))) if pad_rows else vectors
+
+        def stage(span):
+            start, count = span
             padded = next_pow2(max(count, _MIN_BATCH))
+            if on_device:
+                return jax.lax.dynamic_slice_in_dim(src, start, padded, axis=0)
             batch = np.zeros((padded, self._dev_dim), dtype=np.float32)
             batch[:count, : vectors.shape[1]] = vectors[start : start + count]
-            slots = self._insert_batch(batch, count)
+            return jax.device_put(batch.astype(wire, copy=False))
+
+        def resolve(span, handle):
+            start, count = span
+            slots = np.asarray(handle)[:count].astype(np.int64)
+            failed = slots < 0
+            if failed.any():
+                rows = np.asarray(vectors[start : start + count][failed], np.float32)
+                slots[failed] = self._resolve_failed(np.ascontiguousarray(rows))
             self._register_slots(ids[start : start + count], slots)
-            start += count
+
+        inflight: list = []
+        nxt = stage(spans[0])
+        for i, span in enumerate(spans):
+            cur = nxt
+            if i + 1 < len(spans):
+                nxt = stage(spans[i + 1])  # transfer overlaps this insert
+            inflight.append((span, self._insert_batch_dev(cur, span[1])))
+            if len(inflight) > 2:
+                resolve(*inflight.pop(0))
+        for item in inflight:
+            resolve(*item)
 
     def _register_slots(self, ids: list[bytes], slots: np.ndarray) -> None:
         top = int(slots.max()) + 1 if len(slots) else 0
@@ -226,18 +277,36 @@ class BaseVectorIndex:
     def deduplicate(self) -> list[bytes]:
         """Remove exact-bit-pattern duplicate vectors, keeping the earliest id
         (reference ``deduplicate``, ``lsh.rs:270-288``: hashes f32 bit
-        patterns; same here via a host-side unique over the raw bytes)."""
+        patterns). TPU-shaped: rows hash ON DEVICE (64-bit keys, 8B/row read
+        back instead of the multi-GB slab), then only colliding groups gather
+        their actual bytes for host confirmation."""
         if self.state is None or not self._id_to_slot:
             return []
+        from zebra_tpu.ops.rowhash import row_hashes
+
         slots = np.asarray(sorted(self._id_to_slot.values()), dtype=np.int64)
-        vecs = np.ascontiguousarray(
-            np.asarray(self.state.vectors, dtype=np.float32)[slots]
+        hashes = np.asarray(row_hashes(self.state.vectors))  # [S, 2] i32
+        keys = hashes[slots].astype(np.int64)
+        keys = (keys[:, 0] << 32) ^ (keys[:, 1] & 0xFFFFFFFF)
+        order = np.argsort(keys, kind="stable")  # slots ascending within ties
+        ks = keys[order]
+        group_start = np.concatenate([[True], ks[1:] != ks[:-1]])
+        gid = np.cumsum(group_start) - 1
+        sizes = np.bincount(gid)
+        in_collision = sizes[gid] > 1
+        if not in_collision.any():
+            return []
+        # confirm actual bytes for colliding rows only (device gather of the
+        # few suspect rows, not the whole slab)
+        sus = slots[order[in_collision]]  # ascending within each hash group
+        sus_rows = np.asarray(
+            jnp.take(self.state.vectors, jnp.asarray(sus), axis=0), np.float32
         )
-        view = vecs.view(np.uint32).reshape(len(slots), -1)
+        view = np.ascontiguousarray(sus_rows).view(np.uint32).reshape(len(sus), -1)
         _, first_idx = np.unique(view, axis=0, return_index=True)
-        keep = np.zeros(len(slots), dtype=bool)
+        keep = np.zeros(len(sus), dtype=bool)
         keep[first_idx] = True
-        dup_ids = [self._slot_ids[s] for s in slots[~keep].tolist()]
+        dup_ids = [self._slot_ids[s] for s in sus[~keep].tolist()]
         return self.remove(dup_ids)
 
     def clear(self) -> None:

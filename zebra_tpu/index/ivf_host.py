@@ -84,7 +84,7 @@ class IVFIndex(BaseVectorIndex):
 
     # -- build -------------------------------------------------------------------
 
-    def _train_centroids(self, k: int, data: np.ndarray | None) -> jnp.ndarray:
+    def _train_centroids(self, k: int, data) -> jnp.ndarray:
         key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
         if data is None or data.shape[0] < 2:
             cents = jax.random.normal(key, (k, self._dev_dim), dtype=jnp.float32)
@@ -93,17 +93,25 @@ class IVFIndex(BaseVectorIndex):
             return cents
         sample_n = min(data.shape[0], max(self.options.kmeans_sample, 4 * k))
         if sample_n < data.shape[0]:
-            idx = self._rng.choice(data.shape[0], size=sample_n, replace=False)
-            sample = np.asarray(data, np.float32)[np.sort(idx)]
+            idx = np.sort(self._rng.choice(data.shape[0], size=sample_n, replace=False))
         else:
-            sample = np.asarray(data, np.float32)
-        sample = self._pad_dim(sample)
-        padded = next_pow2(sample.shape[0])
-        if padded != sample.shape[0]:
-            sample = np.pad(sample, ((0, padded - sample.shape[0]), (0, 0)))
+            idx = None
+        if isinstance(data, jnp.ndarray):  # rebuild path: stay on device
+            sample = data if idx is None else jnp.take(data, jnp.asarray(idx), axis=0)
+            sample = sample.astype(jnp.float32)
+            padded = next_pow2(sample.shape[0])
+            if padded != sample.shape[0]:
+                sample = jnp.pad(sample, ((0, padded - sample.shape[0]), (0, 0)))
+        else:
+            host = np.asarray(data, np.float32) if idx is None else np.asarray(data, np.float32)[idx]
+            host = self._pad_dim(host)
+            padded = next_pow2(host.shape[0])
+            if padded != host.shape[0]:
+                host = np.pad(host, ((0, padded - host.shape[0]), (0, 0)))
+            sample = jnp.asarray(host)
         cents, _counts = kmeans(
             key,
-            jnp.asarray(sample),
+            sample,
             jnp.int32(sample_n),
             k=k,
             iters=self.options.kmeans_iters,
@@ -119,35 +127,43 @@ class IVFIndex(BaseVectorIndex):
 
     # -- insert --------------------------------------------------------------------
 
-    def _insert_batch(self, batch: np.ndarray, count: int) -> np.ndarray:
-        out = np.full(count, -1, dtype=np.int64)
-        pending = np.arange(count)  # rows of `batch` still unplaced
-        cur = batch
-        cur_count = count
+    def _insert_batch_dev(self, batch: jnp.ndarray, count: int):
+        """One device insert; slots come back as a DEVICE array — the base
+        pipeline resolves them two batches behind, overlapping the 4B/vector
+        readback with later transfers/compute."""
+        self.state, slots_dev = V.insert(
+            self.state, batch, jnp.int32(count), spill=self.options.spill
+        )
+        return slots_dev
+
+    def _resolve_failed(self, rows: np.ndarray) -> np.ndarray:
+        """Deferred-failure path: even the spare region was full for these
+        rows. Grow the spare (slot numbering untouched — unlike a
+        cluster-capacity doubling there is no 2x-slab HBM transient, the
+        round-1 OOM at 1M x 768) and retry synchronously."""
+        n = rows.shape[0]
+        out = np.full(n, -1, dtype=np.int64)
+        pending = np.arange(n)
         for _ in range(_MAX_GROWS):
-            self.state, slots_dev = V.insert(
-                self.state, jnp.asarray(cur), jnp.int32(cur_count),
-                spill=self.options.spill,
-            )
-            slots = np.asarray(slots_dev[:cur_count])  # the one insert readback
-            out[pending] = slots
-            failed = slots < 0
-            if not failed.any():
-                return out
-            # even the spare region is full: append more spare rows at the
-            # slab tail — existing slot numbering is untouched, and unlike a
-            # cluster-capacity doubling the HBM transient is slab + spare,
-            # not 2x slab (the round-1 OOM at 1M x 768)
-            pending = pending[failed]
-            n_fail = int(failed.sum())
             logger.info(
                 "ivf: %d vectors overflow into a grown spare (%d -> %d rows)",
-                n_fail, self.state.spare_capacity, 2 * self.state.spare_capacity,
+                len(pending), self.state.spare_capacity,
+                2 * self.state.spare_capacity,
             )
             self.state = V.grow_spare(self.state)
-            cur = np.zeros((next_pow2(max(n_fail, 8)), self._dev_dim), np.float32)
-            cur[:n_fail] = batch[pending]
-            cur_count = n_fail
+            cur = np.zeros(
+                (next_pow2(max(len(pending), 8)), self._dev_dim), np.float32
+            )
+            cur[: len(pending), : rows.shape[1]] = rows[pending]
+            self.state, slots_dev = V.insert(
+                self.state, jnp.asarray(cur), jnp.int32(len(pending)),
+                spill=self.options.spill,
+            )
+            slots = np.asarray(slots_dev[: len(pending)])
+            out[pending] = slots
+            pending = pending[slots < 0]
+            if not len(pending):
+                return out
         raise RuntimeError("ivf insert could not place batch after spare growth")
 
     # -- rebuild / compaction ----------------------------------------------------
@@ -171,18 +187,23 @@ class IVFIndex(BaseVectorIndex):
 
     def rebuild(self) -> None:
         """Retrain centroids sized to the live population and re-insert —
-        compacts tombstones and restores partition balance."""
+        compacts tombstones, drains the spare, restores partition balance.
+        The compaction is a DEVICE permutation gather; the slab never reads
+        back through the slow device->host direction."""
         logger.info("ivf rebuild: %d live vectors", len(self._id_to_slot))
         live_slots = sorted(self._id_to_slot.values())
         if not live_slots:
             ids: list[bytes] = []
-            data = np.zeros((0, self.dim), np.float32)
+            data = None
         else:
             order = np.asarray(live_slots, dtype=np.int64)
-            data = np.asarray(self.state.vectors, dtype=np.float32)[order][:, : self.dim]
+            data = jnp.take(
+                self.state.vectors, jnp.asarray(order.astype(np.int32)), axis=0
+            )
             ids = [self._slot_ids[s] for s in order.tolist()]
         n = len(ids)
-        self.state = self._fresh_state(max(n, 1), data if n else None)
+        self.state = None  # free the old slab before allocating the new one
+        self.state = self._fresh_state(max(n, 1), data)
         self._built_n = max(n, 1)
         self._slot_ids = []
         self._id_to_slot = {}

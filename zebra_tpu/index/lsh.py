@@ -68,13 +68,15 @@ class LSHIndex(BaseVectorIndex):
 
     # -- build ---------------------------------------------------------------
 
-    def _sample_planes(self, bits: int, data: np.ndarray | None):
+    def _sample_planes(self, bits: int, data=None):
         key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
         T = self.options.num_tables
         if self.options.plane_mode == "data" and data is not None and data.shape[0] >= 2:
-            return H.sample_planes_data(
-                key, T, bits, jnp.asarray(self._pad_dim(np.asarray(data, np.float32)))
-            )
+            if isinstance(data, jnp.ndarray):  # rebuild path: already on device
+                sample = data.astype(jnp.float32)
+            else:
+                sample = jnp.asarray(self._pad_dim(np.asarray(data, np.float32)))
+            return H.sample_planes_data(key, T, bits, sample)
         planes, consts = H.sample_planes_random(key, T, bits, self.dim)
         if self._dev_dim != self.dim:
             planes = jnp.pad(planes, ((0, 0), (0, 0), (0, self._dev_dim - self.dim)))
@@ -108,8 +110,8 @@ class LSHIndex(BaseVectorIndex):
         valid = jnp.zeros((new_cap,), jnp.bool_).at[: st.slab_capacity].set(st.valid)
         self.state = st.replace(vectors=vectors, norms=norms, valid=valid)
 
-    def _insert_batch(self, batch: np.ndarray, count: int) -> np.ndarray:
-        self.state, _slots = B.insert(self.state, jnp.asarray(batch), jnp.int32(count))
+    def _insert_batch_dev(self, batch: jnp.ndarray, count: int) -> np.ndarray:
+        self.state, _slots = B.insert(self.state, batch, jnp.int32(count))
         # slots are next_slot..next_slot+count-1 by construction — mirror
         # them host-side instead of a device readback (buckets.insert)
         slots = np.arange(self._next_slot, self._next_slot + count)
@@ -159,20 +161,25 @@ class LSHIndex(BaseVectorIndex):
         live_slots = [s for i, s in self._id_to_slot.items()]
         if not live_slots:
             ids: list[bytes] = []
-            data = np.zeros((0, self.dim), np.float32)
+            data = None
         else:
             order = np.asarray(sorted(live_slots), dtype=np.int64)
-            data = np.asarray(self.state.vectors, dtype=np.float32)[order]
+            # compact ON DEVICE: a [n] permutation gather instead of reading
+            # the multi-GB slab back through the slow device->host direction
+            data = jnp.take(
+                self.state.vectors, jnp.asarray(order.astype(np.int32)), axis=0
+            )
             slot_to_id = self._slot_ids
             ids = [slot_to_id[s] for s in order.tolist()]
         n = len(ids)
-        self.state = self._fresh_state(max(n, 1), data if n else None)
+        self.state = None  # free the old slab before allocating the new one
+        self.state = self._fresh_state(max(n, 1), data)
         self._built_n = max(n, 1)
         self._slot_ids = []
         self._id_to_slot = {}
         if n:
             self._before_batches(n)
-            self._insert_batches(data[:, : self.dim], ids)
+            self._insert_batches(data, ids)
 
     # -- delete / search -------------------------------------------------------
 
