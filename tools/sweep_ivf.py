@@ -6,10 +6,15 @@ device QPS and recall@10 vs brute force. Run serially:
 """
 
 import argparse
+import faulthandler
+import logging
 import sys
 import time
 
 import numpy as np
+
+faulthandler.dump_traceback_later(120, repeat=True)  # watchdog: where are we
+logging.basicConfig(level=logging.INFO)
 
 sys.path.insert(0, ".")
 from zebra_tpu.utils import enable_compile_cache

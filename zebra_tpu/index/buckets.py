@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from zebra_tpu.ops import distances as D
@@ -36,7 +37,7 @@ from zebra_tpu.ops import hashing as H
 from zebra_tpu.ops import topk as TK
 
 #: Out-of-bounds sentinel used to make scatter writes drop.
-OOB = jnp.int32(2**30)
+OOB = np.int32(2**30)  # np scalar — see note in ops/topk.py
 
 
 @struct.dataclass

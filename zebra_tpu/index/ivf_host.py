@@ -72,15 +72,17 @@ class IVFIndex(BaseVectorIndex):
         if self.options.cluster_capacity > 0:
             return self.options.cluster_capacity
         # 2x the mean load absorbs k-means imbalance; spill + the spare
-        # region handle the tail
-        return next_pow2(max(2 * -(-n // k), 16))
+        # region handle the tail. Rounded to 16 (pallas sublane tiling), NOT
+        # a power of two — probe traffic scales with C, so padding is QPS.
+        return max(-(-2 * -(-n // k) // 16) * 16, 16)
 
     def _resolved_spare(self, n: int) -> int:
         if self.options.spare_capacity > 0:
             return self.options.spare_capacity
-        # ~3% of n: an always-scanned overflow heap is one shared [G, D]
+        # ~6% of n: an always-scanned overflow heap is one shared [G, D]
         # matmul per query batch — cheap insurance against partition skew
-        return next_pow2(max(n // 32, 1024))
+        # (measured ~3.6% spare residency on 1M-regime clustered data)
+        return next_pow2(max(n // 16, 1024))
 
     # -- build -------------------------------------------------------------------
 
@@ -177,7 +179,7 @@ class IVFIndex(BaseVectorIndex):
         tombstones = used - n_live
         # heavy spare pressure means the partitions no longer fit the data —
         # a retrain rebalances and resizes the spare to the grown population
-        spare_pressure = counts[-1] > 0.5 * max(self.state.spare_capacity, 1)
+        spare_pressure = counts[-1] > 0.75 * max(self.state.spare_capacity, 1)
         if (
             n_live > _REBUILD_GROWTH * max(self._built_n, 1)
             or tombstones > _COMPACT_TOMBSTONES * max(used, 1)

@@ -17,9 +17,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 #: out-of-bounds cluster id used to drop masked rows from scatters
-_OOB = jnp.int32(2**30)
+_OOB = np.int32(2**30)  # np scalar — see note in ops/topk.py
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

@@ -14,9 +14,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 #: Sentinel distance for masked-out candidates.
-INF = jnp.float32(jnp.inf)
+INF = np.float32(np.inf)  # np scalar: jnp module constants live on the
+#  device and every jit LOWERING fetches their value back over the (slow)
+#  tunnel via ir_constant — measured minutes per compile on this box
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
