@@ -1,0 +1,61 @@
+"""Reshard-on-load: save on S shards, open on fewer — results must match."""
+
+import numpy as np
+import pytest
+
+from zebra_tpu.config import IndexOptions
+from zebra_tpu.parallel.mesh import make_mesh
+from zebra_tpu.parallel.sharded import ShardedLSHIndex
+
+
+@pytest.mark.parametrize("target", [4, 2])
+def test_reshard_on_load_exact_results_match(tmp_path, rng, target):
+    data = rng.standard_normal((600, 24)).astype(np.float32)
+    ids = [bytes([j % 251 + 1, j // 251]) + bytes(14) for j in range(600)]
+    ix8 = ShardedLSHIndex(
+        dim=24, metric="sql2", options=IndexOptions(seed=0), shards=8
+    )
+    ix8.add(data, ids=list(ids))
+    ix8.remove(ids[:37])
+    ix8.save(str(tmp_path / "ix"))
+    want = ix8.search(data[40:72], k=5, exact=True)
+
+    loaded = ShardedLSHIndex.load(str(tmp_path / "ix"), shards=target)
+    assert loaded.shards == target
+    assert len(loaded) == len(ix8) == 563
+    got = loaded.search(data[40:72], k=5, exact=True)
+    for a, b in zip(want, got):
+        assert [i for i, _ in a] == [i for i, _ in b]
+        np.testing.assert_allclose(
+            [d for _, d in a], [d for _, d in b], rtol=1e-5, atol=1e-5
+        )
+    # the resharded index keeps accepting writes
+    more = loaded.add(rng.standard_normal((50, 24)).astype(np.float32))
+    assert len(loaded) == 613 and len(more) == 50
+
+
+def test_reshard_explicit_mesh(tmp_path, rng):
+    data = rng.standard_normal((200, 16)).astype(np.float32)
+    ix = ShardedLSHIndex(dim=16, options=IndexOptions(seed=1), shards=8)
+    ids = ix.add(data)
+    ix.save(str(tmp_path / "m"))
+    loaded = ShardedLSHIndex.load(str(tmp_path / "m"), mesh=make_mesh(2))
+    assert loaded.shards == 2
+    res = loaded.search(data[:10], k=1, exact=True)
+    for i, row in enumerate(res):
+        assert row[0][0] == ids[i]
+
+
+def test_same_shards_load_fast_path(tmp_path, rng):
+    data = rng.standard_normal((100, 16)).astype(np.float32)
+    ix = ShardedLSHIndex(dim=16, options=IndexOptions(seed=2), shards=8)
+    ids = ix.add(data)
+    ix.save(str(tmp_path / "s"))
+    loaded = ShardedLSHIndex.load(str(tmp_path / "s"))
+    assert loaded.shards == 8
+    assert loaded.search(data[:5], k=1) == ix.search(data[:5], k=1)
+
+
+def test_sharded_pallas_unaligned_dim_rejected():
+    with pytest.raises(ValueError, match="pallas"):
+        ShardedLSHIndex(dim=48, options=IndexOptions(rerank="pallas"), shards=2)

@@ -80,7 +80,7 @@ class IndexOptions:
     spare_capacity: int = 0
     #: nearest-centroid fallbacks when a cluster is full before the host
     #: grows capacity (FAISS-style spill; vectors are never dropped).
-    spill: int = 4
+    spill: int = 8
     #: Lloyd iterations for centroid training.
     kmeans_iters: int = 8
     #: max training-sample rows for k-means (subsampled from the build data).

@@ -1,20 +1,28 @@
-"""Pallas fused IVF re-rank: cluster-block DMA + distance + top-k per query.
+"""Pallas fused IVF re-rank: query-tiled cluster-block DMA + dot + top-k.
 
 The XLA path in :mod:`zebra_tpu.index.ivf` materialises each probed cluster
 block ``[B, C, D]`` in HBM (gather) and reads it back for the einsum — 3x the
-necessary traffic. This kernel streams each query's P cluster blocks
-HBM->VMEM with double-buffered 2-D block DMAs (C rows x D lanes, ~1.5MB each
-at the 1M x 768 defaults — two orders of magnitude fewer descriptors than the
-LSH kernel's per-row gathers), computes dots on-chip, combines with
-pre-gathered squared norms, and selects top-k with an iterative min/mask loop
-— one grid step per query.
+necessary traffic. This kernel streams the blocks HBM->VMEM once and keeps
+everything else on-chip.
 
-Contrast with ``ops/pallas_rerank.py`` (the LSH candidate kernel): because the
-IVF slab is cluster-contiguous, the DMA unit here is a naturally tiled
-``[C, D]`` block, needing only ``D % 128 == 0`` (vs the flat-slab kernel's
-1024-f32 row alignment) and ``C % 8 == 0`` — both guaranteed by the host
-layer's sizing. Supports the MXU metrics (cosine / l2 / sql2), the ones the
-reference accelerates with simsimd (``src/distance.rs:21-31,40-48,105-113``).
+Shape of the problem: each (query, probe) pair reads one contiguous
+``[C, D]`` block (~0.6MB at the 1M x 768 defaults). One query per grid step
+is DMA-latency-bound (measured ~45k QPS where bandwidth affords ~300k), so
+the kernel processes a TILE of Q queries per step:
+
+  * the Q blocks of probe p DMA into one ``[Q*C, D]`` buffer (double-buffered
+    across p) — Q DMAs in flight per wave instead of 1;
+  * ONE MXU matmul ``[Q, D] x [D, Q*C]`` scores the whole wave; each query
+    keeps its diagonal ``[C]`` strip (the off-diagonal FLOPs are free — the
+    MXU pass is latency-bound at these shapes);
+  * top-k runs vectorised over the Q rows.
+
+DMA alignment needs only ``D % 128`` lanes and ``C % 8`` sublanes (the host
+sizes both), so 384/768-dim embeddings store unpadded — unlike the LSH
+row-gather kernel (``ops/pallas_rerank.py``) whose flat-slab DMAs force
+1024-f32 row alignment. Supports the MXU metrics (cosine / l2 / sql2), the
+ones the reference accelerates with simsimd
+(``src/distance.rs:21-31,40-48,105-113``).
 """
 
 from __future__ import annotations
@@ -28,82 +36,95 @@ from jax.experimental.pallas import tpu as pltpu
 
 OUT_K = 128  # padded top-k output width (k <= OUT_K)
 BIG = 3.0e38  # sentinel for masked-out candidates
+#: per-buffer VMEM budget for the double-buffered block waves
+_WAVE_BYTES = 4 << 20
 
 
-def _kernel_factory(metric: str, P: int, C: int, D: int, k: int):
+def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int):
     assert P % 2 == 0
 
     def kernel(probes_ref, nrm_ref, val_ref, q_ref, vec_ref,
                outd_ref, outp_ref, buf0, buf1, sem0, sem1):
-        q = q_ref[0]  # [1, D]
-        qn2 = jnp.sum(q * q)
+        qt = q_ref[0]  # [Q, D]
+        qn2 = jnp.sum(qt * qt, axis=1)[:, None]  # [Q, 1]
 
-        def block_dma(buf, sem, p):
-            # C-row slice of the FLAT [S, D] slab (the spare tail after the
-            # cluster blocks forbids a [K, C, D] reshape)
-            c = probes_ref[0, 0, p]
-            return pltpu.make_async_copy(vec_ref.at[pl.ds(c * C, C), :], buf, sem)
+        def wave_dma(buf, sem, p, qi):
+            c = probes_ref[0, qi, p]
+            return pltpu.make_async_copy(
+                vec_ref.at[pl.ds(c * C, C), :],
+                buf.at[qi],
+                sem.at[qi],
+            )
 
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+        def start_wave(buf, sem, p):
+            def body(qi, _):
+                wave_dma(buf, sem, p, qi).start()
+                return 0
 
-        def dots_of(buf):
-            x = buf[:]  # [C, D]
+            jax.lax.fori_loop(0, Q, body, 0)
+
+        def wait_compute(buf, sem, p):
+            def body(qi, _):
+                wave_dma(buf, sem, p, qi).wait()
+                return 0
+
+            jax.lax.fori_loop(0, Q, body, 0)
+            x = buf[:]  # [Q, C, D]
+            # batched matvec: query qi against ITS block only (batch dim q).
             # HIGHEST: full-f32 MXU passes — default precision is bf16-grade
             # and mis-ranks near-ties (see ops/pallas_rerank.py)
             return jax.lax.dot_general(
-                q.astype(jnp.float32),
+                qt.astype(jnp.float32),
                 x.astype(jnp.float32),
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                dimension_numbers=(((1,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # [1, C]
+            )  # [Q, C]
 
-        block_dma(buf0, sem0, 0).start()
+        p_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, P, C), 1)
 
-        def pair_body(i, dd_all):
+        start_wave(buf0, sem0, 0)
+
+        def pair_body(i, dd):
             a = 2 * i
             b = a + 1
-            # start odd block into buf1 while even block streams into buf0
-            block_dma(buf1, sem1, b).start()
-            block_dma(buf0, sem0, a).wait()
-            dots_a = dots_of(buf0)
-            dd_all = jnp.where(
-                row_iota == a, jnp.broadcast_to(dots_a, dd_all.shape), dd_all
-            )
+            start_wave(buf1, sem1, b)
+            dots_a = wait_compute(buf0, sem0, a)  # [Q, C]
+            dd = jnp.where(p_iota == a, dots_a[:, None, :], dd)
 
             @pl.when(a + 2 < P)
             def _():
-                block_dma(buf0, sem0, a + 2).start()
+                start_wave(buf0, sem0, a + 2)
 
-            block_dma(buf1, sem1, b).wait()
-            dots_b = dots_of(buf1)
-            dd_all = jnp.where(
-                row_iota == b, jnp.broadcast_to(dots_b, dd_all.shape), dd_all
-            )
-            return dd_all
+            dots_b = wait_compute(buf1, sem1, b)
+            dd = jnp.where(p_iota == b, dots_b[:, None, :], dd)
+            return dd
 
         dot = jax.lax.fori_loop(
-            0, P // 2, pair_body, jnp.zeros((P, C), jnp.float32)
+            0, P // 2, pair_body, jnp.zeros((Q, P, C), jnp.float32)
         )
 
-        n2 = nrm_ref[0]  # [P, C]
+        n2 = nrm_ref[0]  # [Q, P, C]
         vmask = val_ref[0] > 0
+        qn3 = qn2[:, :, None]  # [Q, 1, 1]
         if metric == "cosine":
-            denom = jax.lax.rsqrt(jnp.maximum(qn2 * n2, 1e-30))
+            denom = jax.lax.rsqrt(jnp.maximum(qn3 * n2, 1e-30))
             d = 1.0 - dot * denom
-            d = jnp.where(n2 * qn2 > 0, d, 1.0)
+            d = jnp.where(n2 * qn3 > 0, d, 1.0)
         else:
-            d2 = jnp.maximum(qn2 + n2 - 2.0 * dot, 0.0)
+            d2 = jnp.maximum(qn3 + n2 - 2.0 * dot, 0.0)
             d = jnp.sqrt(d2) if metric == "l2" else d2
-        d = jnp.where(vmask, d, BIG)
+        d = jnp.where(vmask, d, BIG).reshape(Q, P * C)
 
-        lin = row_iota * C + jax.lax.broadcasted_iota(jnp.int32, (P, C), 1)
-        out_col = jax.lax.broadcasted_iota(jnp.int32, (1, OUT_K), 1)
+        lin = jax.lax.broadcasted_iota(jnp.int32, (Q, P * C), 1)
+        out_col = jax.lax.broadcasted_iota(jnp.int32, (Q, OUT_K), 1)
 
         def select(j, carry):
             dd, od, op = carry
-            m = jnp.min(dd)
-            li = jnp.min(jnp.where(dd == m, lin, jnp.int32(2**30)))
+            m = jnp.min(dd, axis=1, keepdims=True)  # [Q, 1]
+            li = jnp.min(
+                jnp.where(dd == m, lin, jnp.int32(2**30)), axis=1, keepdims=True
+            )
             od = jnp.where(out_col == j, m, od)
             op = jnp.where(out_col == j, jnp.where(m < BIG, li, -1), op)
             dd = jnp.where(lin == li, BIG, dd)
@@ -115,14 +136,19 @@ def _kernel_factory(metric: str, P: int, C: int, D: int, k: int):
             select,
             (
                 d,
-                jnp.full((1, OUT_K), BIG, jnp.float32),
-                jnp.full((1, OUT_K), -1, jnp.int32),
+                jnp.full((Q, OUT_K), BIG, jnp.float32),
+                jnp.full((Q, OUT_K), -1, jnp.int32),
             ),
         )
         outd_ref[0] = od
         outp_ref[0] = op
 
     return kernel
+
+
+def _query_tile(C: int, D: int, itemsize: int) -> int:
+    """Queries per grid step, bounded by the wave-buffer VMEM budget."""
+    return max(1, min(8, _WAVE_BYTES // max(C * D * itemsize, 1)))
 
 
 @functools.partial(
@@ -155,39 +181,50 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
         assert D % 128 == 0, f"stored dim {D} must be a multiple of 128 lanes"
         assert C % 8 == 0, f"cluster capacity {C} must be a multiple of 8 sublanes"
 
-    kernel = _kernel_factory(metric, P, C, D, k)
-    probes3 = probes.reshape(B, 1, P)
-    q3 = q.astype(jnp.float32).reshape(B, 1, D)
+    Q = _query_tile(C, D, vectors.dtype.itemsize)
+    padB = (-B) % Q
+    if padB:
+        q = jnp.pad(q, ((0, padB), (0, 0)))
+        probes = jnp.pad(probes, ((0, padB), (0, 0)))
+        cand_norms = jnp.pad(cand_norms, ((0, padB), (0, 0), (0, 0)))
+        cand_valid = jnp.pad(cand_valid, ((0, padB), (0, 0), (0, 0)))
+    Bp = B + padB
+
+    kernel = _kernel_factory(metric, Q, P, C, D, k)
+    probes4 = probes.reshape(Bp // Q, Q, P)
+    nrm4 = cand_norms.reshape(Bp // Q, Q, P, C)
+    val4 = cand_valid.reshape(Bp // Q, Q, P, C)
+    q3 = q.astype(jnp.float32).reshape(Bp // Q, Q, D)
 
     out_d, out_p = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(Bp // Q,),
         in_specs=[
-            pl.BlockSpec((1, 1, P), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, P, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Q, P, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, P, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # slab stays in HBM
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, OUT_K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, OUT_K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, OUT_K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, OUT_K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, 1, OUT_K), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, OUT_K), jnp.int32),
+            jax.ShapeDtypeStruct((Bp // Q, Q, OUT_K), jnp.float32),
+            jax.ShapeDtypeStruct((Bp // Q, Q, OUT_K), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((C, D), vectors.dtype),
-            pltpu.VMEM((C, D), vectors.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((Q, C, D), vectors.dtype),
+            pltpu.VMEM((Q, C, D), vectors.dtype),
+            pltpu.SemaphoreType.DMA((Q,)),
+            pltpu.SemaphoreType.DMA((Q,)),
         ],
         interpret=interpret,
-    )(probes3, cand_norms, cand_valid, q3, vectors)
+    )(probes4, nrm4, val4, q3, vectors)
 
-    d = out_d[:, 0, :k]
-    p = out_p[:, 0, :k]
+    d = out_d.reshape(Bp, OUT_K)[:B, :k]
+    p = out_p.reshape(Bp, OUT_K)[:B, :k]
     valid = p >= 0
     d = jnp.where(valid, d, jnp.inf)
     return d, p

@@ -165,6 +165,16 @@ class ShardedLSHIndex:
         self.metric = metric
         self.metric_power = float(metric_power)
         self.options = options or IndexOptions()
+        if self.options.rerank == "pallas":
+            # the LSH pallas kernel needs 1024-f32 / 2048-bf16 aligned stored
+            # dims; the sharded state carries no dim padding (round-1 advisor
+            # finding) — fail at construction, not at first query
+            unit = 2048 if self.options.dtype == "bfloat16" else 1024
+            if self.dim % unit:
+                raise ValueError(
+                    f"ShardedLSHIndex(rerank='pallas') needs dim % {unit} == 0 "
+                    f"(got {self.dim}); use rerank='xla' or pad the embeddings"
+                )
         self.mesh = mesh if mesh is not None else make_mesh(shards)
         self.shards = self.mesh.shape[SHARD_AXIS]
         self.state = None  # stacked IndexState with leading [S, ...]
@@ -490,15 +500,29 @@ class ShardedLSHIndex:
         fsync_write(os.path.join(directory, "arrays.npz"), buf.getvalue())
 
     @classmethod
-    def load(cls, directory: str, mesh=None) -> "ShardedLSHIndex":
+    def load(cls, directory: str, mesh=None, shards: int | None = None) -> "ShardedLSHIndex":
+        """Open a snapshot. When the target mesh size differs from the saved
+        shard count (fewer chips on the new host, or an explicit ``shards``/
+        ``mesh``), live vectors re-shard: the snapshot is already host-side
+        bytes, so resharding costs one re-add — no device readback."""
         with open(os.path.join(directory, "index.json"), "rb") as f:
             meta = json.loads(f.read())
+        options = IndexOptions.from_json(meta["options"])
+        saved_shards = meta["shards"]
+        if mesh is not None:
+            target = mesh.shape[SHARD_AXIS]
+        elif shards is not None:
+            target = shards
+        else:
+            target = min(saved_shards, len(jax.devices()))
+        if target != saved_shards and meta.get("has_state"):
+            return cls._load_resharded(directory, meta, options, mesh, target)
         idx = cls(
             dim=meta["dim"],
             metric=meta["metric"],
-            options=IndexOptions.from_json(meta["options"]),
+            options=options,
             metric_power=meta.get("metric_power", 3.0),
-            shards=meta["shards"],
+            shards=target,
             mesh=mesh,
         )
         idx._built_n = meta.get("built_n", 0)
@@ -529,6 +553,34 @@ class ShardedLSHIndex:
                 if i and valid[s, sl]:
                     idx._id_to_loc[i] = (s, sl)
         idx._next_slots = [int(v) for v in np.asarray(stacked.next_slot)]
+        return idx
+
+    @classmethod
+    def _load_resharded(cls, directory, meta, options, mesh, target):
+        """Rebuild the index over a different mesh size from snapshot bytes:
+        collect live (id, vector) pairs in (shard, slot) order and re-add."""
+        with np.load(os.path.join(directory, "arrays.npz")) as z:
+            vectors = z["vectors"]  # [S_old, cap, D]
+            valid = z["valid"]
+            ids_arr = z["slot_ids"]
+        live_ids: list[bytes] = []
+        rows = []
+        for s in range(vectors.shape[0]):
+            for sl in range(vectors.shape[1]):
+                raw = ids_arr[s, sl].tobytes()
+                if raw != b"\x00" * 16 and valid[s, sl]:
+                    live_ids.append(raw)
+                    rows.append(vectors[s, sl])
+        idx = cls(
+            dim=meta["dim"],
+            metric=meta["metric"],
+            options=options,
+            metric_power=meta.get("metric_power", 3.0),
+            shards=target,
+            mesh=mesh,
+        )
+        if live_ids:
+            idx.add(np.stack(rows), ids=live_ids)
         return idx
 
     def stats(self) -> dict:
