@@ -83,8 +83,11 @@ class IndexOptions:
     spill: int = 8
     #: Lloyd iterations for centroid training.
     kmeans_iters: int = 8
+    #: split-heavy balance rounds after Lloyd (2 settle iterations each) —
+    #: bounds the max cell load, which caps IVF spill/spare pressure.
+    kmeans_balance_rounds: int = 6
     #: max training-sample rows for k-means (subsampled from the build data).
-    kmeans_sample: int = 131072
+    kmeans_sample: int = 262144
     #: slab / compute dtype: "float32" or "bfloat16" (hash & re-rank in f32).
     dtype: str = "float32"
     #: "data" samples hyperplanes as bisectors of random stored-vector pairs

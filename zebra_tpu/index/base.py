@@ -18,11 +18,60 @@ import jax.numpy as jnp
 import numpy as np
 
 from zebra_tpu.config import IndexOptions
-from zebra_tpu.utils import fsync_write, next_pow2, uuid7_bytes
+from zebra_tpu.utils import fsync_write, next_pow2, uuid7_batch
 
 _MIN_BATCH = 256
 #: insert batch width (vectors per device dispatch)
 BATCH = 65536
+
+
+class IdSlotMap:
+    """id (16 bytes) -> slot map backed by the native C++ open-addressing
+    table when available (24B/entry, bulk put/get — ``native/zebra_store.cpp``)
+    with a plain dict fallback. Iteration is deliberately NOT offered: the
+    live set is always recoverable from ``_slot_ids`` (non-empty == live)."""
+
+    def __init__(self):
+        self._native = None
+        self._dict: dict[bytes, int] | None = None
+        try:
+            from zebra_tpu import native
+
+            if native.available():
+                self._native = native.NativeIdMap(4096)
+        except Exception:
+            self._native = None
+        if self._native is None:
+            self._dict = {}
+
+    def __len__(self) -> int:
+        return len(self._native) if self._native is not None else len(self._dict)
+
+    def __contains__(self, key: bytes) -> bool:
+        if self._native is not None:
+            return self._native.get(bytes(key)) is not None
+        return key in self._dict
+
+    def get(self, key: bytes):
+        if self._native is not None:
+            return self._native.get(bytes(key))
+        return self._dict.get(key)
+
+    def put_many(self, ids: list[bytes], slots) -> None:
+        if self._native is not None:
+            self._native.put_many(b"".join(ids), slots)
+        else:
+            for i, s in zip(ids, slots):
+                self._dict[i] = int(s)
+
+    def pop(self, key: bytes, default=None):
+        if self._native is not None:
+            v = self._native.get(bytes(key))
+            if v is not None:
+                self._native.delete(bytes(key))
+                return v
+            return default
+        return self._dict.pop(key, default)
 
 
 @jax.jit
@@ -79,9 +128,10 @@ class BaseVectorIndex:
         #: stored (device) dimension — subclasses may pad for kernel alignment
         self._dev_dim = self.dim
         self.state = None
-        #: slab-slot -> 16-byte id (b"" for never-used / compacted slots)
+        #: slab-slot -> 16-byte id (b"" for never-used / dead slots; this is
+        #: THE live-set iteration source — non-empty means live)
         self._slot_ids: list[bytes] = []
-        self._id_to_slot: dict[bytes, int] = {}
+        self._id_to_slot = IdSlotMap()
         self._built_n = 0
         self._rng = np.random.default_rng(self.options.seed)
 
@@ -164,7 +214,7 @@ class BaseVectorIndex:
         if n == 0:
             return []
         if ids is None:
-            ids = [uuid7_bytes() for _ in range(n)]
+            ids = uuid7_batch(n)
         else:
             if len(ids) != n:
                 raise ValueError("ids/vectors length mismatch")
@@ -251,7 +301,7 @@ class BaseVectorIndex:
             self._slot_ids.extend(b"" for _ in range(top - len(self._slot_ids)))
         for i, s in zip(ids, slots.tolist()):
             self._slot_ids[s] = i
-            self._id_to_slot[i] = s
+        self._id_to_slot.put_many(ids, np.asarray(slots, dtype=np.int64))
 
     # -- delete / dedup / clear ----------------------------------------------
 
@@ -284,7 +334,9 @@ class BaseVectorIndex:
             return []
         from zebra_tpu.ops.rowhash import row_hashes
 
-        slots = np.asarray(sorted(self._id_to_slot.values()), dtype=np.int64)
+        slots = np.asarray(
+            [s for s, i in enumerate(self._slot_ids) if i], dtype=np.int64
+        )
         hashes = np.asarray(row_hashes(self.state.vectors))  # [S, 2] i32
         keys = hashes[slots].astype(np.int64)
         keys = (keys[:, 0] << 32) ^ (keys[:, 1] & 0xFFFFFFFF)
@@ -314,7 +366,7 @@ class BaseVectorIndex:
         ``lsh.rs:506-529``; the next add() rebuilds)."""
         self.state = None
         self._slot_ids = []
-        self._id_to_slot = {}
+        self._id_to_slot = IdSlotMap()
         self._built_n = 0
 
     # -- search ----------------------------------------------------------------
@@ -400,11 +452,14 @@ class BaseVectorIndex:
             raw = ids_arr[s].tobytes()
             idx._slot_ids.append(b"" if raw == b"\x00" * 16 else raw)
         valid = np.asarray(idx.state.valid)
-        idx._id_to_slot = {
-            i: s
-            for s, i in enumerate(idx._slot_ids)
-            if i and s < len(valid) and valid[s]
-        }
+        live_ids, live_slots = [], []
+        for s, i in enumerate(idx._slot_ids):
+            if i and s < len(valid) and valid[s]:
+                live_ids.append(i)
+                live_slots.append(s)
+            elif i:  # id saved for a tombstoned slot: keep the invariant
+                idx._slot_ids[s] = b""
+        idx._id_to_slot.put_many(live_ids, np.asarray(live_slots, dtype=np.int64))
         idx._after_restore()
         return idx
 

@@ -154,17 +154,21 @@ def insert(state: IVFState, x: jnp.ndarray, n_valid: jnp.ndarray, spill: int = 4
     counts = state.counts
     assigned = ~real  # pads never write
     A = min(spill, K)
-    # per-row jitter rotates the spill order between the two nearest cells:
-    # members of one tight blob share an IDENTICAL choice list, and without
-    # jitter a saturated cell's whole blob cascades into the same 2nd cell,
-    # saturating the neighbourhood one cell per batch until even `spill`
-    # hops fail (measured 22% spare residency at 1M x 768). Splitting each
-    # blob two ways up front keeps fallback cells half as loaded.
+    # Attempt 0 is always the nearest cell. FALLBACK attempts rotate by a
+    # per-row jitter: members of one tight blob share an identical choice
+    # list, and without jitter a saturated cell's whole blob cascades into
+    # the same 2nd cell, saturating the neighbourhood one cell per batch
+    # until even `spill` hops fail. Jittering only the fallbacks splits an
+    # overflowing blob two ways without displacing anyone whose nearest
+    # cell has room.
     h = jnp.arange(n, dtype=jnp.int32) * jnp.int32(-1640531527)
     h = jnp.bitwise_xor(h, jax.lax.shift_right_logical(h, 16)) * jnp.int32(-2048144789)
-    r0 = jax.lax.rem(jnp.abs(h), jnp.int32(min(2, A)))
+    r0 = jax.lax.rem(jnp.abs(h), jnp.int32(max(min(2, A - 1), 1)))
     for a in range(A):
-        pick = jax.lax.rem(r0 + a, jnp.int32(A))
+        if a == 0 or A == 1:
+            pick = jnp.full((n,), a, jnp.int32)
+        else:
+            pick = 1 + jax.lax.rem(r0 + (a - 1), jnp.int32(A - 1))
         cand = jnp.take_along_axis(choice, pick[:, None], axis=1)[:, 0]
         c = jnp.where(assigned, OOB, cand.astype(jnp.int32))
         rank = _segmented_ranks(c)

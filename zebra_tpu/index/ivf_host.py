@@ -14,7 +14,6 @@ what makes every probe a contiguous block read at query time.
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp
@@ -63,10 +62,13 @@ class IVFIndex(BaseVectorIndex):
     def _resolved_clusters(self, n: int) -> int:
         if self.options.num_clusters > 0:
             return self.options.num_clusters
-        # sqrt scaling (FAISS rule of thumb ~4*sqrt(n)), clamped so tiny
-        # indexes keep a few vectors per cluster and huge ones stay probeable
-        k = 4.0 * math.sqrt(max(n, 1))
-        return int(min(next_pow2(max(int(k), 8)), 65536, next_pow2(max(n // 4, 8))))
+        # ~n/64 per cell, NOT the classic ~4*sqrt(n): centroid scoring is one
+        # MXU matmul (nearly free on TPU), while probe traffic scales with
+        # cell width — and with fewer centroids than natural clusters,
+        # high-dim k-means grows pathological hub cells (measured: K=4096 on
+        # 1M x 768 blobby data -> max load 13k, 22% overflow; K=16384 -> max
+        # 193, ~0%). Small cells also mean more of them fit per probe budget.
+        return int(min(next_pow2(max(n // 64, 8)), 131072, next_pow2(max(n // 4, 8))))
 
     def _resolved_capacity(self, n: int, k: int) -> int:
         if self.options.cluster_capacity > 0:
@@ -117,6 +119,7 @@ class IVFIndex(BaseVectorIndex):
             jnp.int32(sample_n),
             k=k,
             iters=self.options.kmeans_iters,
+            balance_rounds=self.options.kmeans_balance_rounds,
         )
         return cents
 
@@ -193,7 +196,7 @@ class IVFIndex(BaseVectorIndex):
         The compaction is a DEVICE permutation gather; the slab never reads
         back through the slow device->host direction."""
         logger.info("ivf rebuild: %d live vectors", len(self._id_to_slot))
-        live_slots = sorted(self._id_to_slot.values())
+        live_slots = [s for s, i in enumerate(self._slot_ids) if i]
         if not live_slots:
             ids: list[bytes] = []
             data = None
@@ -207,8 +210,10 @@ class IVFIndex(BaseVectorIndex):
         self.state = None  # free the old slab before allocating the new one
         self.state = self._fresh_state(max(n, 1), data)
         self._built_n = max(n, 1)
+        from zebra_tpu.index.base import IdSlotMap
+
         self._slot_ids = []
-        self._id_to_slot = {}
+        self._id_to_slot = IdSlotMap()
         if n:
             self._insert_batches(data, ids)
 

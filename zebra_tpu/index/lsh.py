@@ -158,7 +158,7 @@ class LSHIndex(BaseVectorIndex):
             len(self._id_to_slot), self._next_slot,
             int(self.state.overflow) if self.state is not None else 0,
         )
-        live_slots = [s for i, s in self._id_to_slot.items()]
+        live_slots = [s for s, i in enumerate(self._slot_ids) if i]
         if not live_slots:
             ids: list[bytes] = []
             data = None
@@ -175,8 +175,10 @@ class LSHIndex(BaseVectorIndex):
         self.state = None  # free the old slab before allocating the new one
         self.state = self._fresh_state(max(n, 1), data)
         self._built_n = max(n, 1)
+        from zebra_tpu.index.base import IdSlotMap
+
         self._slot_ids = []
-        self._id_to_slot = {}
+        self._id_to_slot = IdSlotMap()
         if n:
             self._before_batches(n)
             self._insert_batches(data, ids)

@@ -69,17 +69,26 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int):
                 return 0
 
             jax.lax.fori_loop(0, Q, body, 0)
-            x = buf[:]  # [Q, C, D]
-            # batched matvec: query qi against ITS block only (batch dim q).
+            # Q unrolled small dots — query qi against ITS block only.
+            # (A batched-matvec dot_general has no lhs non-contracting dims
+            # and Mosaic's TPU_DotDimensionNumbersAttr rejects it; a
+            # [Q, D] x [D, Q*C] full matmul needs a lane-split reshape that
+            # Mosaic also rejects at C % 128 != 0. The DMA wave is what
+            # amortises latency — the dots are tiny either way.)
             # HIGHEST: full-f32 MXU passes — default precision is bf16-grade
             # and mis-ranks near-ties (see ops/pallas_rerank.py)
-            return jax.lax.dot_general(
-                qt.astype(jnp.float32),
-                x.astype(jnp.float32),
-                dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [Q, C]
+            outs = []
+            for qi in range(Q):
+                outs.append(
+                    jax.lax.dot_general(
+                        qt[qi : qi + 1].astype(jnp.float32),
+                        buf[qi].astype(jnp.float32),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                )
+            return jnp.concatenate(outs, axis=0)  # [Q, C]
 
         p_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, P, C), 1)
 

@@ -31,7 +31,7 @@ from zebra_tpu.ops import hashing as H
 from zebra_tpu.ops import topk as TK
 from zebra_tpu.index.lsh import _pack_results, _unpack_results
 from zebra_tpu.parallel.mesh import SHARD_AXIS, make_mesh
-from zebra_tpu.utils import fsync_write, next_pow2, uuid7_bytes
+from zebra_tpu.utils import fsync_write, next_pow2, uuid7_batch
 
 _MIN_SLAB = 2048
 _MIN_BATCH = 256
@@ -251,7 +251,7 @@ class ShardedLSHIndex:
         if n == 0:
             return []
         if ids is None:
-            ids = [uuid7_bytes() for _ in range(n)]
+            ids = uuid7_batch(n)
 
         # contiguous split across shards (data parallelism)
         splits = np.array_split(np.arange(n), self.shards)

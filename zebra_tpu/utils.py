@@ -46,6 +46,25 @@ def uuid7_bytes() -> bytes:
     return bytes(b)
 
 
+def uuid7_batch(n: int) -> list[bytes]:
+    """Vectorised :func:`uuid7_bytes`: one urandom draw + numpy bit surgery
+    instead of n per-id syscalls (matters at 65k-vector insert batches)."""
+    import numpy as np
+
+    if n <= 0:
+        return []
+    ms = time.time_ns() // 1_000_000
+    arr = np.empty((n, 16), dtype=np.uint8)
+    arr[:, 0:6] = np.frombuffer(ms.to_bytes(6, "big"), dtype=np.uint8)
+    rand = np.frombuffer(secrets.token_bytes(10 * n), dtype=np.uint8).reshape(n, 10)
+    arr[:, 6] = 0x70 | (rand[:, 0] & 0x0F)
+    arr[:, 7] = rand[:, 1]
+    arr[:, 8] = 0x80 | (rand[:, 2] & 0x3F)
+    arr[:, 9:16] = rand[:, 3:10]
+    flat = arr.tobytes()
+    return [flat[i * 16 : (i + 1) * 16] for i in range(n)]
+
+
 def uuid_hex(b: bytes) -> str:
     return b.hex()
 
