@@ -121,12 +121,21 @@ def main():
     ap.add_argument("--qbatch", type=int, default=1024)
     ap.add_argument("--qiters", type=int, default=20)
     ap.add_argument("--recall-queries", type=int, default=256)
+    #: headline index: "ivf" (cluster-contiguous blocks + pallas re-rank, the
+    #: TPU-fast path) or "lsh" (reference-parity bucket tables)
+    ap.add_argument("--index", choices=["ivf", "lsh"], default="ivf")
+    ap.add_argument("--rerank", choices=["pallas", "xla"], default="pallas")
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
     # 10 tables x 8 probes: +40% QPS over the reference-parity 15 tables at
     # recall@10 ~0.98 on 200k clustered (tools/sweep2.py)
     ap.add_argument("--tables", type=int, default=10)
-    ap.add_argument("--probes", type=int, default=10)
+    #: probes: clusters probed (ivf; measured recall@10 1.0 at 4 on 1M x 768)
+    #: or per-table buckets probed (lsh; sweet spot 10)
+    ap.add_argument("--probes", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+    if args.probes <= 0:
+        args.probes = 4 if args.index == "ivf" else 10
 
     import jax
     import jax.numpy as jnp
@@ -144,7 +153,8 @@ def main():
 
     from zebra_tpu.config import IndexOptions
     from zebra_tpu.index import buckets as B
-    from zebra_tpu.index.lsh import LSHIndex
+    from zebra_tpu.index import ivf as IV
+    from zebra_tpu.index import make_index
 
     devs = jax.devices()
     log(f"devices: {devs}")
@@ -153,18 +163,40 @@ def main():
     data = make_data(args.n, args.dim, seed=args.seed)
     rng = np.random.default_rng(args.seed + 1)
 
-    idx = LSHIndex(
+    idx = make_index(
         dim=args.dim,
         metric=args.metric,
         options=IndexOptions(
-            num_tables=args.tables, num_probes=args.probes, seed=args.seed
+            index_type=args.index,
+            rerank=args.rerank,
+            dtype=args.dtype,
+            num_tables=args.tables,
+            num_probes=args.probes,
+            seed=args.seed,
         ),
     )
+
+    if args.index == "ivf":
+        def query_fn(qq, k):
+            return IV.query(
+                idx.state, qq, k, metric=args.metric, num_probes=args.probes,
+                rerank=args.rerank,
+            )
+        def brute_fn(qq, k):
+            return IV.brute_force(idx.state, qq, k, metric=args.metric)
+    else:
+        def query_fn(qq, k):
+            return B.query(
+                idx.state, qq, k, metric=args.metric, num_probes=args.probes,
+                power=3.0, rerank=args.rerank if args.rerank != "pallas" else "xla",
+            )
+        def brute_fn(qq, k):
+            return B.brute_force(idx.state, qq, k, metric=args.metric, power=3.0)
 
     # ---- insert / build throughput ----------------------------------------
     t0 = time.perf_counter()
     ids = idx.add(data)
-    jax.block_until_ready(idx.state.buckets)
+    jax.block_until_ready(idx.state.vectors)
     t_build = time.perf_counter() - t0
     inserts_per_sec = args.n / t_build
     log(f"build: {t_build:.2f}s  ({inserts_per_sec:,.0f} inserts/sec)  stats={idx.stats()}")
@@ -175,15 +207,11 @@ def main():
     qj = jnp.asarray(queries)
 
     # warmup / compile
-    d, s, v = B.query(
-        idx.state, qj, args.k, metric=args.metric, num_probes=args.probes, power=3.0
-    )
+    d, s, v = query_fn(qj, args.k)
     jax.block_until_ready(d)
     t0 = time.perf_counter()
     for _ in range(args.qiters):
-        d, s, v = B.query(
-            idx.state, qj, args.k, metric=args.metric, num_probes=args.probes, power=3.0
-        )
+        d, s, v = query_fn(qj, args.k)
     jax.block_until_ready(d)
     t_query = time.perf_counter() - t0
     qps = args.qbatch * args.qiters / t_query
@@ -192,10 +220,8 @@ def main():
     # ---- recall@k vs brute force ------------------------------------------
     nrq = min(args.recall_queries, args.qbatch)
     rq = qj[:nrq]
-    da, sa, va = B.query(
-        idx.state, rq, args.k, metric=args.metric, num_probes=args.probes, power=3.0
-    )
-    db_, sb, vb = B.brute_force(idx.state, rq, args.k, metric=args.metric, power=3.0)
+    da, sa, va = query_fn(rq, args.k)
+    db_, sb, vb = brute_fn(rq, args.k)
     sa, va, sb, vb = map(np.asarray, (sa, va, sb, vb))
     hits = sum(
         len(set(sa[i][va[i]].tolist()) & set(sb[i][vb[i]].tolist())) for i in range(nrq)
@@ -204,22 +230,24 @@ def main():
     log(f"recall@{args.k} vs brute force: {recall:.4f}")
 
     # ---- flat (exact/approx scan) alternatives on the same slab ------------
+    from zebra_tpu.ops.scan import exact_scan
+
     flat_stats = {}
     for tag, prec, approx in (
         ("flat_exact", "highest", False),
         ("flat_approx", "highest", True),
         ("flat_approx_fast", "default", True),
     ):
-        fd, fs, fv = B.brute_force(
-            idx.state, qj, args.k, metric=args.metric, chunk=131072,
-            precision=prec, approx=approx,
+        fd, fs, fv = exact_scan(
+            idx.state.vectors, idx.state.valid, qj, args.k, metric=args.metric,
+            chunk=131072, precision=prec, approx=approx,
         )
         jax.block_until_ready(fd)
         t0 = time.perf_counter()
         for _ in range(max(args.qiters // 4, 3)):
-            fd, fs, fv = B.brute_force(
-                idx.state, qj, args.k, metric=args.metric, chunk=131072,
-                precision=prec, approx=approx,
+            fd, fs, fv = exact_scan(
+                idx.state.vectors, idx.state.valid, qj, args.k, metric=args.metric,
+                chunk=131072, precision=prec, approx=approx,
             )
         jax.block_until_ready(fd)
         fqps = args.qbatch * max(args.qiters // 4, 3) / (time.perf_counter() - t0)
@@ -235,7 +263,7 @@ def main():
     inc = make_data(inc_n, args.dim, seed=args.seed + 7)
     t0 = time.perf_counter()
     idx.add(inc)
-    jax.block_until_ready(idx.state.buckets)
+    jax.block_until_ready(idx.state.vectors)
     t_inc = time.perf_counter() - t0
     warm_inserts_per_sec = inc_n / t_inc
     log(f"incremental add: {inc_n} in {t_inc:.3f}s -> {warm_inserts_per_sec:,.0f} inserts/sec (warm, incl. host transfer)")
@@ -243,24 +271,33 @@ def main():
     # ---- device-side insert rate (batch pre-staged in HBM) -----------------
     import jax.numpy as _jnp
 
-    from zebra_tpu.index import buckets as _BK
-
     dev_batch = _jnp.asarray(
         np.pad(inc.astype(np.float32), ((0, 0), (0, idx._dev_dim - args.dim)))
-    )
+    ).astype(idx.state.vectors.dtype)
     jax.block_until_ready(dev_batch)
     st = idx.state
-    st, _ = _BK.insert(st, dev_batch, _jnp.int32(inc_n))  # warm shape
-    jax.block_until_ready(st.buckets)
+
+    def dev_insert(st):
+        if args.index == "ivf":
+            st, _ = IV.insert(st, dev_batch, _jnp.int32(inc_n), spill=idx.options.spill)
+        else:
+            st, _ = B.insert(st, dev_batch, _jnp.int32(inc_n))
+        return st
+
+    st = dev_insert(st)  # warm shape
+    jax.block_until_ready(st.vectors)
     t0 = time.perf_counter()
     iters_dev = 5
     for _ in range(iters_dev):
-        st, _ = _BK.insert(st, dev_batch, _jnp.int32(inc_n))
-    jax.block_until_ready(st.buckets)
+        st = dev_insert(st)
+    jax.block_until_ready(st.vectors)
     t_dev = (time.perf_counter() - t0) / iters_dev
     device_inserts_per_sec = inc_n / t_dev
+    # inserts donate the state chain: adopt the final state (the timing rows
+    # stay unregistered host-side — this is the last mutation of the run)
     idx.state = st
-    idx._next_slot += inc_n * (iters_dev + 1)  # keep host mirror consistent
+    if args.index == "lsh":
+        idx._next_slot += inc_n * (iters_dev + 1)
     log(f"device insert rate: {device_inserts_per_sec:,.0f} vectors/sec (HBM-resident batch)")
 
 
@@ -272,6 +309,10 @@ def main():
         "extra": {
             "recall_at_k": round(recall, 4),
             "k": args.k,
+            "index_type": args.index,
+            "probes": args.probes,
+            "rerank": args.rerank,
+            "dtype": args.dtype,
             "inserts_per_sec": round(inserts_per_sec, 1),
             "warm_inserts_per_sec": round(warm_inserts_per_sec, 1),
             "device_inserts_per_sec": round(device_inserts_per_sec, 1),
