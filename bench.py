@@ -140,7 +140,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from zebra_tpu.utils import enable_compile_cache
+    from zebra_tpu.utils import device_sync, enable_compile_cache
 
     enable_compile_cache()
 
@@ -196,7 +196,7 @@ def main():
     # ---- insert / build throughput ----------------------------------------
     t0 = time.perf_counter()
     ids = idx.add(data)
-    jax.block_until_ready(idx.state.vectors)
+    device_sync(idx.state.vectors)
     t_build = time.perf_counter() - t0
     inserts_per_sec = args.n / t_build
     log(f"build: {t_build:.2f}s  ({inserts_per_sec:,.0f} inserts/sec)  stats={idx.stats()}")
@@ -208,11 +208,11 @@ def main():
 
     # warmup / compile
     d, s, v = query_fn(qj, args.k)
-    jax.block_until_ready(d)
+    device_sync(d)
     t0 = time.perf_counter()
     for _ in range(args.qiters):
         d, s, v = query_fn(qj, args.k)
-    jax.block_until_ready(d)
+    device_sync(d)
     t_query = time.perf_counter() - t0
     qps = args.qbatch * args.qiters / t_query
     log(f"query: {t_query:.3f}s for {args.qbatch * args.qiters} queries -> {qps:,.0f} QPS (device)")
@@ -242,14 +242,14 @@ def main():
             idx.state.vectors, idx.state.valid, qj, args.k, metric=args.metric,
             chunk=131072, precision=prec, approx=approx,
         )
-        jax.block_until_ready(fd)
+        device_sync(fd)
         t0 = time.perf_counter()
         for _ in range(max(args.qiters // 4, 3)):
             fd, fs, fv = exact_scan(
                 idx.state.vectors, idx.state.valid, qj, args.k, metric=args.metric,
                 chunk=131072, precision=prec, approx=approx,
             )
-        jax.block_until_ready(fd)
+        device_sync(fd)
         fqps = args.qbatch * max(args.qiters // 4, 3) / (time.perf_counter() - t0)
         fsn = np.asarray(fs[:nrq])
         agree = sum(
@@ -263,7 +263,7 @@ def main():
     inc = make_data(inc_n, args.dim, seed=args.seed + 7)
     t0 = time.perf_counter()
     idx.add(inc)
-    jax.block_until_ready(idx.state.vectors)
+    device_sync(idx.state.vectors)
     t_inc = time.perf_counter() - t0
     warm_inserts_per_sec = inc_n / t_inc
     log(f"incremental add: {inc_n} in {t_inc:.3f}s -> {warm_inserts_per_sec:,.0f} inserts/sec (warm, incl. host transfer)")
@@ -274,7 +274,7 @@ def main():
     dev_batch = _jnp.asarray(
         np.pad(inc.astype(np.float32), ((0, 0), (0, idx._dev_dim - args.dim)))
     ).astype(idx.state.vectors.dtype)
-    jax.block_until_ready(dev_batch)
+    device_sync(dev_batch)
     st = idx.state
 
     def dev_insert(st):
@@ -285,12 +285,12 @@ def main():
         return st
 
     st = dev_insert(st)  # warm shape
-    jax.block_until_ready(st.vectors)
+    device_sync(st.vectors)
     t0 = time.perf_counter()
     iters_dev = 5
     for _ in range(iters_dev):
         st = dev_insert(st)
-    jax.block_until_ready(st.vectors)
+    device_sync(st.vectors)
     t_dev = (time.perf_counter() - t0) / iters_dev
     device_inserts_per_sec = inc_n / t_dev
     # inserts donate the state chain: adopt the final state (the timing rows

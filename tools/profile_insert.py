@@ -11,7 +11,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
-from zebra_tpu.utils import enable_compile_cache
+from zebra_tpu.utils import device_sync, enable_compile_cache
 
 enable_compile_cache()
 
@@ -26,21 +26,21 @@ print("devices:", jax.devices(), flush=True)
 
 def timeit(name, fn, *args, iters=5, donate_builder=None):
     out = fn(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
     if donate_builder is None:
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        device_sync(out)
         dt = (time.perf_counter() - t0) / iters
     else:
         dts = []
         for _ in range(iters):
             args2 = donate_builder()
-            jax.block_until_ready(args2)
+            device_sync(args2)
             t0 = time.perf_counter()
             out = fn(*args2)
-            jax.block_until_ready(out)
+            device_sync(out)
             dts.append(time.perf_counter() - t0)
         dt = min(dts)
     print(f"{name:34s} {dt*1e3:9.1f} ms", flush=True)
@@ -51,7 +51,7 @@ rng = np.random.default_rng(0)
 x_np = rng.standard_normal((N, D)).astype(np.float32)
 x = jnp.asarray(x_np)
 cents = jnp.asarray(rng.standard_normal((K, D)).astype(np.float32))
-jax.block_until_ready((x, cents))
+device_sync((x, cents))
 
 # ---- stage 1: assignment matmul + top-k ------------------------------------
 
@@ -125,7 +125,7 @@ timeit("full ivf.insert (empty state)",
 
 t0 = time.perf_counter()
 h = jax.device_put(x_np)
-jax.block_until_ready(h)
+device_sync(h)
 print(f"{'device_put 65536x768 f32 (192MB)':34s} {(time.perf_counter()-t0)*1e3:9.1f} ms", flush=True)
 
 import ml_dtypes
@@ -133,6 +133,6 @@ import ml_dtypes
 xbf = x_np.astype(ml_dtypes.bfloat16)
 t0 = time.perf_counter()
 h2 = jax.device_put(xbf)
-jax.block_until_ready(h2)
+device_sync(h2)
 print(f"{'device_put 65536x768 bf16 (96MB)':34s} {(time.perf_counter()-t0)*1e3:9.1f} ms", flush=True)
 print("profile done", flush=True)

@@ -17,7 +17,7 @@ faulthandler.dump_traceback_later(120, repeat=True)  # watchdog: where are we
 logging.basicConfig(level=logging.INFO)
 
 sys.path.insert(0, ".")
-from zebra_tpu.utils import enable_compile_cache
+from zebra_tpu.utils import device_sync, enable_compile_cache
 
 enable_compile_cache()
 
@@ -61,7 +61,7 @@ idx = IVFIndex(
 )
 t0 = time.perf_counter()
 idx.add(data)
-jax.block_until_ready(idx.state.vectors)
+device_sync(idx.state.vectors)
 t_build = time.perf_counter() - t0
 print(f"build: {t_build:.1f}s ({n/t_build:,.0f}/s)  stats={idx.stats()}", flush=True)
 
@@ -75,7 +75,7 @@ qj = jnp.asarray(qp)
 nrq = 256
 t0 = time.perf_counter()
 db_, sb, vb = V.brute_force(idx.state, qj[:nrq], 10, metric="cosine")
-jax.block_until_ready(db_)
+device_sync(db_)
 sb, vb = np.asarray(sb), np.asarray(vb)
 truth = [set(sb[i][vb[i]].tolist()) for i in range(nrq)]
 print(f"brute truth: {time.perf_counter()-t0:.1f}s", flush=True)
@@ -84,7 +84,7 @@ for P in [int(x) for x in args.probes.split(",")]:
     for rr in args.reranks.split(","):
         t0 = time.perf_counter()
         d, s, v = V.query(idx.state, qj, 10, metric="cosine", num_probes=P, rerank=rr)
-        jax.block_until_ready(d)
+        device_sync(d)
         t_compile = time.perf_counter() - t0
         iters = 20
         t0 = time.perf_counter()
@@ -92,7 +92,7 @@ for P in [int(x) for x in args.probes.split(",")]:
             d, s, v = V.query(
                 idx.state, qj, 10, metric="cosine", num_probes=P, rerank=rr
             )
-        jax.block_until_ready(d)
+        device_sync(d)
         qps = args.qbatch * iters / (time.perf_counter() - t0)
         sa, va = np.asarray(s[:nrq]), np.asarray(v[:nrq])
         hits = sum(len(set(sa[i][va[i]].tolist()) & truth[i]) for i in range(nrq))

@@ -10,7 +10,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
-from zebra_tpu.utils import enable_compile_cache
+from zebra_tpu.utils import device_sync, enable_compile_cache
 
 enable_compile_cache()
 
@@ -34,7 +34,7 @@ data = centers[rng.integers(0, 200, n)] + 0.1 * rng.standard_normal((n, D)).asty
 
 t0 = time.perf_counter()
 cents, counts = kmeans(jax.random.PRNGKey(0), jnp.asarray(data), jnp.int32(n), k=K, iters=5)
-jax.block_until_ready(cents)
+device_sync(cents)
 print(f"kmeans: {time.perf_counter()-t0:.1f}s, max load {int(np.asarray(counts).max())}", flush=True)
 
 st = ivf.empty_state(cents, cluster_capacity=C)
@@ -50,11 +50,11 @@ q = jnp.asarray(data[:256] + 0.02 * rng.standard_normal((256, D)).astype(np.floa
 for metric in ("cosine", "sql2"):
     t0 = time.perf_counter()
     d1, s1, v1 = ivf.query(st, q, 10, metric=metric, num_probes=8, rerank="xla")
-    jax.block_until_ready(d1)
+    device_sync(d1)
     t_xla_c = time.perf_counter() - t0
     t0 = time.perf_counter()
     d2, s2, v2 = ivf.query(st, q, 10, metric=metric, num_probes=8, rerank="pallas")
-    jax.block_until_ready(d2)
+    device_sync(d2)
     t_pal_c = time.perf_counter() - t0
     s1, s2, v1, v2 = map(np.asarray, (s1, s2, v1, v2))
     d1, d2 = map(np.asarray, (d1, d2))

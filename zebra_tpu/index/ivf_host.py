@@ -34,6 +34,35 @@ _COMPACT_TOMBSTONES = 0.5
 _MAX_GROWS = 8
 
 
+def resolved_clusters(options: IndexOptions, n: int) -> int:
+    """Partition count for ~n vectors (shared with the sharded wrapper).
+
+    ~n/64 per cell, NOT the classic ~4*sqrt(n): centroid scoring is one MXU
+    matmul (nearly free on TPU), while probe traffic scales with cell width —
+    and with fewer centroids than natural clusters, high-dim k-means grows
+    pathological hub cells (measured: K=4096 on 1M x 768 blobby data -> max
+    load 13k, 22% overflow; K=16384 -> max 193, ~0%)."""
+    if options.num_clusters > 0:
+        return options.num_clusters
+    return int(min(next_pow2(max(n // 64, 8)), 131072, next_pow2(max(n // 4, 8))))
+
+
+def resolved_capacity(options: IndexOptions, n: int, k: int) -> int:
+    """Per-cluster block width: 2x mean load rounded to 16 (pallas sublane
+    tiling), NOT a power of two — probe traffic scales with C, padding is QPS."""
+    if options.cluster_capacity > 0:
+        return options.cluster_capacity
+    return max(-(-2 * -(-n // k) // 16) * 16, 16)
+
+
+def resolved_spare(options: IndexOptions, n: int) -> int:
+    """Shared overflow-heap rows (~6% of n): one [G, D] matmul per query
+    batch when non-empty — cheap insurance against partition skew."""
+    if options.spare_capacity > 0:
+        return options.spare_capacity
+    return next_pow2(max(n // 16, 1024))
+
+
 class IVFIndex(BaseVectorIndex):
     """Single-shard IVF index: learned partitions, cluster-contiguous slab.
 
@@ -60,31 +89,13 @@ class IVFIndex(BaseVectorIndex):
     # -- sizing ----------------------------------------------------------------
 
     def _resolved_clusters(self, n: int) -> int:
-        if self.options.num_clusters > 0:
-            return self.options.num_clusters
-        # ~n/64 per cell, NOT the classic ~4*sqrt(n): centroid scoring is one
-        # MXU matmul (nearly free on TPU), while probe traffic scales with
-        # cell width — and with fewer centroids than natural clusters,
-        # high-dim k-means grows pathological hub cells (measured: K=4096 on
-        # 1M x 768 blobby data -> max load 13k, 22% overflow; K=16384 -> max
-        # 193, ~0%). Small cells also mean more of them fit per probe budget.
-        return int(min(next_pow2(max(n // 64, 8)), 131072, next_pow2(max(n // 4, 8))))
+        return resolved_clusters(self.options, n)
 
     def _resolved_capacity(self, n: int, k: int) -> int:
-        if self.options.cluster_capacity > 0:
-            return self.options.cluster_capacity
-        # 2x the mean load absorbs k-means imbalance; spill + the spare
-        # region handle the tail. Rounded to 16 (pallas sublane tiling), NOT
-        # a power of two — probe traffic scales with C, so padding is QPS.
-        return max(-(-2 * -(-n // k) // 16) * 16, 16)
+        return resolved_capacity(self.options, n, k)
 
     def _resolved_spare(self, n: int) -> int:
-        if self.options.spare_capacity > 0:
-            return self.options.spare_capacity
-        # ~6% of n: an always-scanned overflow heap is one shared [G, D]
-        # matmul per query batch — cheap insurance against partition skew
-        # (measured ~3.6% spare residency on 1M-regime clustered data)
-        return next_pow2(max(n // 16, 1024))
+        return resolved_spare(self.options, n)
 
     # -- build -------------------------------------------------------------------
 

@@ -27,7 +27,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from zebra_tpu.config import IndexOptions
 from zebra_tpu.index import buckets as B
+from zebra_tpu.index import ivf as V
 from zebra_tpu.ops import hashing as H
+from zebra_tpu.ops import kmeans as KM
 from zebra_tpu.ops import topk as TK
 from zebra_tpu.index.lsh import _pack_results, _unpack_results
 from zebra_tpu.parallel.mesh import SHARD_AXIS, make_mesh
@@ -35,6 +37,21 @@ from zebra_tpu.utils import fsync_write, next_pow2, uuid7_batch
 
 _MIN_SLAB = 2048
 _MIN_BATCH = 256
+
+
+def _grow_spare_sharded(state: "V.IVFState") -> "V.IVFState":
+    """Double every shard's spare tail (stacked axis-1 pad, slots stable).
+
+    NB: the stacked pytree's shape-derived properties see the leading [S]
+    axis, so per-shard geometry comes from explicit leaf shapes here."""
+    K = state.centroids.shape[1]
+    per_shard = state.vectors.shape[1]
+    g = max(per_shard - K * state.ccap, 1024)
+    return state.replace(
+        vectors=jnp.pad(state.vectors, ((0, 0), (0, g), (0, 0))),
+        norms=jnp.pad(state.norms, ((0, 0), (0, g))),
+        valid=jnp.pad(state.valid, ((0, 0), (0, g))),
+    )
 
 
 def _unstack(tree):
@@ -133,6 +150,58 @@ def _sharded_brute_force(mesh, state, q, k, metric, power, chunk,
     )(state, q)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "spill"), donate_argnums=(1,))
+def _sharded_insert_ivf(mesh, state, x, n_valid, spill):
+    """IVF variant: x [S, n, D] sharded -> (state', slots [S, n])."""
+
+    def inner(state, x, nv):
+        st, slots = V.insert(_unstack(state), x[0], nv[0], spill=spill)
+        return _restack(st), slots[None]
+
+    return jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        check_vma=False,
+    )(state, x, n_valid)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "k", "metric", "num_probes", "rerank")
+)
+def _sharded_query_ivf(mesh, state, q, k, metric, num_probes, power, rerank="xla"):
+    """IVF variant: per-shard probe + re-rank, ICI all-gather top-k merge."""
+
+    def inner(state, q):
+        st = _unstack(state)
+        d, s, v = V.query(
+            st, q, k, metric=metric, num_probes=num_probes, power=power,
+            rerank=rerank,
+        )
+        shard = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+        gid = jnp.where(v, shard * st.slab_capacity + s, -1)
+        d_all = jax.lax.all_gather(d, SHARD_AXIS)
+        g_all = jax.lax.all_gather(gid, SHARD_AXIS)
+        v_all = jax.lax.all_gather(v, SHARD_AXIS)
+        S = d_all.shape[0]
+        Bq = q.shape[0]
+        return TK.masked_topk(
+            d_all.transpose(1, 0, 2).reshape(Bq, S * k),
+            v_all.transpose(1, 0, 2).reshape(Bq, S * k),
+            g_all.transpose(1, 0, 2).reshape(Bq, S * k),
+            k,
+        )
+
+    return jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(state, q)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh",), donate_argnums=(1,))
 def _sharded_delete(mesh, state, slots):
     """slots: [S, m] sharded (local slot ids, -1 = none)."""
@@ -166,18 +235,24 @@ class ShardedLSHIndex:
         self.metric_power = float(metric_power)
         self.options = options or IndexOptions()
         if self.options.rerank == "pallas":
-            # the LSH pallas kernel needs 1024-f32 / 2048-bf16 aligned stored
-            # dims; the sharded state carries no dim padding (round-1 advisor
-            # finding) — fail at construction, not at first query
-            unit = 2048 if self.options.dtype == "bfloat16" else 1024
+            # the pallas kernels need aligned stored dims (IVF block kernel:
+            # 128 lanes; LSH flat-slab kernel: 1024 f32 / 2048 bf16) and the
+            # sharded state carries no dim padding (round-1 advisor finding)
+            # — fail at construction, not at first query
+            if self.options.index_type == "ivf":
+                unit = 128
+            else:
+                unit = 2048 if self.options.dtype == "bfloat16" else 1024
             if self.dim % unit:
                 raise ValueError(
-                    f"ShardedLSHIndex(rerank='pallas') needs dim % {unit} == 0 "
+                    f"sharded rerank='pallas' needs dim % {unit} == 0 "
                     f"(got {self.dim}); use rerank='xla' or pad the embeddings"
                 )
         self.mesh = mesh if mesh is not None else make_mesh(shards)
         self.shards = self.mesh.shape[SHARD_AXIS]
-        self.state = None  # stacked IndexState with leading [S, ...]
+        #: backend: IVF cluster blocks or LSH bucket tables, per options
+        self._ivf = self.options.index_type == "ivf"
+        self.state = None  # stacked IndexState/IVFState with leading [S, ...]
         #: per-shard slot -> id
         self._slot_ids: list[list[bytes]] = [[] for _ in range(self.shards)]
         #: id -> (shard, slot)
@@ -220,6 +295,8 @@ class ShardedLSHIndex:
         return jax.tree.map(lambda a: jax.device_put(a, sh), stacked)
 
     def _fresh_state(self, per_shard_hint: int, datas: list[np.ndarray] | None):
+        if self._ivf:
+            return self._fresh_state_ivf(per_shard_hint, datas)
         bits = self.options.resolved_bits(per_shard_hint)
         cap = self.options.resolved_bucket_capacity()
         slab = next_pow2(max(self.options.slab_capacity // max(self.shards, 1), 2 * per_shard_hint, _MIN_SLAB))
@@ -236,6 +313,45 @@ class ShardedLSHIndex:
                     key, self.options.num_tables, bits, self.dim
                 )
             states.append(B.empty_state(planes, consts, cap, slab, dtype=self.dtype))
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        return self._put(stacked)
+
+    def _fresh_state_ivf(self, per_shard_hint: int, datas: list[np.ndarray] | None):
+        """Per-shard IVF states: each shard trains its own centroids on its
+        data split, then the stacked pytree shards over the mesh."""
+        from zebra_tpu.index.ivf_host import (
+            resolved_capacity, resolved_clusters, resolved_spare,
+        )
+
+        n = max(per_shard_hint, 1)
+        K = resolved_clusters(self.options, n)
+        C = resolved_capacity(self.options, n, K)
+        G = resolved_spare(self.options, n)
+        states = []
+        for s in range(self.shards):
+            key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
+            data = datas[s] if datas is not None else None
+            if data is not None and data.shape[0] >= 2:
+                sample_n = min(
+                    data.shape[0], max(self.options.kmeans_sample, 4 * K)
+                )
+                sub = np.asarray(data, np.float32)
+                if sample_n < sub.shape[0]:
+                    pick = np.sort(
+                        self._rng.choice(sub.shape[0], sample_n, replace=False)
+                    )
+                    sub = sub[pick]
+                padded = next_pow2(sub.shape[0])
+                if padded != sub.shape[0]:
+                    sub = np.pad(sub, ((0, padded - sub.shape[0]), (0, 0)))
+                cents, _ = KM.kmeans(
+                    key, jnp.asarray(sub), jnp.int32(sample_n), k=K,
+                    iters=self.options.kmeans_iters,
+                    balance_rounds=self.options.kmeans_balance_rounds,
+                )
+            else:
+                cents = jax.random.normal(key, (K, self.dim), dtype=jnp.float32)
+            states.append(V.empty_state(cents, C, G, dtype=self.dtype))
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         return self._put(stacked)
 
@@ -261,9 +377,10 @@ class ShardedLSHIndex:
             self._built_n = n
             self._next_slots = [0] * self.shards
         per = max(len(s) for s in splits)
-        last = per % 65536 or per
-        pad_tail = next_pow2(max(min(last, 65536), _MIN_BATCH)) - min(last, 65536)
-        self._ensure_slab(per + pad_tail)
+        if not self._ivf:  # IVF places by cluster; the spare absorbs overflow
+            last = per % 65536 or per
+            pad_tail = next_pow2(max(min(last, 65536), _MIN_BATCH)) - min(last, 65536)
+            self._ensure_slab(per + pad_tail)
         self._insert_split(vectors, ids, splits)
         self._maybe_rebuild()
         return ids
@@ -296,17 +413,50 @@ class ShardedLSHIndex:
                 part = idxs[start : start + count]
                 batch[s, : len(part)] = vectors[part]
                 nv[s] = len(part)
-            self.state, _slots = _sharded_insert(
-                self.mesh, self.state, jnp.asarray(batch), jnp.asarray(nv)
-            )
-            # per-shard bump allocation mirrored host-side (no readback)
-            for s, idxs in enumerate(splits):
-                part = idxs[start : start + count]
-                base = self._next_slots[s]
-                self._register(s, [ids[i] for i in part],
-                               np.arange(base, base + len(part)))
-                self._next_slots[s] = base + len(part)
+            if self._ivf:
+                self._insert_split_ivf(vectors, ids, splits, batch, nv, start, count)
+            else:
+                self.state, _slots = _sharded_insert(
+                    self.mesh, self.state, jnp.asarray(batch), jnp.asarray(nv)
+                )
+                # per-shard bump allocation mirrored host-side (no readback)
+                for s, idxs in enumerate(splits):
+                    part = idxs[start : start + count]
+                    base = self._next_slots[s]
+                    self._register(s, [ids[i] for i in part],
+                                   np.arange(base, base + len(part)))
+                    self._next_slots[s] = base + len(part)
             start += count
+
+    def _insert_split_ivf(self, vectors, ids, splits, batch, nv, start, count) -> None:
+        """IVF shard insert: data-dependent slots read back per batch; rows
+        whose spare filled retry after a stacked spare growth."""
+        pending = [idxs[start : start + count] for idxs in splits]
+        cur_batch, cur_nv = batch, nv
+        for _ in range(8):
+            self.state, slots_dev = _sharded_insert_ivf(
+                self.mesh, self.state, jnp.asarray(cur_batch), jnp.asarray(cur_nv),
+                self.options.spill,
+            )
+            slots = np.asarray(slots_dev)  # [S, padded]
+            new_pending = []
+            for s, part in enumerate(pending):
+                sl = slots[s, : len(part)].astype(np.int64)
+                ok = sl >= 0
+                if ok.any():
+                    self._register(s, [ids[i] for i in part[ok]], sl[ok])
+                new_pending.append(part[~ok])
+            pending = new_pending
+            if not any(len(p) for p in pending):
+                return
+            self.state = _grow_spare_sharded(self.state)
+            padded = next_pow2(max(max(len(p) for p in pending), _MIN_BATCH))
+            cur_batch = np.zeros((self.shards, padded, self.dim), np.float32)
+            cur_nv = np.zeros((self.shards,), np.int32)
+            for s, p in enumerate(pending):
+                cur_batch[s, : len(p)] = vectors[p]
+                cur_nv[s] = len(p)
+        raise RuntimeError("sharded ivf insert could not place batch")
 
     def _register(self, shard: int, ids: list[bytes], slots: np.ndarray) -> None:
         table = self._slot_ids[shard]
@@ -323,6 +473,18 @@ class ShardedLSHIndex:
         st = self.state
         n_live = len(self._id_to_loc)
         if n_live == 0:
+            return
+        if self._ivf:
+            counts = np.asarray(st.counts)  # [S, K+1] readback
+            used = int(counts.sum())
+            spare_cap = st.vectors.shape[1] - st.centroids.shape[1] * st.ccap
+            spare_pressure = counts[:, -1].max() > 0.75 * max(spare_cap, 1)
+            if (
+                n_live > 4.0 * max(self._built_n, 1)
+                or (used - n_live) > 0.5 * max(used, 1)
+                or spare_pressure
+            ):
+                self.rebuild()
             return
         overflow = int(np.sum(np.asarray(st.overflow)))  # [S] readback
         used = sum(self._next_slots)
@@ -443,6 +605,12 @@ class ShardedLSHIndex:
                 precision=self.options.exact_precision,
                 approx=self.options.approx_topk,
             )
+        elif self._ivf:
+            d, g, v = _sharded_query_ivf(
+                self.mesh, self.state, qj, k, self.metric,
+                self.options.num_probes, self.metric_power,
+                rerank=self.options.rerank,
+            )
         else:
             d, g, v = _sharded_query(
                 self.mesh,
@@ -484,19 +652,32 @@ class ShardedLSHIndex:
         import io
 
         buf = io.BytesIO()
-        np.savez(
-            buf,
-            planes=np.asarray(self.state.planes),
-            consts=np.asarray(self.state.consts),
-            buckets=np.asarray(self.state.buckets),
-            counts=np.asarray(self.state.counts),
-            vectors=np.asarray(self.state.vectors, dtype=np.float32),
-            norms=np.asarray(self.state.norms),
-            valid=np.asarray(self.state.valid),
-            next_slot=np.asarray(self.state.next_slot),
-            overflow=np.asarray(self.state.overflow),
-            slot_ids=ids_arr,
-        )
+        if self._ivf:
+            np.savez(
+                buf,
+                centroids=np.asarray(self.state.centroids),
+                counts=np.asarray(self.state.counts),
+                vectors=np.asarray(self.state.vectors, dtype=np.float32),
+                norms=np.asarray(self.state.norms),
+                valid=np.asarray(self.state.valid),
+                overflow=np.asarray(self.state.overflow),
+                ccap=np.asarray(self.state.ccap, dtype=np.int32),
+                slot_ids=ids_arr,
+            )
+        else:
+            np.savez(
+                buf,
+                planes=np.asarray(self.state.planes),
+                consts=np.asarray(self.state.consts),
+                buckets=np.asarray(self.state.buckets),
+                counts=np.asarray(self.state.counts),
+                vectors=np.asarray(self.state.vectors, dtype=np.float32),
+                norms=np.asarray(self.state.norms),
+                valid=np.asarray(self.state.valid),
+                next_slot=np.asarray(self.state.next_slot),
+                overflow=np.asarray(self.state.overflow),
+                slot_ids=ids_arr,
+            )
         fsync_write(os.path.join(directory, "arrays.npz"), buf.getvalue())
 
     @classmethod
@@ -529,17 +710,28 @@ class ShardedLSHIndex:
         if not meta.get("has_state"):
             return idx
         with np.load(os.path.join(directory, "arrays.npz")) as z:
-            stacked = B.IndexState(
-                planes=jnp.asarray(z["planes"]),
-                consts=jnp.asarray(z["consts"]),
-                buckets=jnp.asarray(z["buckets"]),
-                counts=jnp.asarray(z["counts"]),
-                vectors=jnp.asarray(z["vectors"]).astype(idx.dtype),
-                norms=jnp.asarray(z["norms"]),
-                valid=jnp.asarray(z["valid"]),
-                next_slot=jnp.asarray(z["next_slot"]),
-                overflow=jnp.asarray(z["overflow"]),
-            )
+            if idx._ivf:
+                stacked = V.IVFState(
+                    centroids=jnp.asarray(z["centroids"]),
+                    counts=jnp.asarray(z["counts"]),
+                    vectors=jnp.asarray(z["vectors"]).astype(idx.dtype),
+                    norms=jnp.asarray(z["norms"]),
+                    valid=jnp.asarray(z["valid"]),
+                    overflow=jnp.asarray(z["overflow"]),
+                    ccap=int(z["ccap"]),
+                )
+            else:
+                stacked = B.IndexState(
+                    planes=jnp.asarray(z["planes"]),
+                    consts=jnp.asarray(z["consts"]),
+                    buckets=jnp.asarray(z["buckets"]),
+                    counts=jnp.asarray(z["counts"]),
+                    vectors=jnp.asarray(z["vectors"]).astype(idx.dtype),
+                    norms=jnp.asarray(z["norms"]),
+                    valid=jnp.asarray(z["valid"]),
+                    next_slot=jnp.asarray(z["next_slot"]),
+                    overflow=jnp.asarray(z["overflow"]),
+                )
             ids_arr = z["slot_ids"]
         idx.state = idx._put(stacked)
         valid = np.asarray(stacked.valid)
@@ -552,7 +744,8 @@ class ShardedLSHIndex:
             for sl, i in enumerate(table):
                 if i and valid[s, sl]:
                     idx._id_to_loc[i] = (s, sl)
-        idx._next_slots = [int(v) for v in np.asarray(stacked.next_slot)]
+        if not idx._ivf:
+            idx._next_slots = [int(v) for v in np.asarray(stacked.next_slot)]
         return idx
 
     @classmethod
@@ -587,6 +780,20 @@ class ShardedLSHIndex:
         if self.state is None:
             return {"vectors": 0, "built": False, "shards": self.shards}
         st = self.state
+        if self._ivf:
+            counts = np.asarray(st.counts)
+            return {
+                "vectors": len(self._id_to_loc),
+                "built": True,
+                "shards": self.shards,
+                "clusters_per_shard": st.centroids.shape[1],
+                "cluster_capacity": int(st.ccap),
+                "slab_capacity_per_shard": st.vectors.shape[1],
+                "used_slots": int(counts.sum()),
+                "spare_used": int(counts[:, -1].sum()),
+                "max_cluster_load": int(counts[:, :-1].max()),
+                "overflow": int(np.sum(np.asarray(st.overflow))),
+            }
         return {
             "vectors": len(self._id_to_loc),
             "built": True,

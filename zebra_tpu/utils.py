@@ -28,6 +28,24 @@ def next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def device_sync(x) -> None:
+    """TRUE device synchronization for timing.
+
+    On this box's axon backend ``jax.block_until_ready`` returns immediately
+    even with queued work (verified: an 8.8-TFLOP chain "blocks" in 0.1ms but
+    takes ~0.3s to actually finish). The only reliable barrier is a readback,
+    so force a 1-element transfer of (one leaf of) ``x``. Costs one tunnel
+    round trip (~30ms here; microseconds on a local PCIe TPU) — amortise it
+    over enough timed iterations.
+    """
+    import jax
+    import numpy as np
+
+    leaves = jax.tree.leaves(x)
+    if leaves:
+        np.asarray(leaves[0].reshape(-1)[:1])
+
+
 def uuid7_bytes() -> bytes:
     """Time-ordered 16-byte id (UUIDv7 layout).
 
