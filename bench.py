@@ -39,42 +39,71 @@ def make_data(n: int, dim: int, seed: int = 0, n_clusters: int | None = None):
 
 
 def churn(args):
-    """BASELINE config (5): interleaved insert/delete/query at scale."""
-    import jax
+    """BASELINE config (5): interleaved insert/delete/query at scale, run
+    THROUGH the Database facade so persistence (delta log / snapshots) is in
+    the measured path — ``--durability full`` exercises the O(batch) log."""
+    import tempfile
 
-    from zebra_tpu.config import IndexOptions
-    from zebra_tpu.index.lsh import LSHIndex
+    from zebra_tpu.config import DatabaseConfig, IndexOptions
+    from zebra_tpu.db import Database
 
-    idx = LSHIndex(
-        dim=args.dim,
-        metric=args.metric,
-        options=IndexOptions(num_tables=args.tables, num_probes=args.probes, seed=args.seed),
-    )
     rng = np.random.default_rng(args.seed)
     wave = max(args.n // 10, 1)
-    live: list[bytes] = []
-    t0 = time.perf_counter()
-    ops = 0
-    for r in range(10):
-        ids = idx.add(make_data(wave, args.dim, seed=args.seed + r))
-        live.extend(ids)
-        kill_n = len(live) // 4
-        kill_idx = rng.permutation(len(live))[:kill_n]
-        kill = [live[i] for i in kill_idx]
-        idx.remove(kill)
-        dead = set(kill)
-        live = [i for i in live if i not in dead]
-        q = make_data(args.qbatch, args.dim, seed=args.seed + 100 + r)
-        idx.search(q, k=args.k)
-        ops += wave + kill_n + args.qbatch
-        log(f"churn round {r}: live={len(live)} stats={idx.stats()}")
-    dt = time.perf_counter() - t0
+    with tempfile.TemporaryDirectory() as td:
+        cfg = DatabaseConfig(
+            dim=args.dim,
+            metric=args.metric,
+            index=IndexOptions(
+                index_type=args.index,
+                rerank=args.rerank,
+                dtype=args.dtype,
+                num_tables=args.tables,
+                num_probes=args.probes,
+                seed=args.seed,
+            ),
+            durability=args.durability,
+        )
+        db = Database.create(f"{td}/churn.zebra", cfg)
+        live: list[bytes] = []
+        t0 = time.perf_counter()
+        ops = 0
+        recall_last = 0.0
+        for r in range(10):
+            data = make_data(wave, args.dim, seed=args.seed + r)
+            ids = db.insert_vectors(data)
+            live.extend(ids)
+            kill_n = len(live) // 4
+            kill_idx = rng.permutation(len(live))[:kill_n]
+            kill = [live[i] for i in kill_idx]
+            db.remove(kill)
+            dead = set(kill)
+            live = [i for i in live if i not in dead]
+            res = db.query(data[: args.qbatch], number_of_results=args.k)
+            # survivors of this wave must still self-retrieve
+            want = [i for i in ids[: args.qbatch] if i not in dead]
+            got = {row[0][0] for row in res if row}
+            recall_last = (
+                sum(1 for i in want if i in got) / max(len(want), 1)
+            )
+            ops += wave + kill_n + args.qbatch
+            log(
+                f"churn round {r}: live={len(live)} self-retrieval={recall_last:.3f} "
+                f"stats={db.index.stats()}"
+            )
+        dt = time.perf_counter() - t0
     print(json.dumps({
-        "metric": f"churn_ops_per_sec_{args.n}x{args.dim}",
+        "metric": f"churn_ops_per_sec_{args.n}x{args.dim}_{args.durability}",
         "value": round(ops / dt, 1),
         "unit": "ops/s",
         "vs_baseline": 0.0,
-        "extra": {"rounds": 10, "final_live": len(live), "seconds": round(dt, 1)},
+        "extra": {
+            "rounds": 10,
+            "final_live": len(live),
+            "seconds": round(dt, 1),
+            "self_retrieval_last_wave": round(recall_last, 4),
+            "index_type": args.index,
+            "durability": args.durability,
+        },
     }), flush=True)
 
 
@@ -125,17 +154,22 @@ def main():
     #: TPU-fast path) or "lsh" (reference-parity bucket tables)
     ap.add_argument("--index", choices=["ivf", "lsh"], default="ivf")
     ap.add_argument("--rerank", choices=["pallas", "xla"], default="pallas")
-    ap.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    #: bf16 slab: halves DMA traffic and wire bytes; re-rank math stays f32
+    #: (measured 1M x 768: P=2 128.7k QPS @ recall 0.9957 vs f32 62.6k)
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     # 10 tables x 8 probes: +40% QPS over the reference-parity 15 tables at
     # recall@10 ~0.98 on 200k clustered (tools/sweep2.py)
     ap.add_argument("--tables", type=int, default=10)
-    #: probes: clusters probed (ivf; measured recall@10 1.0 at 4 on 1M x 768)
-    #: or per-table buckets probed (lsh; sweet spot 10)
+    #: probes: clusters probed (ivf; measured 1M x 768 recall@10: 0.9957 at
+    #: 2, 0.9984 at 4, 1.0 at 8) or per-table buckets probed (lsh: 10)
     ap.add_argument("--probes", type=int, default=0)
+    ap.add_argument("--durability", choices=["full", "explicit"], default="full")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     if args.probes <= 0:
-        args.probes = 4 if args.index == "ivf" else 10
+        # P=2 is the measured 1M x 768 QPS/recall sweet spot for the ANN
+        # headline; CRUD churn favors recall margin over raw QPS
+        args.probes = (2 if args.mode == "ann" else 8) if args.index == "ivf" else 10
 
     import jax
     import jax.numpy as jnp

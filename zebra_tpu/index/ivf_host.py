@@ -241,6 +241,9 @@ class IVFIndex(BaseVectorIndex):
                 approx=self.options.approx_topk,
                 chunk=131072 if self.options.approx_topk else 8192,
             )
+        rerank = self.options.rerank
+        if rerank == "pallas" and jax.default_backend() == "cpu":
+            rerank = "xla"  # Mosaic kernels need a real TPU; same results
         return V.query(
             self.state,
             qj,
@@ -248,7 +251,7 @@ class IVFIndex(BaseVectorIndex):
             metric=self.metric,
             num_probes=self.options.num_probes,
             power=self.metric_power,
-            rerank=self.options.rerank,
+            rerank=rerank,
         )
 
     # -- persistence -----------------------------------------------------------------

@@ -198,6 +198,9 @@ class LSHIndex(BaseVectorIndex):
                 approx=self.options.approx_topk,
                 chunk=131072 if self.options.approx_topk else 8192,
             )
+        rerank = self.options.rerank
+        if rerank == "pallas" and jax.default_backend() == "cpu":
+            rerank = "xla"  # Mosaic kernels need a real TPU; same results
         return B.query(
             self.state,
             qj,
@@ -205,7 +208,7 @@ class LSHIndex(BaseVectorIndex):
             metric=self.metric,
             num_probes=self.options.num_probes,
             power=self.metric_power,
-            rerank=self.options.rerank,
+            rerank=rerank,
             max_candidates=self.options.max_candidates,
         )
 

@@ -598,6 +598,9 @@ class ShardedLSHIndex:
         qp = np.zeros((padded, self.dim), np.float32)
         qp[:nq] = q
         qj = jnp.asarray(qp)
+        rerank = self.options.rerank
+        if rerank == "pallas" and jax.default_backend() == "cpu":
+            rerank = "xla"  # Mosaic kernels need a real TPU; same results
         if exact:
             d, g, v = _sharded_brute_force(
                 self.mesh, self.state, qj, k, self.metric, self.metric_power,
@@ -609,7 +612,7 @@ class ShardedLSHIndex:
             d, g, v = _sharded_query_ivf(
                 self.mesh, self.state, qj, k, self.metric,
                 self.options.num_probes, self.metric_power,
-                rerank=self.options.rerank,
+                rerank=rerank,
             )
         else:
             d, g, v = _sharded_query(
@@ -621,7 +624,7 @@ class ShardedLSHIndex:
                 self.options.num_probes,
                 self.metric_power,
                 2048,
-                rerank=self.options.rerank,
+                rerank=rerank,
                 max_candidates=self.options.max_candidates,
             )
         return _unpack_results(np.asarray(_pack_results(d, g, v)), nq, k)
