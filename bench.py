@@ -292,6 +292,8 @@ def main():
         flat_stats[tag] = {"qps": round(fqps, 1), "recall": round(agree, 4)}
         log(f"{tag}: {fqps:,.0f} QPS, recall {agree:.4f}")
 
+    stats_snapshot = idx.stats()  # before the timing loops append junk rows
+
     # ---- warm incremental insert rate (compile cache hot from build) ------
     inc_n = min(65536, args.n)
     inc = make_data(inc_n, args.dim, seed=args.seed + 7)
@@ -355,7 +357,7 @@ def main():
             "dim": args.dim,
             "devices": len(devs),
             "flat": flat_stats,
-            "index": idx.stats(),
+            "index": stats_snapshot,
         },
     }
     print(json.dumps(result), flush=True)
