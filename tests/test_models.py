@@ -114,3 +114,62 @@ def test_default_configs_match_reference_pairings():
     assert (i.dim, i.metric, i.model) == (768, "cosine", "vit-base-patch16-224")
     a = audio_config()
     assert (a.dim, a.metric, a.model) == (768, "cosine", "vit-audio")
+
+
+def test_audio_decode_aiff_and_au_match_wav():
+    """AIFF and AU containers decode to the same samples as WAV (stdlib
+    parity for the reference's symphonia any-codec support)."""
+    import io
+    import warnings
+
+    import numpy as np
+
+    from zebra_tpu.models.audio import audio_to_data
+
+    rate = 16000
+    t = np.arange(int(0.25 * rate)) / rate
+    pcm = (0.5 * np.sin(2 * np.pi * 440.0 * t) * 32767).astype("<i2")
+
+    wav_samples, _ = audio_to_data(_wav_bytes(freq=440.0, seconds=0.25))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+        import sunau
+
+    class KeepOpen(io.BytesIO):
+        def close(self):  # aifc/sunau close the underlying file on exit
+            pass
+
+    buf = KeepOpen()
+    with aifc.open(buf, "wb") as a:
+        a.setnchannels(1)
+        a.setsampwidth(2)
+        a.setframerate(rate)
+        a.writeframes(pcm.astype(">i2").tobytes())
+    aiff_samples, aiff_rate = audio_to_data(buf.getvalue())
+    assert aiff_rate == rate
+    np.testing.assert_allclose(aiff_samples, wav_samples, atol=1e-4)
+
+    buf2 = KeepOpen()
+    with sunau.open(buf2, "wb") as a:
+        a.setnchannels(1)
+        a.setsampwidth(2)
+        a.setframerate(rate)
+        a.setcomptype("NONE", "not compressed")
+        a.writeframes(pcm.astype(">i2").tobytes())
+    au_samples, au_rate = audio_to_data(buf2.getvalue())
+    assert au_rate == rate
+    np.testing.assert_allclose(au_samples, wav_samples, atol=1e-4)
+
+    # mu-law AU (sunau's default comptype): lossy codec, loose tolerance.
+    # NB the sunau ENCODER wants native-endian input (unlike raw PCM frames)
+    buf3 = KeepOpen()
+    with sunau.open(buf3, "wb") as a:
+        a.setnchannels(1)
+        a.setsampwidth(2)
+        a.setframerate(rate)
+        a.setcomptype("ULAW", "")
+        a.writeframes(pcm.astype("=i2").tobytes())
+    ulaw_samples, _ = audio_to_data(buf3.getvalue())
+    np.testing.assert_allclose(ulaw_samples, wav_samples, atol=0.02)

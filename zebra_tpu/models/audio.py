@@ -30,38 +30,78 @@ TARGET_BINS = IMAGE_SIZE
 MAX_SAMPLES = 16000 * 30  # cap at 30s @ 16kHz-equivalent to bound compile shapes
 
 
+def _pcm_to_float(raw: bytes, width: int, channels: int, big_endian: bool) -> np.ndarray:
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    arr = np.frombuffer(raw, dtype=dtype)
+    if big_endian and width > 1:
+        arr = arr.byteswap()
+    samples = arr.astype(np.float32)
+    if width == 1:
+        samples = (samples - 128.0) / 128.0
+    else:
+        samples = samples / float(2 ** (8 * width - 1))
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return samples
+
+
 def audio_to_data(data: bytes) -> tuple[np.ndarray, int]:
     """Decode audio bytes to mono float32 samples + sample rate (reference
-    ``audio_to_data``, ``src/model/audio.rs:35-75``)."""
+    ``audio_to_data``, ``src/model/audio.rs:35-75``).
+
+    Native containers (stdlib): WAV, AIFF/AIFC, AU/SND. Compressed codecs
+    (mp3/flac/ogg) route through ``soundfile`` when importable — the
+    reference covers those via the symphonia crate."""
     try:
         with wave.open(io.BytesIO(data)) as w:
-            rate = w.getframerate()
-            n = w.getnframes()
-            width = w.getsampwidth()
-            ch = w.getnchannels()
-            raw = w.readframes(n)
-        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
-        if dtype is None:
-            raise ValueError(f"unsupported WAV sample width {width}")
-        samples = np.frombuffer(raw, dtype=dtype).astype(np.float32)
-        if width == 1:
-            samples = (samples - 128.0) / 128.0
-        else:
-            samples = samples / float(2 ** (8 * width - 1))
-        if ch > 1:
-            samples = samples.reshape(-1, ch).mean(axis=1)
-        return samples, rate
+            raw = w.readframes(w.getnframes())
+            return (
+                _pcm_to_float(raw, w.getsampwidth(), w.getnchannels(), False),
+                w.getframerate(),
+            )
     except wave.Error:
         pass
-    try:  # non-WAV codecs, if soundfile happens to be installed
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import aifc
+
+        with aifc.open(io.BytesIO(data)) as a:
+            raw = a.readframes(a.getnframes())
+            # AIFF PCM is big-endian
+            return (
+                _pcm_to_float(raw, a.getsampwidth(), a.getnchannels(), True),
+                int(a.getframerate()),
+            )
+    if data[:4] == b".snd":
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import sunau
+
+        with sunau.open(io.BytesIO(data)) as a:
+            raw = a.readframes(a.getnframes())
+            # uncompressed AU PCM is big-endian; mu-law frames come back
+            # already decoded to NATIVE-endian linear samples
+            be = a.getcomptype() == "NONE"
+            return (
+                _pcm_to_float(raw, a.getsampwidth(), a.getnchannels(), be),
+                int(a.getframerate()),
+            )
+    try:  # compressed codecs, if soundfile happens to be installed
         import soundfile as sf
 
         samples, rate = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
         return samples.mean(axis=1), int(rate)
     except ImportError as e:
         raise ValueError(
-            "unsupported audio container (WAV supported natively; install "
-            "`soundfile` for other codecs)"
+            "unsupported audio container (WAV/AIFF/AU supported natively; "
+            "install `soundfile` for compressed codecs)"
         ) from e
 
 
