@@ -113,7 +113,7 @@ def kmeans(
         % jnp.maximum(n_valid, 1)
     )
 
-    def lloyd(cents, it):
+    def lloyd(cents, reseed_rows):
         cn2 = jnp.sum(cents * cents, axis=-1)  # [K]
 
         def body(acc, xs):
@@ -133,36 +133,44 @@ def kmeans(
         )
         mean = sums / jnp.maximum(counts, 1)[:, None]
         # empty clusters restart at a random data point (classic Lloyd repair)
-        fresh = data32[reseed_idx[it]]
-        cents = jnp.where((counts > 0)[:, None], mean, fresh)
+        cents = jnp.where((counts > 0)[:, None], mean, data32[reseed_rows])
         return cents, counts
 
-    def main_step(carry, it):
-        cents, counts = lloyd(carry, it)
-        return cents, counts
+    def main_step(cents, rows):
+        return lloyd(cents, rows)
 
     centroids, counts_hist = jax.lax.scan(
-        main_step, centroids, jnp.arange(iters, dtype=jnp.int32)
+        main_step, centroids, reseed_idx[:iters]
     )
-    counts = counts_hist[-1]
+    counts = counts_hist[-1] if iters else jnp.zeros((k,), jnp.int32)
 
-    m = max(k // 8, 1)
-    # symmetry-breaking nudge toward a random real data point: index-based
-    # randomness keeps the op identical across zero-padded stored dims (the
-    # pallas-aligned and unpadded variants of one index must train the same)
-    split_idx = (
-        jax.random.randint(k_split, (balance_rounds, m), 0, n)
-        % jnp.maximum(n_valid, 1)
-    )
-    for r in range(balance_rounds):
-        # move the m lightest centroids next to the m heaviest: each heavy
-        # cell splits roughly in half over the settle iterations
-        order = jnp.argsort(-counts)
-        heavy = order[:m]
-        light = order[k - m :]
-        nudged = 0.99 * centroids[heavy] + 0.01 * data32[split_idx[r]]
-        centroids = centroids.at[light].set(nudged)
-        centroids, counts = lloyd(centroids, iters + 2 * r)
-        centroids, counts = lloyd(centroids, iters + 2 * r + 1)
+    if balance_rounds:
+        m = max(k // 8, 1)
+        # symmetry-breaking nudge toward a random real data point: index-based
+        # randomness keeps the op identical across zero-padded stored dims
+        # (pallas-aligned and unpadded variants of one index train the same)
+        split_idx = (
+            jax.random.randint(k_split, (balance_rounds, m), 0, n)
+            % jnp.maximum(n_valid, 1)
+        )
+        reseed_bal = reseed_idx[iters:].reshape(balance_rounds, 2, k)
+
+        # scanned (not unrolled — compile-size) balance rounds: move the m
+        # lightest centroids next to the m heaviest, then settle 2 iterations
+        def balance_round(carry, xs):
+            cents, counts = carry
+            split_rows, reseed_pair = xs
+            order = jnp.argsort(-counts)
+            heavy = order[:m]
+            light = order[k - m :]
+            nudged = 0.99 * cents[heavy] + 0.01 * data32[split_rows]
+            cents = cents.at[light].set(nudged)
+            cents, counts = lloyd(cents, reseed_pair[0])
+            cents, counts = lloyd(cents, reseed_pair[1])
+            return (cents, counts), None
+
+        (centroids, counts), _ = jax.lax.scan(
+            balance_round, (centroids, counts), (split_idx, reseed_bal)
+        )
 
     return centroids, counts

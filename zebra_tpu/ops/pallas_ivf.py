@@ -90,40 +90,33 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int):
                 )
             return jnp.concatenate(outs, axis=0)  # [Q, C]
 
-        p_iota = jax.lax.broadcasted_iota(jnp.int32, (Q, P, C), 1)
-
+        # statically-unrolled probe pairs (P is small): per-probe [Q, C] dot
+        # tiles CONCATENATE along lanes into [Q, P*C]. Everything stays 2-D —
+        # a [Q, P, C] -> [Q, P*C] reshape and multi-axis reduces both hit
+        # Mosaic layout-inference failures at some widths (the reshape:
+        # "unsupported shape cast" at P=8, C=128; the reduce: a layout.h
+        # CHECK crash).
+        dots: list = [None] * P
         start_wave(buf0, sem0, 0)
-
-        def pair_body(i, dd):
-            a = 2 * i
+        for a in range(0, P, 2):
             b = a + 1
             start_wave(buf1, sem1, b)
-            dots_a = wait_compute(buf0, sem0, a)  # [Q, C]
-            dd = jnp.where(p_iota == a, dots_a[:, None, :], dd)
-
-            @pl.when(a + 2 < P)
-            def _():
+            dots[a] = wait_compute(buf0, sem0, a)  # [Q, C]
+            if a + 2 < P:
                 start_wave(buf0, sem0, a + 2)
+            dots[b] = wait_compute(buf1, sem1, b)
+        dot = jnp.concatenate(dots, axis=1)  # [Q, P*C]
 
-            dots_b = wait_compute(buf1, sem1, b)
-            dd = jnp.where(p_iota == b, dots_b[:, None, :], dd)
-            return dd
-
-        dot = jax.lax.fori_loop(
-            0, P // 2, pair_body, jnp.zeros((Q, P, C), jnp.float32)
-        )
-
-        n2 = nrm_ref[0]  # [Q, P, C]
+        n2 = nrm_ref[0]  # [Q, P*C] (pre-flattened by the wrapper)
         vmask = val_ref[0] > 0
-        qn3 = qn2[:, :, None]  # [Q, 1, 1]
         if metric == "cosine":
-            denom = jax.lax.rsqrt(jnp.maximum(qn3 * n2, 1e-30))
+            denom = jax.lax.rsqrt(jnp.maximum(qn2 * n2, 1e-30))
             d = 1.0 - dot * denom
-            d = jnp.where(n2 * qn3 > 0, d, 1.0)
+            d = jnp.where(n2 * qn2 > 0, d, 1.0)
         else:
-            d2 = jnp.maximum(qn3 + n2 - 2.0 * dot, 0.0)
+            d2 = jnp.maximum(qn2 + n2 - 2.0 * dot, 0.0)
             d = jnp.sqrt(d2) if metric == "l2" else d2
-        d = jnp.where(vmask, d, BIG).reshape(Q, P * C)
+        d = jnp.where(vmask, d, BIG)
 
         lin = jax.lax.broadcasted_iota(jnp.int32, (Q, P * C), 1)
         out_col = jax.lax.broadcasted_iota(jnp.int32, (Q, OUT_K), 1)
@@ -201,8 +194,10 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
 
     kernel = _kernel_factory(metric, Q, P, C, D, k)
     probes4 = probes.reshape(Bp // Q, Q, P)
-    nrm4 = cand_norms.reshape(Bp // Q, Q, P, C)
-    val4 = cand_valid.reshape(Bp // Q, Q, P, C)
+    # flatten the probe axis OUTSIDE the kernel (XLA reshapes are free;
+    # in-kernel lane merges are not Mosaic-safe at every width)
+    nrm4 = cand_norms.reshape(Bp // Q, Q, P * C)
+    val4 = cand_valid.reshape(Bp // Q, Q, P * C)
     q3 = q.astype(jnp.float32).reshape(Bp // Q, Q, D)
 
     out_d, out_p = pl.pallas_call(
@@ -210,8 +205,8 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
         grid=(Bp // Q,),
         in_specs=[
             pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Q, P, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, P, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, P * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, P * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Q, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # slab stays in HBM
         ],
