@@ -1,0 +1,102 @@
+"""Property-based CRUD sequences (hypothesis) against a reference model.
+
+Random interleavings of add / remove / deduplicate / save+reload must keep
+the index consistent with a plain dict model: same live set, exact search
+returns the true nearest stored vector, removed ids never reappear.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from zebra_tpu.config import IndexOptions
+from zebra_tpu.index import load_index, make_index
+
+DIM = 12
+
+
+def _vec(rng, tag: int) -> np.ndarray:
+    r = np.random.default_rng(tag)
+    return r.standard_normal(DIM).astype(np.float32)
+
+
+ops_strategy = st.lists(
+    st.one_of(
+        st.tuples(st.just("add"), st.integers(1, 12)),
+        st.tuples(st.just("remove"), st.integers(0, 30)),
+        st.tuples(st.just("dedup"), st.just(0)),
+        st.tuples(st.just("reload"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@pytest.mark.parametrize("index_type", ["lsh", "ivf"])
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=ops_strategy, seed=st.integers(0, 2**16))
+def test_crud_sequences_match_model(tmp_path_factory, index_type, ops, seed):
+    rng = np.random.default_rng(seed)
+    idx = make_index(
+        DIM, metric="sql2",
+        options=IndexOptions(index_type=index_type, seed=0, num_probes=8),
+    )
+    model: dict[bytes, int] = {}  # id -> vector tag
+    next_tag = seed * 1000 + 1
+
+    for op, arg in ops:
+        if op == "add":
+            tags = list(range(next_tag, next_tag + arg))
+            next_tag += arg
+            vecs = np.stack([_vec(rng, t) for t in tags])
+            ids = idx.add(vecs)
+            for i, t in zip(ids, tags):
+                model[i] = t
+        elif op == "remove":
+            live = sorted(model)
+            kill = live[: arg % (len(live) + 1)]
+            removed = idx.remove(list(kill) + [b"\xff" * 16])  # unknown id too
+            assert sorted(removed) == sorted(kill)
+            for i in kill:
+                del model[i]
+        elif op == "dedup":
+            # vectors are tag-unique here, so dedup must remove nothing
+            assert idx.deduplicate() == []
+        elif op == "reload":
+            d = tmp_path_factory.mktemp("ix")
+            idx.save(str(d))
+            idx = load_index(str(d))
+
+        assert len(idx) == len(model)
+        for i in model:
+            assert i in idx
+        if model:
+            # exact search: the stored vector itself must come back first
+            probe_ids = sorted(model)[:3]
+            queries = np.stack([_vec(rng, model[i]) for i in probe_ids])
+            res = idx.search(queries, k=1, exact=True)
+            for want, row in zip(probe_ids, res):
+                assert row and row[0][0] == want and row[0][1] < 1e-6
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(2, 40),
+    dup_every=st.integers(2, 5),
+    seed=st.integers(0, 2**16),
+)
+def test_dedup_keeps_exactly_one_of_each(n, dup_every, seed):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, DIM)).astype(np.float32)
+    dups = base[::dup_every]
+    idx = make_index(DIM, options=IndexOptions(index_type="ivf", seed=0))
+    idx.add(np.concatenate([base, dups]))
+    removed = idx.deduplicate()
+    assert len(removed) == len(dups)
+    assert len(idx) == n
+    assert idx.deduplicate() == []  # idempotent

@@ -88,6 +88,15 @@ def _cmd_query(args) -> int:
                 print(f"  [{doc_id.hex()[:12]}] {text}")
             else:
                 print(f"  [{doc_id.hex()[:12]}] {len(doc)} bytes")
+                if args.modality == "image" and getattr(args, "preview", False):
+                    # inline terminal render — the reference's viuer parity
+                    # (main.rs:217-247) for sixel-capable terminals
+                    try:
+                        from zebra_tpu.sixel import sixel_encode
+
+                        sys.stdout.write(sixel_encode(doc) + "\n")
+                    except Exception as e:  # corrupt blob / no PIL decode
+                        print(f"    (preview failed: {e})")
                 if args.output_dir:
                     os.makedirs(args.output_dir, exist_ok=True)
                     out = os.path.join(args.output_dir, f"{doc_id.hex()}.bin")
@@ -149,6 +158,9 @@ def build_parser() -> argparse.ArgumentParser:
         q.add_argument("--number-of-results", "-n", type=int, default=1)
         q.add_argument("--output-dir", default="",
                        help="write retrieved image/audio blobs here")
+        if modality == "image":
+            q.add_argument("--preview", action="store_true",
+                           help="render hits inline (sixel terminals)")
         q.set_defaults(fn=_cmd_query)
 
         c = verbs.add_parser("clear", help="delete the database")
