@@ -124,8 +124,16 @@ def _segmented_ranks(c: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("spill",))
-def insert(state: IVFState, x: jnp.ndarray, n_valid: jnp.ndarray, spill: int = 4):
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("spill", "metric")
+)
+def insert(
+    state: IVFState,
+    x: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    spill: int = 4,
+    metric: str = "sql2",
+):
     """Insert a (padded) batch; state donated.
 
     Args:
@@ -133,6 +141,11 @@ def insert(state: IVFState, x: jnp.ndarray, n_valid: jnp.ndarray, spill: int = 4
       x: ``[n, D]`` batch; rows ``>= n_valid`` are padding.
       n_valid: scalar int32 count of real rows.
       spill: nearest-centroid fallback attempts before counting a drop.
+      metric: cell-selection metric — MUST match what :func:`query` probes
+        with (its ``sel_metric``): under varying vector norms the cosine and
+        sql2 nearest-centroid ORDERINGS differ, and a vector spilled deep
+        into its sql2 list can fall outside a cosine query's probe set
+        (measured: self-retrieval 0.68 on churn waves before this matched).
 
     Returns:
       ``(new_state, slots [n] int32)`` — slab position per row; ``-1`` for
@@ -144,11 +157,16 @@ def insert(state: IVFState, x: jnp.ndarray, n_valid: jnp.ndarray, spill: int = 4
     real = jnp.arange(n, dtype=jnp.int32) < n_valid
 
     x32 = x.astype(jnp.float32)
-    # nearest `spill` centroids by sql2 (||x||^2 is constant per row — omit).
     # DEFAULT precision: partition assignment tolerates bf16-grade error.
     dot = jnp.dot(x32, state.centroids.T, preferred_element_type=jnp.float32)
-    cn2 = jnp.sum(state.centroids * state.centroids, axis=-1)
-    score = -(cn2[None, :] - 2.0 * dot)
+    if metric == "cosine":
+        # per-row |x| is constant in the argmax — only centroid norms matter
+        cn = jnp.sqrt(jnp.sum(state.centroids * state.centroids, axis=-1))
+        score = dot / jnp.maximum(cn, 1e-30)[None, :]
+    else:
+        # sql2 geometry (||x||^2 constant per row — omit)
+        cn2 = jnp.sum(state.centroids * state.centroids, axis=-1)
+        score = -(cn2[None, :] - 2.0 * dot)
     if K >= 128:
         # approx_max_k: a full top_k over [65536, 16384] is a multi-GB sort
         # (~seconds/batch); the partial reduction's ~0.5% miss just means a

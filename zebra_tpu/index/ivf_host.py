@@ -143,12 +143,20 @@ class IVFIndex(BaseVectorIndex):
 
     # -- insert --------------------------------------------------------------------
 
+    @property
+    def _cell_metric(self) -> str:
+        """Cell-selection metric — must match query's sel_metric."""
+        from zebra_tpu.ops import distances as D
+
+        return self.metric if self.metric in D.MXU_METRICS else "sql2"
+
     def _insert_batch_dev(self, batch: jnp.ndarray, count: int):
         """One device insert; slots come back as a DEVICE array — the base
         pipeline resolves them two batches behind, overlapping the 4B/vector
         readback with later transfers/compute."""
         self.state, slots_dev = V.insert(
-            self.state, batch, jnp.int32(count), spill=self.options.spill
+            self.state, batch, jnp.int32(count), spill=self.options.spill,
+            metric=self._cell_metric,
         )
         return slots_dev
 
@@ -173,7 +181,7 @@ class IVFIndex(BaseVectorIndex):
             cur[: len(pending), : rows.shape[1]] = rows[pending]
             self.state, slots_dev = V.insert(
                 self.state, jnp.asarray(cur), jnp.int32(len(pending)),
-                spill=self.options.spill,
+                spill=self.options.spill, metric=self._cell_metric,
             )
             slots = np.asarray(slots_dev[: len(pending)])
             out[pending] = slots

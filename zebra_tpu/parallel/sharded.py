@@ -150,12 +150,16 @@ def _sharded_brute_force(mesh, state, q, k, metric, power, chunk,
     )(state, q)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "spill"), donate_argnums=(1,))
-def _sharded_insert_ivf(mesh, state, x, n_valid, spill):
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "spill", "metric"), donate_argnums=(1,)
+)
+def _sharded_insert_ivf(mesh, state, x, n_valid, spill, metric):
     """IVF variant: x [S, n, D] sharded -> (state', slots [S, n])."""
 
     def inner(state, x, nv):
-        st, slots = V.insert(_unstack(state), x[0], nv[0], spill=spill)
+        st, slots = V.insert(
+            _unstack(state), x[0], nv[0], spill=spill, metric=metric
+        )
         return _restack(st), slots[None]
 
     return jax.shard_map(
@@ -280,6 +284,13 @@ class ShardedLSHIndex:
     @property
     def dtype(self):
         return jnp.bfloat16 if self.options.dtype == "bfloat16" else jnp.float32
+
+    @property
+    def _cell_metric(self) -> str:
+        """IVF cell-selection metric — must match query's sel_metric."""
+        from zebra_tpu.ops import distances as D
+
+        return self.metric if self.metric in D.MXU_METRICS else "sql2"
 
     @property
     def slab_capacity(self) -> int:
@@ -436,7 +447,7 @@ class ShardedLSHIndex:
         for _ in range(8):
             self.state, slots_dev = _sharded_insert_ivf(
                 self.mesh, self.state, jnp.asarray(cur_batch), jnp.asarray(cur_nv),
-                self.options.spill,
+                self.options.spill, self._cell_metric,
             )
             slots = np.asarray(slots_dev)  # [S, padded]
             new_pending = []
