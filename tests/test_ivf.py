@@ -207,3 +207,18 @@ def test_ivf_non_mxu_metric(rng, metric):
     res = idx.search(data[:20], k=1)
     for i, row in enumerate(res):
         assert row[0][0] == ids[i]
+
+
+def test_ivf_bf16_snapshot_roundtrip(tmp_path, rng):
+    """bf16 slabs snapshot as uint16 bit patterns (half the bytes) and must
+    reload exactly (same stored bits -> same distances)."""
+    data = _data(rng, 250, 32)
+    idx = IVFIndex(dim=32, options=_opts(dtype="bfloat16"))
+    idx.add(data)
+    idx.save(str(tmp_path / "b"))
+    import numpy as np
+
+    with np.load(str(tmp_path / "b" / "arrays.npz")) as z:
+        assert z["vectors"].dtype == np.uint16
+    idx2 = load_index(str(tmp_path / "b"))
+    assert idx2.search(data[:20], k=3) == idx.search(data[:20], k=3)

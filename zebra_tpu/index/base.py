@@ -89,6 +89,26 @@ def _pack_results(d, s, v):
     )
 
 
+def slab_to_np(vectors) -> np.ndarray:
+    """Snapshot encoding of the slab: bf16 ships as raw uint16 bit patterns
+    (half the snapshot bytes AND half the device->host readback vs upcasting
+    to f32); f32 stays f32."""
+    if vectors.dtype == jnp.bfloat16:
+        import ml_dtypes
+
+        return np.asarray(vectors).view(np.uint16)
+    return np.asarray(vectors, dtype=np.float32)
+
+
+def slab_from_np(arr: np.ndarray, dtype):
+    """Inverse of :func:`slab_to_np` (handles legacy f32 snapshots too)."""
+    if arr.dtype == np.uint16:
+        import ml_dtypes
+
+        return jnp.asarray(arr.view(ml_dtypes.bfloat16)).astype(dtype)
+    return jnp.asarray(arr).astype(dtype)
+
+
 def _unpack_results(packed: np.ndarray, nq: int, k: int):
     d = packed[:nq, :k].view(np.float32)
     s = packed[:nq, k : 2 * k]

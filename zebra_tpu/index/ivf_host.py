@@ -21,7 +21,7 @@ import numpy as np
 
 from zebra_tpu.config import IndexOptions
 from zebra_tpu.index import ivf as V
-from zebra_tpu.index.base import BaseVectorIndex
+from zebra_tpu.index.base import BaseVectorIndex, slab_from_np, slab_to_np
 from zebra_tpu.ops.kmeans import kmeans
 from zebra_tpu.profiling import logger
 from zebra_tpu.utils import next_pow2
@@ -269,7 +269,7 @@ class IVFIndex(BaseVectorIndex):
         return {
             "centroids": np.asarray(st.centroids),
             "counts": np.asarray(st.counts),
-            "vectors": np.asarray(st.vectors, dtype=np.float32),
+            "vectors": slab_to_np(st.vectors),
             "norms": np.asarray(st.norms),
             "valid": np.asarray(st.valid),
             "overflow": np.asarray(st.overflow),
@@ -280,7 +280,7 @@ class IVFIndex(BaseVectorIndex):
         self.state = V.IVFState(
             centroids=jnp.asarray(z["centroids"]),
             counts=jnp.asarray(z["counts"]),
-            vectors=jnp.asarray(z["vectors"]).astype(self.dtype),
+            vectors=slab_from_np(z["vectors"], self.dtype),
             norms=jnp.asarray(z["norms"]),
             valid=jnp.asarray(z["valid"]),
             overflow=jnp.asarray(z["overflow"]),

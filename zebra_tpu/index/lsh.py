@@ -26,6 +26,8 @@ from zebra_tpu.index.base import (
     BaseVectorIndex,
     _MIN_BATCH,
     BATCH,
+    slab_from_np,
+    slab_to_np,
     _pack_results,  # noqa: F401  (re-export: parallel/sharded.py packs results too)
     _unpack_results,  # noqa: F401
 )
@@ -221,7 +223,7 @@ class LSHIndex(BaseVectorIndex):
             "consts": np.asarray(st.consts),
             "buckets": np.asarray(st.buckets),
             "counts": np.asarray(st.counts),
-            "vectors": np.asarray(st.vectors, dtype=np.float32),
+            "vectors": slab_to_np(st.vectors),
             "norms": np.asarray(st.norms),
             "valid": np.asarray(st.valid),
             "next_slot": np.asarray(st.next_slot),
@@ -234,7 +236,7 @@ class LSHIndex(BaseVectorIndex):
             consts=jnp.asarray(z["consts"]),
             buckets=jnp.asarray(z["buckets"]),
             counts=jnp.asarray(z["counts"]),
-            vectors=jnp.asarray(z["vectors"]).astype(self.dtype),
+            vectors=slab_from_np(z["vectors"], self.dtype),
             norms=jnp.asarray(z["norms"]),
             valid=jnp.asarray(z["valid"]),
             next_slot=jnp.asarray(z["next_slot"]),

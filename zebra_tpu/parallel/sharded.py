@@ -31,6 +31,7 @@ from zebra_tpu.index import ivf as V
 from zebra_tpu.ops import hashing as H
 from zebra_tpu.ops import kmeans as KM
 from zebra_tpu.ops import topk as TK
+from zebra_tpu.index.base import slab_from_np, slab_to_np
 from zebra_tpu.index.lsh import _pack_results, _unpack_results
 from zebra_tpu.parallel.mesh import SHARD_AXIS, make_mesh
 from zebra_tpu.utils import fsync_write, next_pow2, uuid7_batch
@@ -671,7 +672,7 @@ class ShardedLSHIndex:
                 buf,
                 centroids=np.asarray(self.state.centroids),
                 counts=np.asarray(self.state.counts),
-                vectors=np.asarray(self.state.vectors, dtype=np.float32),
+                vectors=slab_to_np(self.state.vectors),
                 norms=np.asarray(self.state.norms),
                 valid=np.asarray(self.state.valid),
                 overflow=np.asarray(self.state.overflow),
@@ -685,7 +686,7 @@ class ShardedLSHIndex:
                 consts=np.asarray(self.state.consts),
                 buckets=np.asarray(self.state.buckets),
                 counts=np.asarray(self.state.counts),
-                vectors=np.asarray(self.state.vectors, dtype=np.float32),
+                vectors=slab_to_np(self.state.vectors),
                 norms=np.asarray(self.state.norms),
                 valid=np.asarray(self.state.valid),
                 next_slot=np.asarray(self.state.next_slot),
@@ -728,7 +729,7 @@ class ShardedLSHIndex:
                 stacked = V.IVFState(
                     centroids=jnp.asarray(z["centroids"]),
                     counts=jnp.asarray(z["counts"]),
-                    vectors=jnp.asarray(z["vectors"]).astype(idx.dtype),
+                    vectors=slab_from_np(z["vectors"], idx.dtype),
                     norms=jnp.asarray(z["norms"]),
                     valid=jnp.asarray(z["valid"]),
                     overflow=jnp.asarray(z["overflow"]),
@@ -740,7 +741,7 @@ class ShardedLSHIndex:
                     consts=jnp.asarray(z["consts"]),
                     buckets=jnp.asarray(z["buckets"]),
                     counts=jnp.asarray(z["counts"]),
-                    vectors=jnp.asarray(z["vectors"]).astype(idx.dtype),
+                    vectors=slab_from_np(z["vectors"], idx.dtype),
                     norms=jnp.asarray(z["norms"]),
                     valid=jnp.asarray(z["valid"]),
                     next_slot=jnp.asarray(z["next_slot"]),
