@@ -39,7 +39,8 @@ def main():
     print("reopened:", len(db2), "records; stats:", db2.index.stats())
 
     # --- maintenance ---------------------------------------------------------
-    db2.remove(list(db2.index._id_to_slot)[:10])
+    live_ids = [i for i in db2.index._slot_ids if i]
+    db2.remove(live_ids[:10])
     db2.deduplicate()
     print("after remove+dedup:", len(db2))
 
