@@ -149,8 +149,12 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int):
 
 
 def _query_tile(C: int, D: int, itemsize: int) -> int:
-    """Queries per grid step, bounded by the wave-buffer VMEM budget."""
-    return max(1, min(8, _WAVE_BYTES // max(C * D * itemsize, 1)))
+    """Queries per grid step, bounded by the wave-buffer VMEM budget.
+
+    Deeper tiles amortise per-step costs (DMA issue, pipeline turnaround);
+    bf16 slabs at the 1M x 768 defaults fit Q=16 (2 x 16 x 128 x 768 x 2B =
+    6.3MB of wave buffers)."""
+    return max(1, min(16, _WAVE_BYTES // max(C * D * itemsize, 1)))
 
 
 @functools.partial(
