@@ -145,3 +145,40 @@ def test_mixed_ops_replay_order(tmp_path, rng):
     assert len(db2) == 33
     assert ids[7] in db2.index and ids2[1] in db2.index
     assert ids[0] not in db2.index and ids2[0] not in db2.index
+
+
+def test_bf16_log_records_halve_and_replay(tmp_path, rng):
+    import ml_dtypes
+
+    log = DeltaLog(str(tmp_path / "b.log"))
+    ids = [bytes([i + 1]) + bytes(15) for i in range(8)]
+    v = _vecs(rng, 8)
+    log.append_insert(ids, v, bf16=True)
+    size_bf16 = log.size()
+    log.reset()
+    log.append_insert(ids, v, bf16=False)
+    assert size_bf16 < log.size()  # ~half the vector bytes
+    log.reset()
+    log.append_insert(ids, v, bf16=True)
+    (op, got_ids, got_v), = list(log.replay())
+    assert op == "insert" and got_ids == ids
+    np.testing.assert_array_equal(
+        got_v, v.astype(ml_dtypes.bfloat16).astype(np.float32)
+    )
+
+
+def test_bf16_database_crash_replay(tmp_path, rng):
+    path = str(tmp_path / "db.zebra")
+    cfg = DatabaseConfig(
+        dim=16, metric="sql2",
+        index=IndexOptions(seed=0, index_type="ivf", dtype="bfloat16"),
+        durability="full",
+    )
+    db = Database.create(path, cfg)
+    v = _vecs(rng, 40)
+    ids = db.insert_records(v, [b"d"] * 40)
+    db2 = Database.open(path)  # crash-reopen: bf16 log replays
+    assert len(db2) == 40
+    res = db2.query(v[:5], number_of_results=1)
+    for i, row in enumerate(res):
+        assert row[0][0] == ids[i]

@@ -187,7 +187,10 @@ class Database:
         """
         if self.config.durability == "full":
             if insert is not None:
-                self._delta.append_insert(insert[0], insert[1])
+                self._delta.append_insert(
+                    insert[0], insert[1],
+                    bf16=self.config.index.dtype == "bfloat16",
+                )
             if remove:
                 self._delta.append_remove(remove)
             self._write_manifest(self.path)

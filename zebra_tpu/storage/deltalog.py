@@ -13,7 +13,10 @@ replays the tail on open:
 Record layout (little-endian):
   [magic u32][type u8][payload_len u64][crc32(payload) u32][payload]
 Types: 1 = insert (n u32, dim u32, ids n*16B, vectors n*dim f32),
-       2 = remove (n u32, ids n*16B).
+       2 = remove (n u32, ids n*16B),
+       3 = insert-bf16 (same as 1 with vectors as bf16 bit patterns —
+           half the log bytes; exact for bf16-slab databases, whose stored
+           values are bf16-rounded anyway).
 A torn tail (short read / CRC mismatch — e.g. crash mid-append) ends replay
 and is truncated away, exactly like the native blob log's recovery
 (``zebra_tpu/native/zebra_store.cpp``).
@@ -36,6 +39,7 @@ _HDR = struct.Struct("<IBQI")  # magic, type, payload_len, crc32
 
 INSERT = 1
 REMOVE = 2
+INSERT_BF16 = 3
 
 
 class DeltaLog:
@@ -60,11 +64,21 @@ class DeltaLog:
         f.flush()
         os.fsync(f.fileno())
 
-    def append_insert(self, ids: list[bytes], vectors: np.ndarray) -> None:
+    def append_insert(
+        self, ids: list[bytes], vectors: np.ndarray, bf16: bool = False
+    ) -> None:
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         n, dim = vectors.shape
-        payload = struct.pack("<II", n, dim) + b"".join(ids) + vectors.tobytes()
-        self._append(INSERT, payload)
+        if bf16:
+            import ml_dtypes
+
+            body = vectors.astype(ml_dtypes.bfloat16).view(np.uint16).tobytes()
+            rtype = INSERT_BF16
+        else:
+            body = vectors.tobytes()
+            rtype = INSERT
+        payload = struct.pack("<II", n, dim) + b"".join(ids) + body
+        self._append(rtype, payload)
 
     def append_remove(self, ids: list[bytes]) -> None:
         if not ids:
@@ -105,6 +119,12 @@ class DeltaLog:
             ids = [bytes(payload[8 + 16 * i : 24 + 16 * i]) for i in range(n)]
             if rtype == INSERT:
                 vecs = np.frombuffer(payload, dtype=np.float32, offset=8 + 16 * n)
+                yield "insert", ids, vecs.reshape(n, dim).copy()
+            elif rtype == INSERT_BF16:
+                import ml_dtypes
+
+                bits = np.frombuffer(payload, dtype=np.uint16, offset=8 + 16 * n)
+                vecs = bits.view(ml_dtypes.bfloat16).astype(np.float32)
                 yield "insert", ids, vecs.reshape(n, dim).copy()
             else:
                 yield "remove", ids, None
