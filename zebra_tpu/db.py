@@ -200,15 +200,21 @@ class Database:
 
     def _maybe_checkpoint(self) -> None:
         """Fold the log into a full snapshot once replaying it would cost more
-        than re-snapshotting (log bytes > max(64MB, last snapshot bytes))."""
+        than re-snapshotting (log bytes > max(256MB, last snapshot bytes)).
+
+        The floor trades open-time replay (~25s for 256MB of log) against
+        snapshot frequency — a fold reads the whole slab back from the device
+        (~26s at 1M x 128 on this box), so folding on a small log dominates
+        churn cost."""
         log_bytes = self._delta.size()
-        if log_bytes < 64 * 1024 * 1024:
+        floor = 256 * 1024 * 1024
+        if log_bytes < floor:
             return
         try:
             snap_bytes = os.path.getsize(os.path.join(self._index_dir(), "arrays.npz"))
         except OSError:
             snap_bytes = 0
-        if log_bytes > max(64 * 1024 * 1024, snap_bytes):
+        if log_bytes > max(floor, snap_bytes):
             self.save()
 
     def save(self, path: str | None = None) -> None:
