@@ -1,0 +1,84 @@
+"""Decompose IVF query time at 1M x 768 bf16: scoring vs gathers vs kernel.
+
+  nohup python -u tools/profile_query_ivf.py > /tmp/prof_q.log 2>&1 &
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from zebra_tpu.utils import device_sync, enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+from bench import make_data
+from zebra_tpu.config import IndexOptions
+from zebra_tpu.index import ivf as V
+from zebra_tpu.index.ivf_host import IVFIndex
+from zebra_tpu.ops import distances as D
+from zebra_tpu.ops.pallas_ivf import ivf_rerank, pallas_ivf_rerank
+
+P_PROBES = 2
+n, dim, B = 1_000_000, 768, 1024
+print("devices:", jax.devices(), flush=True)
+data = make_data(n, dim, seed=0)
+idx = IVFIndex(dim=dim, metric="cosine",
+               options=IndexOptions(index_type="ivf", rerank="pallas",
+                                    dtype="bfloat16", seed=0))
+idx.add(data)
+device_sync(idx.state.vectors)
+st = idx.state
+rng = np.random.default_rng(1)
+q = jnp.asarray(data[rng.permutation(n)[:B]] +
+                0.05 * rng.standard_normal((B, dim)).astype(np.float32))
+device_sync(q)
+
+
+def bench(name, fn, iters=30):
+    out = fn()
+    device_sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    device_sync(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:34s} {dt*1e3:8.2f} ms/batch  ({B/dt:,.0f} QPS)", flush=True)
+    return out
+
+
+@jax.jit
+def score_and_probes(st, q):
+    score = D.pairwise(q, st.centroids, metric="cosine", precision="default")
+    _, probes = jax.lax.approx_max_k(-score, P_PROBES)
+    return probes.astype(jnp.int32)
+
+
+probes = bench("centroid score + approx top-P", lambda: score_and_probes(st, q))
+
+
+@jax.jit
+def gathers(st, probes):
+    C = st.cluster_capacity
+    K = st.num_clusters
+    nrm2d = jax.lax.slice(st.norms, (0,), (K * C,)).reshape(K, C)
+    val2d = (
+        jax.lax.slice(st.valid, (0,), (K * C,)).reshape(K, C).astype(jnp.float32)
+    )
+    return jnp.take(nrm2d, probes, axis=0), jnp.take(val2d, probes, axis=0)
+
+
+nrm, val = bench("norm/valid block gathers", lambda: gathers(st, probes))
+
+nrm2 = nrm.reshape(B, -1).reshape(nrm.shape)
+bench("pallas kernel only",
+      lambda: pallas_ivf_rerank(st.vectors, st.cluster_capacity, q, probes,
+                                nrm, val, metric="cosine", k=10)[0])
+
+bench("full ivf.query (pallas)",
+      lambda: V.query(st, q, 10, metric="cosine", num_probes=P_PROBES,
+                      rerank="pallas")[0])

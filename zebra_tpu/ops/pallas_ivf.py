@@ -248,14 +248,17 @@ def ivf_rerank(state, q32, probes, k, metric: str = "cosine"):
     if pad:
         probes = jnp.pad(probes, ((0, 0), (0, 1)))
 
-    def one_block(arr):
-        def take(c):
-            return jax.lax.dynamic_slice(arr, (c * C,), (C,))
-
-        return jax.vmap(jax.vmap(take))
-
-    nrm = one_block(state.norms)(probes)  # [B, P2, C]
-    val = one_block(state.valid)(probes).astype(jnp.float32)
+    # row gathers on a [K, C] view (the spare tail is sliced off first):
+    # measured 10x cheaper than vmapped per-(query, probe) dynamic slices
+    K = state.num_clusters
+    nrm2d = jax.lax.slice(state.norms, (0,), (K * C,)).reshape(K, C)
+    val2d = (
+        jax.lax.slice(state.valid, (0,), (K * C,))
+        .reshape(K, C)
+        .astype(jnp.float32)
+    )
+    nrm = jnp.take(nrm2d, probes, axis=0)  # [B, P2, C]
+    val = jnp.take(val2d, probes, axis=0)
     if pad:
         val = val.at[:, -1, :].set(0.0)
     d, pos = pallas_ivf_rerank(
