@@ -167,9 +167,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     if args.probes <= 0:
-        # P=2 is the measured 1M x 768 QPS/recall sweet spot for the ANN
-        # headline; CRUD churn favors recall margin over raw QPS
-        args.probes = (2 if args.mode == "ann" else 8) if args.index == "ivf" else 10
+        # measured 1M x 768 bf16: P=4 = 263k QPS @ recall 0.9984 (P=2 is
+        # ~30% faster at 0.9953 — pick the recall margin for the headline);
+        # CRUD churn favors even more margin
+        args.probes = (4 if args.mode == "ann" else 8) if args.index == "ivf" else 10
 
     import jax
     import jax.numpy as jnp
