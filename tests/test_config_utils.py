@@ -77,3 +77,18 @@ def test_metric_power_flows_to_results(rng, tmp_path):
         for b, row in enumerate(res):
             want = [ids[j] for j in np.argsort(d[b])[:3]]
             assert [i for i, _ in row] == want
+
+
+def test_uuid7_batch_format_and_uniqueness():
+    from zebra_tpu.utils import uuid7_batch, uuid7_bytes
+
+    ids = uuid7_batch(5000)
+    assert len(ids) == 5000 and len(set(ids)) == 5000
+    for i in ids[:50]:
+        assert len(i) == 16
+        assert i[6] >> 4 == 0x7  # version 7
+        assert i[8] >> 6 == 0b10  # RFC variant
+    # layout matches the scalar generator
+    one = uuid7_bytes()
+    assert one[6] >> 4 == 0x7 and one[8] >> 6 == 0b10
+    assert uuid7_batch(0) == []

@@ -21,6 +21,8 @@ A ground-up JAX/XLA/Pallas rebuild of the capability surface of ``emmyoh/zebra``
 from zebra_tpu.config import IndexOptions, DatabaseConfig
 from zebra_tpu.db import Database
 from zebra_tpu.index.lsh import LSHIndex
+from zebra_tpu.index.ivf_host import IVFIndex
+from zebra_tpu.index import make_index, load_index
 from zebra_tpu import defaults
 from zebra_tpu.defaults import (
     DefaultTextDatabase,
@@ -48,6 +50,9 @@ __all__ = [
     "DatabaseConfig",
     "Database",
     "LSHIndex",
+    "IVFIndex",
+    "make_index",
+    "load_index",
     "ShardedLSHIndex",
     "DefaultTextDatabase",
     "DefaultImageDatabase",
