@@ -114,10 +114,18 @@ def pipeline(args):
     from zebra_tpu.config import DatabaseConfig
     from zebra_tpu.db import Database
 
+    from zebra_tpu.config import IndexOptions
+
     docs = [f"document {i} about topic {i % 97} with words {i * 7 % 1001}".encode()
             for i in range(args.n)]
     with tempfile.TemporaryDirectory() as td:
-        cfg = DatabaseConfig(dim=384, metric="sql2", model=args.model or "hash-384")
+        cfg = DatabaseConfig(
+            dim=384, metric="sql2", model=args.model or "hash-384",
+            index=IndexOptions(
+                index_type=args.index, rerank=args.rerank, dtype=args.dtype,
+                num_probes=args.probes, seed=args.seed,
+            ),
+        )
         db = Database.create(f"{td}/p.zebra", cfg)
         t0 = time.perf_counter()
         db.insert_documents(docs)
