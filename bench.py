@@ -163,7 +163,7 @@ def main():
     ap.add_argument("--index", choices=["ivf", "lsh"], default="ivf")
     ap.add_argument("--rerank", choices=["pallas", "xla"], default="pallas")
     #: bf16 slab: halves DMA traffic and wire bytes; re-rank math stays f32
-    #: (measured 1M x 768: P=2 128.7k QPS @ recall 0.9957 vs f32 62.6k)
+    #: (measured 1M x 768: P=4 267.8k QPS @ recall 0.9984; P=2 344k @ 0.9953)
     ap.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     # 10 tables x 8 probes: +40% QPS over the reference-parity 15 tables at
     # recall@10 ~0.98 on 200k clustered (tools/sweep2.py)
