@@ -143,3 +143,22 @@ def test_open_or_create_corrupt_manifest_falls_back(tmp_path, cfg):
     assert len(db) == 0
     with pytest.raises(Exception):
         Database.open_or_create(str(tmp_path / "missing.zebra"))  # no config
+
+
+def test_close_and_context_manager(tmp_path, rng):
+    from zebra_tpu.config import DatabaseConfig
+    from zebra_tpu.db import Database
+
+    path = str(tmp_path / "cm.zebra")
+    with Database.create(path, DatabaseConfig(dim=8, metric="sql2")) as db:
+        v = rng.standard_normal((30, 8)).astype("float32")
+        ids = db.insert_records(v, [b"x"] * 30)
+    # context exit saved + closed; reopen sees everything
+    db2 = Database.open(path)
+    assert len(db2) == 30
+    out = db2.query_vectors(v[:3], number_of_results=1)
+    assert out[0] == {ids[0]: b"x"}
+    db2.close()
+    # operations after close keep working (stores reopen lazily)
+    db2.insert_records(v[:2] + 1.0, [b"y", b"z"])
+    assert len(db2) == 32

@@ -248,6 +248,26 @@ class Database:
         }
         fsync_write(target, json.dumps(manifest, indent=2).encode())
 
+    def close(self) -> None:
+        """Persist everything and release file handles (the analogue of the
+        reference's RAII drop — fjall flushes on Drop; here an explicit
+        close/ctx-manager since Python finalisers aren't deterministic)."""
+        with self._lock:
+            self.save()
+            self._delta.close()
+            # packed store: close the fd WITHOUT deleting data (it reopens
+            # lazily on the next access); the per-file backend holds no fds
+            store = getattr(self._docs, "_store", None)
+            if store is not None:
+                store.close()
+                self._docs._store = None
+
+    def __enter__(self) -> "Database":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def clear_database(self) -> None:
         """Delete the manifest, snapshots and all blobs (``core.rs:194-198``).
 
