@@ -85,6 +85,12 @@ class IVFIndex(BaseVectorIndex):
         if self.options.rerank == "pallas":
             self._dev_dim = -(-self.dim // 128) * 128
         self.state: V.IVFState | None = None
+        #: host mirrors of slot occupancy, derived from resolved insert slots
+        #: (slot // C is the cluster) — the growth policy then never reads
+        #: device counts back per mutation (a ~30ms sync on this box's
+        #: tunnel after EVERY add/remove)
+        self._used_slots = 0
+        self._spare_used = 0
 
     # -- sizing ----------------------------------------------------------------
 
@@ -192,16 +198,29 @@ class IVFIndex(BaseVectorIndex):
 
     # -- rebuild / compaction ----------------------------------------------------
 
+    def clear(self) -> None:
+        super().clear()
+        self._used_slots = 0
+        self._spare_used = 0
+
+    def _register_slots(self, ids, slots) -> None:
+        super()._register_slots(ids, slots)
+        # tombstones never decrement device counts, so occupancy mirrors are
+        # exact: every registered slot is a fresh allocation
+        self._used_slots += len(slots)
+        if self.state is not None:
+            start = self.state.spare_start
+            self._spare_used += int(np.sum(np.asarray(slots) >= start))
+
     def _maybe_rebuild(self) -> None:
         n_live = len(self._id_to_slot)
         if n_live == 0 or self.state is None:
             return
-        counts = np.asarray(self.state.counts)  # cheap [K+1] readback
-        used = int(counts.sum())
+        used = self._used_slots
         tombstones = used - n_live
         # heavy spare pressure means the partitions no longer fit the data —
         # a retrain rebalances and resizes the spare to the grown population
-        spare_pressure = counts[-1] > 0.75 * max(self.state.spare_capacity, 1)
+        spare_pressure = self._spare_used > 0.75 * max(self.state.spare_capacity, 1)
         if (
             n_live > _REBUILD_GROWTH * max(self._built_n, 1)
             or tombstones > _COMPACT_TOMBSTONES * max(used, 1)
@@ -229,6 +248,8 @@ class IVFIndex(BaseVectorIndex):
         self.state = None  # free the old slab before allocating the new one
         self.state = self._fresh_state(max(n, 1), data)
         self._built_n = max(n, 1)
+        self._used_slots = 0
+        self._spare_used = 0
         from zebra_tpu.index.base import IdSlotMap
 
         self._slot_ids = []
@@ -277,6 +298,9 @@ class IVFIndex(BaseVectorIndex):
         }
 
     def _restore_arrays(self, z) -> None:
+        counts = np.asarray(z["counts"])
+        self._used_slots = int(counts.sum())
+        self._spare_used = int(counts[-1])
         self.state = V.IVFState(
             centroids=jnp.asarray(z["centroids"]),
             counts=jnp.asarray(z["counts"]),
