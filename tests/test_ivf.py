@@ -222,3 +222,26 @@ def test_ivf_bf16_snapshot_roundtrip(tmp_path, rng):
         assert z["vectors"].dtype == np.uint16
     idx2 = load_index(str(tmp_path / "b"))
     assert idx2.search(data[:20], k=3) == idx.search(data[:20], k=3)
+
+
+def test_ivf_k_exceeds_cluster_capacity(rng):
+    """k wider than the per-cluster block must select across blocks, not
+    crash in lax.top_k (round-2 advisor finding)."""
+    data = _data(rng, 400, 24)
+    idx = IVFIndex(
+        dim=24, metric="sql2",
+        options=_opts(num_clusters=8, cluster_capacity=16, spare_capacity=512,
+                      num_probes=8),
+    )
+    ids = idx.add(data)
+    res = idx.search(data[:4], k=40)
+    exact = idx.search(data[:4], k=40, exact=True)
+    for row, erow in zip(res, exact):
+        assert len(row) >= 30  # probes cover most of the 8 blocks + spare
+        # self-hit must rank first with distance ~0
+        assert row[0][1] == pytest.approx(0.0, abs=1e-4)
+    # k larger than the whole database: every live vector is returned once
+    res_all = idx.search(data[:2], k=512)
+    for row in res_all:
+        assert len(row) == 400
+        assert len({i for i, _ in row}) == 400

@@ -71,12 +71,13 @@ class IndexOptions:
     #: initial vector-slab capacity; 0 = auto.
     slab_capacity: int = 0
     # -- ivf backend knobs ---------------------------------------------------
-    #: number of k-means partitions; 0 = auto (~4*sqrt(n), power of two).
+    #: number of k-means partitions; 0 = auto (~n/64 cells, power of two —
+    #: see ivf_host.resolved_clusters for why not the classic ~4*sqrt(n)).
     num_clusters: int = 0
-    #: slab rows reserved per cluster; 0 = auto (2x mean load, power of two).
+    #: slab rows reserved per cluster; 0 = auto (2x mean load, multiple of 16).
     cluster_capacity: int = 0
     #: shared spare-region rows (always-scanned overflow heap for vectors
-    #: whose spill targets are all full); 0 = auto (~n/32).
+    #: whose spill targets are all full); 0 = auto (~n/16, power of two).
     spare_capacity: int = 0
     #: nearest-centroid fallbacks when a cluster is full before the host
     #: grows capacity (FAISS-style spill; vectors are never dropped).

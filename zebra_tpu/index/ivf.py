@@ -297,7 +297,9 @@ def query(
     else:
         _, probes = jax.lax.top_k(-score, P)  # [B, P] cluster ids
 
-    if rerank == "pallas" and metric in D.MXU_METRICS:
+    if rerank == "pallas" and metric in D.MXU_METRICS and k <= 128:
+        # the wave kernel's top-k output is OUT_K=128 wide; larger k falls
+        # back to the XLA path below (same results)
         from zebra_tpu.ops.pallas_ivf import ivf_rerank
 
         dk, ik, vk = ivf_rerank(state, q32, probes.astype(jnp.int32), k, metric=metric)
@@ -341,7 +343,9 @@ def query(
             d = D.mxu_from_parts(metric, dots, qn2, nrm)
         else:
             d = D.rowwise(q32, vecs.astype(jnp.float32), metric=metric, power=power)
-        td, ti, tv = TK.masked_topk(d, vl, sl, k)
+        # k may exceed the C-wide block (lax.top_k rejects k > width): select
+        # min(k, C) per probe — merge_topk reselects k from unequal widths
+        td, ti, tv = TK.masked_topk(d, vl, sl, min(k, C))
         return TK.merge_topk(carry[0], carry[1], carry[2], td, ti, tv, k), None
 
     (dk, ik, vk), _ = jax.lax.scan(body, init, jnp.arange(P))
@@ -373,7 +377,7 @@ def _merge_spare(state: IVFState, q32, dk, ik, vk, k: int, metric: str, power: f
             d,
             jnp.broadcast_to(vl[None, :], (B, G)),
             jnp.broadcast_to(sl[None, :], (B, G)),
-            k,
+            min(k, G),  # G-wide block: same clamp as the per-probe selection
         )
         return TK.merge_topk(dk, ik, vk, td, ti, tv, k)
 

@@ -66,33 +66,43 @@ def audio_to_data(data: bytes) -> tuple[np.ndarray, int]:
     if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
         import warnings
 
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", DeprecationWarning)
-            import aifc
-
-        with aifc.open(io.BytesIO(data)) as a:
-            raw = a.readframes(a.getnframes())
-            # AIFF PCM is big-endian
-            return (
-                _pcm_to_float(raw, a.getsampwidth(), a.getnchannels(), True),
-                int(a.getframerate()),
-            )
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", DeprecationWarning)
+                import aifc
+        except ImportError:  # removed in Python 3.13 — try soundfile below
+            aifc = None
+        if aifc is not None:
+            with aifc.open(io.BytesIO(data)) as a:
+                raw = a.readframes(a.getnframes())
+                # uncompressed (and 'sowt', which aifc byteswaps on read)
+                # AIFF PCM arrives big-endian; compressed AIFC (ulaw/alaw)
+                # decodes to NATIVE-endian linear samples — mirror the AU
+                # branch's comptype check
+                be = a.getcomptype() in (b"NONE", b"sowt")
+                return (
+                    _pcm_to_float(raw, a.getsampwidth(), a.getnchannels(), be),
+                    int(a.getframerate()),
+                )
     if data[:4] == b".snd":
         import warnings
 
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", DeprecationWarning)
-            import sunau
-
-        with sunau.open(io.BytesIO(data)) as a:
-            raw = a.readframes(a.getnframes())
-            # uncompressed AU PCM is big-endian; mu-law frames come back
-            # already decoded to NATIVE-endian linear samples
-            be = a.getcomptype() == "NONE"
-            return (
-                _pcm_to_float(raw, a.getsampwidth(), a.getnchannels(), be),
-                int(a.getframerate()),
-            )
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", DeprecationWarning)
+                import sunau
+        except ImportError:  # removed in Python 3.13 — try soundfile below
+            sunau = None
+        if sunau is not None:
+            with sunau.open(io.BytesIO(data)) as a:
+                raw = a.readframes(a.getnframes())
+                # uncompressed AU PCM is big-endian; mu-law frames come back
+                # already decoded to NATIVE-endian linear samples
+                be = a.getcomptype() == "NONE"
+                return (
+                    _pcm_to_float(raw, a.getsampwidth(), a.getnchannels(), be),
+                    int(a.getframerate()),
+                )
     try:  # compressed codecs, if soundfile happens to be installed
         import soundfile as sf
 

@@ -62,6 +62,8 @@ def exact_scan(
         jnp.zeros((B, k), jnp.bool_),
     )
 
+    kb = min(k, chunk)  # lax.top_k rejects k wider than the scanned chunk
+
     def body(carry, i):
         start = i * chunk
         vecs = jax.lax.dynamic_slice_in_dim(vectors, start, chunk, axis=0)
@@ -69,7 +71,7 @@ def exact_scan(
         d = D.pairwise(q, vecs, metric=metric, power=power, precision=precision)
         if approx:
             d = jnp.where(vl[None, :], d, jnp.inf)
-            neg, idxs = jax.lax.approx_max_k(-d, k)
+            neg, idxs = jax.lax.approx_max_k(-d, kb)
             td = -neg
             ti = start + idxs.astype(jnp.int32)
             tv = jnp.isfinite(td)
@@ -80,7 +82,7 @@ def exact_scan(
                 d,
                 jnp.broadcast_to(vl[None, :], (B, chunk)),
                 jnp.broadcast_to(sl[None, :], (B, chunk)),
-                k,
+                kb,
             )
         return TK.merge_topk(carry[0], carry[1], carry[2], td, ti, tv, k), None
 
