@@ -39,7 +39,7 @@ def main():
     print("reopened:", len(db2), "records; stats:", db2.index.stats())
 
     # --- maintenance ---------------------------------------------------------
-    live_ids = [i for i in db2.index._slot_ids if i]
+    live_ids = db2.index.ids()
     db2.remove(live_ids[:10])
     db2.deduplicate()
     print("after remove+dedup:", len(db2))

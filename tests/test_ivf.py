@@ -167,9 +167,11 @@ def test_ivf_deduplicate(rng):
 def test_factory_dispatch():
     ix = make_index(8, options=_opts())
     assert isinstance(ix, IVFIndex)
+    # IVF is the library default; LSH is the opt-in reference-parity mode
+    assert isinstance(make_index(8, options=IndexOptions()), IVFIndex)
     from zebra_tpu.index import LSHIndex
 
-    assert isinstance(make_index(8, options=IndexOptions()), LSHIndex)
+    assert isinstance(make_index(8, options=IndexOptions(index_type="lsh")), LSHIndex)
 
 
 def test_ivf_database_integration(tmp_path, rng):

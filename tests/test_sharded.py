@@ -8,7 +8,8 @@ from zebra_tpu.parallel.sharded import ShardedLSHIndex
 
 
 def make_index(dim=32, metric="cosine", shards=8, **kw):
-    defaults = dict(num_tables=8, num_probes=8, seed=0)
+    # this module targets the LSH sharded path (IVF sharding: test_sharded_ivf)
+    defaults = dict(index_type="lsh", num_tables=8, num_probes=8, seed=0)
     defaults.update(kw)
     return ShardedLSHIndex(
         dim=dim, metric=metric, options=IndexOptions(**defaults), shards=shards

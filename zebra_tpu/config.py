@@ -33,14 +33,15 @@ class IndexOptions:
     (``src/database/index/lsh.rs:131-138``).
     """
 
-    #: "lsh" = bucketed ANN (reference parity); "flat" = exact brute-force
-    #: scan on the MXU — recall 1.0 and, below a few million vectors, FASTER
-    #: than the gather-based LSH path on TPU (batched matmul beats random
-    #: HBM gathers); "ivf" = learned k-means partitions over a
+    #: "ivf" (the default flagship) = learned k-means partitions over a
     #: cluster-contiguous slab — probes are block reads, the fastest ANN
-    #: path on TPU (see index/ivf.py). No reference analogue for flat/ivf;
-    #: TPU-native additions.
-    index_type: str = "lsh"
+    #: path on TPU (see index/ivf.py; measured 1M x 768 bf16 on one v5e:
+    #: 267.8k QPS @ recall@10 0.9984 vs ~12k for lsh); "lsh" = bucketed ANN
+    #: (reference-parity opt-in, ``lsh.rs:131-138`` semantics); "flat" =
+    #: exact brute-force scan on the MXU — recall 1.0 and, below a few
+    #: million vectors, FASTER than the gather-based LSH path on TPU
+    #: (batched matmul beats random HBM gathers).
+    index_type: str = "ivf"
     num_tables: int = 15
     #: target mean bucket load; reference leaf capacity ``max_node_size=5``.
     max_node_size: int = 5
@@ -48,10 +49,11 @@ class IndexOptions:
     bits: int = 0
     #: physical slots per bucket row; 0 = auto (4x max_node_size, min 16).
     bucket_capacity: int = 0
-    #: buckets probed per table at query time (1 = exact-code only).
-    #: 10 is the measured v5e sweet spot with the default capacity: candidate
-    #: width stays within one re-rank chunk (2048) — crossing it halves QPS.
-    num_probes: int = 10
+    #: probe width at query time; 0 = auto per backend. ivf: clusters probed
+    #: (4 = the measured v5e headline point, recall@10 0.9984 at 1M x 768).
+    #: lsh: buckets probed per table (10 keeps the candidate width within one
+    #: re-rank chunk (2048) — crossing it halves QPS; 1 = exact-code only).
+    num_probes: int = 0
     #: re-rank width after dedup-compaction; <= 0 = no compaction (gather
     #: every probed bucket entry — measured faster on v5e unless memory-bound).
     max_candidates: int = 0
@@ -107,6 +109,11 @@ class IndexOptions:
         target = max(1, self.max_node_size)
         b = math.ceil(math.log2(max(n, 2) / target)) if n > target else 1
         return int(min(max(b, 1), 16))
+
+    def resolved_probes(self) -> int:
+        if self.num_probes > 0:
+            return self.num_probes
+        return 4 if self.index_type == "ivf" else 10
 
     def resolved_bucket_capacity(self) -> int:
         if self.index_type == "flat":

@@ -13,7 +13,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import threading
 
 import numpy as np
 
@@ -22,7 +21,7 @@ from zebra_tpu.index.lsh import LSHIndex
 from zebra_tpu.models.base import get_model
 from zebra_tpu.storage.blobs import make_document_store
 from zebra_tpu.storage.deltalog import DeltaLog
-from zebra_tpu.utils import fsync_write, uuid_hex, uuid7_bytes
+from zebra_tpu.utils import RWLock, fsync_write, uuid_hex, uuid7_batch, uuid7_bytes
 
 _FORMAT_VERSION = 1
 
@@ -90,11 +89,13 @@ class Database:
 
         #: per-database operation counters (insert/query timings & rates)
         self.stats = Stats()
-        # Each public operation is atomic under one re-entrant lock — the
-        # concurrency contract of the reference (thread-safe multi-reader/
-        # multi-writer, README.md:9,15; parallelism lives INSIDE ops: rayon
-        # there, the device mesh here). Host id maps have a single writer.
-        self._lock = threading.RLock()
+        # Mutations are atomic under the exclusive write side; queries take
+        # the SHARED read side and overlap each other — the concurrency
+        # contract of the reference (thread-safe multi-reader, README.md:9,15;
+        # ``core.rs:299-311`` parallel queries). Mutations must be exclusive
+        # here because index inserts donate the old device state (donation
+        # invalidates buffers a concurrent reader could still be using).
+        self._lock = RWLock()
 
     # -- paths ---------------------------------------------------------------
 
@@ -165,38 +166,38 @@ class Database:
                         np.asarray(vecs)[fresh], ids=[ids[j] for j in fresh]
                     )
                     applied += len(fresh)
-            else:  # remove (missing ids are a no-op)
+            else:  # remove (missing ids are a no-op; blobs redo too — a
+                #      crash between log append and blob removal leaves them)
                 applied += len(self.index.remove(ids))
+                self._docs.remove_many(ids)
         if applied:
             from zebra_tpu.profiling import logger
 
             logger.info("delta log: replayed %d records onto the snapshot", applied)
 
-    def _autosave(
-        self,
-        insert: tuple[list[bytes], np.ndarray] | None = None,
-        remove: list[bytes] | None = None,
-    ) -> None:
-        """Post-mutation persistence per the configured durability policy.
+    def _log_insert(self, ids: list[bytes], vectors: np.ndarray) -> None:
+        """WRITE-AHEAD insert record for durability="full" (the reference's
+        per-upsert LSM sync, ``lsh.rs:87-89``, at O(batch) cost). Called
+        BEFORE the index mutation: a crash at any later stage replays the
+        logged record onto the last snapshot (replay is idempotent)."""
+        if self.config.durability == "full" and len(ids):
+            self._delta.append_insert(
+                ids, vectors, bf16=self.config.index.dtype == "bfloat16"
+            )
 
-        "full": O(batch) — append the mutation to the fsync'd delta log (the
-        reference's per-upsert LSM sync, ``lsh.rs:87-89``, at the same cost
-        class), checkpointing to a real snapshot when the log outgrows one.
-        "explicit": blobs are already flushed; record metadata only — index
-        arrays persist on save()/close.
-        """
+    def _log_remove(self, ids: list[bytes]) -> None:
+        """WRITE-AHEAD remove record (see :meth:`_log_insert`). Replaying a
+        remove of an id that never got removed (crash before the index
+        mutation) is a no-op on the blobs side and an exact redo on the
+        index side."""
+        if self.config.durability == "full" and ids:
+            self._delta.append_remove(ids)
+
+    def _post_mutation(self) -> None:
+        """Manifest refresh + log-fold policy after a completed mutation."""
+        self._write_manifest(self.path)
         if self.config.durability == "full":
-            if insert is not None:
-                self._delta.append_insert(
-                    insert[0], insert[1],
-                    bf16=self.config.index.dtype == "bfloat16",
-                )
-            if remove:
-                self._delta.append_remove(remove)
-            self._write_manifest(self.path)
             self._maybe_checkpoint()
-        else:
-            self._write_manifest(self.path)
 
     def _maybe_checkpoint(self) -> None:
         """Fold the log into a full snapshot once replaying it would cost more
@@ -226,6 +227,10 @@ class Database:
         so saving to a NEW path copies them across.
         """
         target = path or self.path
+        with self._lock.write():  # re-entrant under a mutating op's lock
+            self._save_locked(target)
+
+    def _save_locked(self, target: str) -> None:
         data_dir = f"{target}.d"
         os.makedirs(data_dir, exist_ok=True)
         if target != self.path and os.path.isdir(self._docs_dir()):
@@ -252,7 +257,7 @@ class Database:
         """Persist everything and release file handles (the analogue of the
         reference's RAII drop — fjall flushes on Drop; here an explicit
         close/ctx-manager since Python finalisers aren't deterministic)."""
-        with self._lock:
+        with self._lock.write():
             self.save()
             self._delta.close()
             # packed store: close the fd WITHOUT deleting data (it reopens
@@ -277,7 +282,7 @@ class Database:
         inode — documents inserted after a clear would silently vanish on
         reopen (round-1 advisor finding).
         """
-        with self._lock:
+        with self._lock.write():
             self.index.clear()
             self._docs.clear()  # closes native fds where applicable
             self._delta.close()  # the log lives inside the data dir
@@ -306,39 +311,70 @@ class Database:
         return self.insert_records(embeddings, documents)
 
     def insert_records(self, embeddings: np.ndarray, documents: list[bytes]) -> list[bytes]:
-        """Insert embedding/document pairs (``core.rs:245-254``)."""
+        """Insert embedding/document pairs (``core.rs:245-254``).
+
+        WAL ordering for durability="full": blobs first (an orphan blob from
+        a crash is unreachable garbage, never an inconsistency), then the
+        fsync'd log record, then the index mutation — so a crash anywhere
+        after the log append replays to a database that HAS the insert, and
+        a crash before it simply never had it.
+        """
         from zebra_tpu.profiling import timed
 
         embeddings = np.asarray(embeddings, dtype=np.float32)
+        if embeddings.ndim == 1:
+            embeddings = embeddings[None, :]
         if len(documents) != embeddings.shape[0]:
             raise ValueError("embeddings/documents length mismatch")
-        with self._lock, timed("insert", items=len(documents), stats=self.stats):
-            ids = self.index.add(embeddings)
+        if not len(documents):
+            return []
+        ids = uuid7_batch(embeddings.shape[0])
+        with self._lock.write(), timed("insert", items=len(documents), stats=self.stats):
             self._docs.save_many(ids, list(documents))
-            self._autosave(insert=(ids, embeddings))
+            self._log_insert(ids, embeddings)
+            self.index.add(embeddings, ids=ids)
+            self._post_mutation()
         return ids
 
     def insert_vectors(self, vectors: np.ndarray) -> list[bytes]:
-        """Vector-only insert (no payloads) — extension over the reference."""
-        with self._lock:
-            v = np.asarray(vectors, dtype=np.float32)
-            ids = self.index.add(v)
-            self._autosave(insert=(ids, v if v.ndim == 2 else v[None, :]))
+        """Vector-only insert (no payloads) — extension over the reference.
+        Same WAL ordering as :meth:`insert_records` (no blob stage)."""
+        v = np.asarray(vectors, dtype=np.float32)
+        if v.ndim == 1:
+            v = v[None, :]
+        if not v.shape[0]:
+            return []
+        ids = uuid7_batch(v.shape[0])
+        with self._lock.write():
+            self._log_insert(ids, v)
+            self.index.add(v, ids=ids)
+            self._post_mutation()
         return ids
 
     def remove(self, ids: list[bytes]) -> None:
-        """Remove records and their blobs (``core.rs:205-213``)."""
-        with self._lock:
-            removed = self.index.remove(ids)
+        """Remove records and their blobs (``core.rs:205-213``).
+
+        WAL ordering: log the removal of the ids actually present, THEN
+        tombstone the index, then drop blobs — replay redoes both halves.
+        """
+        with self._lock.write():
+            present = [i for i in ids if i in self.index]
+            self._log_remove(present)
+            removed = self.index.remove(present)
             self._docs.remove_many(removed)
-            self._autosave(remove=removed)
+            self._post_mutation()
 
     def deduplicate(self) -> None:
-        """Drop exact-duplicate vectors and their blobs (``core.rs:216-224``)."""
-        with self._lock:
-            removed = self.index.deduplicate()
+        """Drop exact-duplicate vectors and their blobs (``core.rs:216-224``).
+
+        The duplicate set is computed WITHOUT mutating (``find_duplicates``),
+        so the removal write-ahead-logs like any other remove."""
+        with self._lock.write():
+            dup = self.index.find_duplicates()
+            self._log_remove(dup)
+            removed = self.index.remove(dup)
             self._docs.remove_many(removed)
-            self._autosave(remove=removed)
+            self._post_mutation()
 
     # -- queries -------------------------------------------------------------
 
@@ -361,7 +397,8 @@ class Database:
             return {}
         v = np.asarray(vectors, dtype=np.float32)
         nq = 1 if v.ndim == 1 else v.shape[0]
-        with self._lock, timed("query", items=nq, stats=self.stats):
+        # SHARED read lock: concurrent queries overlap; only mutations exclude
+        with self._lock.read(), timed("query", items=nq, stats=self.stats):
             results = self.index.search(v, number_of_results)
             out: dict[int, dict[bytes, bytes]] = {}
             for qi, row in enumerate(results):
@@ -375,14 +412,14 @@ class Database:
             v = np.asarray(vectors)
             nq = 1 if v.ndim == 1 else v.shape[0]
             return [[] for _ in range(nq)]
-        with self._lock:
+        with self._lock.read():
             results = self.index.search(np.asarray(vectors, dtype=np.float32), number_of_results)
-        if not with_documents:
-            return results
-        enriched = []
-        for row in results:
-            docs = self._docs.read_many([i for i, _ in row])
-            enriched.append([(i, d, docs.get(i)) for i, d in row])
+            if not with_documents:
+                return results
+            enriched = []
+            for row in results:
+                docs = self._docs.read_many([i for i, _ in row])
+                enriched.append([(i, d, docs.get(i)) for i, d in row])
         return enriched
 
     def __len__(self) -> int:

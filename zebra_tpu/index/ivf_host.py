@@ -21,7 +21,7 @@ import numpy as np
 
 from zebra_tpu.config import IndexOptions
 from zebra_tpu.index import ivf as V
-from zebra_tpu.index.base import BaseVectorIndex, slab_from_np, slab_to_np
+from zebra_tpu.index.base import BaseVectorIndex, slab_from_np
 from zebra_tpu.ops.kmeans import kmeans
 from zebra_tpu.profiling import logger
 from zebra_tpu.utils import next_pow2
@@ -234,25 +234,24 @@ class IVFIndex(BaseVectorIndex):
         The compaction is a DEVICE permutation gather; the slab never reads
         back through the slow device->host direction."""
         logger.info("ivf rebuild: %d live vectors", len(self._id_to_slot))
-        live_slots = [s for s, i in enumerate(self._slot_ids) if i]
-        if not live_slots:
+        order = self._slot_ids.live_slots()  # ascending
+        if not len(order):
             ids: list[bytes] = []
             data = None
         else:
-            order = np.asarray(live_slots, dtype=np.int64)
             data = jnp.take(
                 self.state.vectors, jnp.asarray(order.astype(np.int32)), axis=0
             )
-            ids = [self._slot_ids[s] for s in order.tolist()]
+            ids = self._slot_ids.take_list(order)
         n = len(ids)
         self.state = None  # free the old slab before allocating the new one
         self.state = self._fresh_state(max(n, 1), data)
         self._built_n = max(n, 1)
         self._used_slots = 0
         self._spare_used = 0
-        from zebra_tpu.index.base import IdSlotMap
+        from zebra_tpu.index.base import IdSlotMap, SlotIdArena
 
-        self._slot_ids = []
+        self._slot_ids = SlotIdArena()
         self._id_to_slot = IdSlotMap()
         if n:
             self._insert_batches(data, ids)
@@ -278,7 +277,7 @@ class IVFIndex(BaseVectorIndex):
             qj,
             k,
             metric=self.metric,
-            num_probes=self.options.num_probes,
+            num_probes=self.options.resolved_probes(),
             power=self.metric_power,
             rerank=rerank,
         )
@@ -286,14 +285,17 @@ class IVFIndex(BaseVectorIndex):
     # -- persistence -----------------------------------------------------------------
 
     def _snapshot_arrays(self) -> dict:
+        # raw device arrays: the streamed snapshot writer fetches them in
+        # bounded chunks (bf16 slab ships as uint16 bits — slab_from_np's
+        # format contract)
         st = self.state
         return {
-            "centroids": np.asarray(st.centroids),
-            "counts": np.asarray(st.counts),
-            "vectors": slab_to_np(st.vectors),
-            "norms": np.asarray(st.norms),
-            "valid": np.asarray(st.valid),
-            "overflow": np.asarray(st.overflow),
+            "centroids": st.centroids,
+            "counts": st.counts,
+            "vectors": st.vectors,
+            "norms": st.norms,
+            "valid": st.valid,
+            "overflow": st.overflow,
             "ccap": np.asarray(st.cluster_capacity, dtype=np.int32),
         }
 

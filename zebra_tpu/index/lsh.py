@@ -27,7 +27,6 @@ from zebra_tpu.index.base import (
     _MIN_BATCH,
     BATCH,
     slab_from_np,
-    slab_to_np,
     _pack_results,  # noqa: F401  (re-export: parallel/sharded.py packs results too)
     _unpack_results,  # noqa: F401
 )
@@ -160,26 +159,24 @@ class LSHIndex(BaseVectorIndex):
             len(self._id_to_slot), self._next_slot,
             int(self.state.overflow) if self.state is not None else 0,
         )
-        live_slots = [s for s, i in enumerate(self._slot_ids) if i]
-        if not live_slots:
+        order = self._slot_ids.live_slots()  # ascending
+        if not len(order):
             ids: list[bytes] = []
             data = None
         else:
-            order = np.asarray(sorted(live_slots), dtype=np.int64)
             # compact ON DEVICE: a [n] permutation gather instead of reading
             # the multi-GB slab back through the slow device->host direction
             data = jnp.take(
                 self.state.vectors, jnp.asarray(order.astype(np.int32)), axis=0
             )
-            slot_to_id = self._slot_ids
-            ids = [slot_to_id[s] for s in order.tolist()]
+            ids = self._slot_ids.take_list(order)
         n = len(ids)
         self.state = None  # free the old slab before allocating the new one
         self.state = self._fresh_state(max(n, 1), data)
         self._built_n = max(n, 1)
-        from zebra_tpu.index.base import IdSlotMap
+        from zebra_tpu.index.base import IdSlotMap, SlotIdArena
 
-        self._slot_ids = []
+        self._slot_ids = SlotIdArena()
         self._id_to_slot = IdSlotMap()
         if n:
             self._before_batches(n)
@@ -208,7 +205,7 @@ class LSHIndex(BaseVectorIndex):
             qj,
             k,
             metric=self.metric,
-            num_probes=self.options.num_probes,
+            num_probes=self.options.resolved_probes(),
             power=self.metric_power,
             rerank=rerank,
             max_candidates=self.options.max_candidates,
@@ -217,17 +214,19 @@ class LSHIndex(BaseVectorIndex):
     # -- persistence ------------------------------------------------------------
 
     def _snapshot_arrays(self) -> dict:
+        # raw device arrays: the streamed snapshot writer fetches them in
+        # bounded chunks (bf16 slab ships as uint16 bits)
         st = self.state
         return {
-            "planes": np.asarray(st.planes),
-            "consts": np.asarray(st.consts),
-            "buckets": np.asarray(st.buckets),
-            "counts": np.asarray(st.counts),
-            "vectors": slab_to_np(st.vectors),
-            "norms": np.asarray(st.norms),
-            "valid": np.asarray(st.valid),
-            "next_slot": np.asarray(st.next_slot),
-            "overflow": np.asarray(st.overflow),
+            "planes": st.planes,
+            "consts": st.consts,
+            "buckets": st.buckets,
+            "counts": st.counts,
+            "vectors": st.vectors,
+            "norms": st.norms,
+            "valid": st.valid,
+            "next_slot": st.next_slot,
+            "overflow": st.overflow,
         }
 
     def _restore_arrays(self, z) -> None:

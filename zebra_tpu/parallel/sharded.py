@@ -561,6 +561,9 @@ class ShardedLSHIndex:
         return removed
 
     def deduplicate(self) -> list[bytes]:
+        return self.remove(self.find_duplicates())
+
+    def find_duplicates(self) -> list[bytes]:
         if not self._id_to_loc:
             return []
         vec_np = np.asarray(self.state.vectors, dtype=np.float32)
@@ -570,8 +573,7 @@ class ShardedLSHIndex:
         _, first_idx = np.unique(view, axis=0, return_index=True)
         keep = np.zeros(len(items), dtype=bool)
         keep[first_idx] = True
-        dup_ids = [items[j][0] for j in np.nonzero(~keep)[0]]
-        return self.remove(dup_ids)
+        return [items[j][0] for j in np.nonzero(~keep)[0]]
 
     def clear(self) -> None:
         self.state = None
@@ -623,7 +625,7 @@ class ShardedLSHIndex:
         elif self._ivf:
             d, g, v = _sharded_query_ivf(
                 self.mesh, self.state, qj, k, self.metric,
-                self.options.num_probes, self.metric_power,
+                self.options.resolved_probes(), self.metric_power,
                 rerank=rerank,
             )
         else:
@@ -633,7 +635,7 @@ class ShardedLSHIndex:
                 qj,
                 k,
                 self.metric,
-                self.options.num_probes,
+                self.options.resolved_probes(),
                 self.metric_power,
                 2048,
                 rerank=rerank,

@@ -125,3 +125,91 @@ class Stopwatch:
             return f"{s:.2f}s"
         m, sec = divmod(s, 60.0)
         return f"{int(m)}m {sec:.1f}s"
+
+
+class RWLock:
+    """Reader-writer lock: queries share, mutations exclude.
+
+    The reference serves concurrent multi-reader queries (rayon inside one
+    search, DashMap across searches — ``core.rs:299-311``); a single mutex
+    would meet that contract only in the trivial one-at-a-time sense. Writers
+    are re-entrant (facade mutations call ``save()`` which is itself a write
+    section) and are preferred over new readers to avoid writer starvation.
+    A thread holding the write lock may enter read sections (treated as
+    nested writes).
+    """
+
+    def __init__(self):
+        import threading
+
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer: int | None = None
+        self._depth = 0
+        self._waiting_writers = 0
+
+    def _me(self) -> int:
+        import threading
+
+        return threading.get_ident()
+
+    def acquire_read(self) -> None:
+        me = self._me()
+        with self._cond:
+            if self._writer == me:  # nested under our own write lock
+                self._depth += 1
+                return
+            while self._writer is not None or self._waiting_writers:
+                self._cond.wait()
+            self._readers += 1
+
+    def release_read(self) -> None:
+        with self._cond:
+            if self._writer == self._me():
+                self._depth -= 1
+                return
+            self._readers -= 1
+            if self._readers == 0:
+                self._cond.notify_all()
+
+    def acquire_write(self) -> None:
+        me = self._me()
+        with self._cond:
+            if self._writer == me:
+                self._depth += 1
+                return
+            self._waiting_writers += 1
+            try:
+                while self._writer is not None or self._readers:
+                    self._cond.wait()
+            finally:
+                self._waiting_writers -= 1
+            self._writer = me
+            self._depth = 1
+
+    def release_write(self) -> None:
+        with self._cond:
+            self._depth -= 1
+            if self._depth == 0:
+                self._writer = None
+                self._cond.notify_all()
+
+    def read(self):
+        return _LockCtx(self.acquire_read, self.release_read)
+
+    def write(self):
+        return _LockCtx(self.acquire_write, self.release_write)
+
+
+class _LockCtx:
+    __slots__ = ("_enter", "_exit")
+
+    def __init__(self, enter, exit):
+        self._enter = enter
+        self._exit = exit
+
+    def __enter__(self):
+        self._enter()
+
+    def __exit__(self, *exc):
+        self._exit()
