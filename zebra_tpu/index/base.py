@@ -83,6 +83,10 @@ class SlotIdArena:
         """Packed ``16*len(slots)`` id bytes for an int slot array."""
         return self._arr[np.asarray(slots, dtype=np.int64)].tobytes()
 
+    def rows(self, slots: np.ndarray) -> np.ndarray:
+        """``[m, 16]`` uint8 id rows for an int slot array."""
+        return self._arr[np.asarray(slots, dtype=np.int64)]
+
     def live_slots(self) -> np.ndarray:
         """Ascending slots holding a non-empty id."""
         return np.nonzero(self._arr[: self._hi].any(axis=1))[0]
@@ -261,6 +265,12 @@ class BaseVectorIndex:
     def _before_batches(self, n: int) -> None:
         """Reserve capacity for an incoming batch run (optional)."""
 
+    def _stage_batch(self, batch: np.ndarray):
+        """Ship one staged host batch to the device (async device_put; the
+        pipeline overlaps it with the previous batch's insert). Sharded
+        subclasses place per-shard blocks directly on their devices."""
+        return jax.device_put(batch)
+
     def _insert_batch_dev(self, batch: jnp.ndarray, count: int):
         """Insert a staged device batch; return its slots — either an np
         array (host-mirrored allocators) or a device array resolved later
@@ -280,6 +290,24 @@ class BaseVectorIndex:
 
     def _maybe_rebuild(self) -> None:
         """Growth / compaction policy after a mutation (optional)."""
+
+    def _slab2d(self):
+        """2-D ``[rows, D]`` view of the stored vectors (dedup/rebuild reads).
+        Sharded subclasses reshape their stacked ``[S, cap, D]`` slab."""
+        return self.state.vectors
+
+    def _flat_slots(self, slots: np.ndarray) -> np.ndarray:
+        """Map public slot numbers to row indices of :meth:`_slab2d`
+        (identity unless the subclass encodes shard topology in slots)."""
+        return slots
+
+    def _valid_by_slot(self) -> np.ndarray:
+        """1-D liveness mask indexed by PUBLIC slot number (load scrubbing)."""
+        return np.asarray(self.state.valid)
+
+    def _meta_extra(self) -> dict:
+        """Extra snapshot metadata (subclass hook; e.g. shard count)."""
+        return {}
 
     def _snapshot_arrays(self) -> dict:
         raise NotImplementedError
@@ -369,7 +397,7 @@ class BaseVectorIndex:
                 return jax.lax.dynamic_slice_in_dim(src, start, padded, axis=0)
             batch = np.zeros((padded, self._dev_dim), dtype=np.float32)
             batch[:count, : vectors.shape[1]] = vectors[start : start + count]
-            return jax.device_put(batch.astype(wire, copy=False))
+            return self._stage_batch(batch.astype(wire, copy=False))
 
         def resolve(span, handle):
             start, count = span
@@ -435,8 +463,8 @@ class BaseVectorIndex:
         from zebra_tpu.ops.rowhash import row_hashes
 
         slots = self._slot_ids.live_slots()
-        hashes = np.asarray(row_hashes(self.state.vectors))  # [S, 2] i32
-        keys = hashes[slots].astype(np.int64)
+        hashes = np.asarray(row_hashes(self._slab2d()))  # [S, 2] i32
+        keys = hashes[self._flat_slots(slots)].astype(np.int64)
         keys = (keys[:, 0] << 32) ^ (keys[:, 1] & 0xFFFFFFFF)
         order = np.argsort(keys, kind="stable")  # slots ascending within ties
         ks = keys[order]
@@ -450,13 +478,22 @@ class BaseVectorIndex:
         # few suspect rows, not the whole slab)
         sus = slots[order[in_collision]]  # ascending within each hash group
         sus_rows = np.asarray(
-            jnp.take(self.state.vectors, jnp.asarray(sus), axis=0), np.float32
+            jnp.take(self._slab2d(), jnp.asarray(self._flat_slots(sus)), axis=0),
+            np.float32,
         )
         view = np.ascontiguousarray(sus_rows).view(np.uint32).reshape(len(sus), -1)
-        _, first_idx = np.unique(view, axis=0, return_index=True)
-        keep = np.zeros(len(sus), dtype=bool)
-        keep[first_idx] = True
-        return self._slot_ids.take_list(sus[~keep])
+        _, inv = np.unique(view, axis=0, return_inverse=True)
+        # keep the SMALLEST id in each exact-duplicate group: deterministic
+        # and independent of slot layout (sharded interleaving reorders slots
+        # but not ids), and — uuid7_batch being monotone — equal to
+        # keep-earliest-inserted for generated ids
+        idrows = self._slot_ids.rows(sus)
+        hi = np.ascontiguousarray(idrows[:, :8]).view(">u8")[:, 0]
+        lo = np.ascontiguousarray(idrows[:, 8:]).view(">u8")[:, 0]
+        order2 = np.lexsort((lo, hi, inv))  # group-major, id-minor
+        inv_sorted = inv[order2]
+        first = np.concatenate([[True], inv_sorted[1:] != inv_sorted[:-1]])
+        return self._slot_ids.take_list(sus[order2[~first]])
 
     def clear(self) -> None:
         """Drop all vectors and device state (reference ``clear``,
@@ -532,6 +569,7 @@ class BaseVectorIndex:
             "built_n": self._built_n,
             "has_state": self.state is not None,
             "backend": type(self).__name__,
+            **self._meta_extra(),
         }
         fsync_write(os.path.join(directory, "index.json"), json.dumps(meta).encode())
         if self.state is None:
@@ -546,22 +584,27 @@ class BaseVectorIndex:
         )
 
     @classmethod
-    def load(cls, directory: str):
-        with open(os.path.join(directory, "index.json"), "rb") as f:
-            meta = json.loads(f.read())
-        idx = cls(
+    def _construct_for_load(cls, meta: dict, **ctor_kw):
+        return cls(
             dim=meta["dim"],
             metric=meta["metric"],
             options=IndexOptions.from_json(meta["options"]),
             metric_power=meta.get("metric_power", 3.0),
+            **ctor_kw,
         )
+
+    @classmethod
+    def load(cls, directory: str, **ctor_kw):
+        with open(os.path.join(directory, "index.json"), "rb") as f:
+            meta = json.loads(f.read())
+        idx = cls._construct_for_load(meta, **ctor_kw)
         idx._built_n = meta.get("built_n", 0)
         if not meta.get("has_state"):
             return idx
         with np.load(os.path.join(directory, "arrays.npz")) as z:
             idx._restore_arrays(z)
             ids_arr = np.ascontiguousarray(z["slot_ids"])
-        valid = np.asarray(idx.state.valid)
+        valid = idx._valid_by_slot()
         # scrub ids saved for tombstoned slots (keeps the non-empty == live
         # invariant), then register the live set — all vectorised
         has_id = ids_arr.any(axis=1)

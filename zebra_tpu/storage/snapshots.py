@@ -66,6 +66,13 @@ def _iter_chunks(arr, shape, dtype):
         return
     n = shape[0]
     row_bytes = dtype.itemsize * int(np.prod(shape[1:], dtype=np.int64))
+    if row_bytes > CHUNK_BYTES and len(shape) > 1:
+        # one axis-0 row is already over budget (e.g. a stacked per-shard
+        # slab [S, cap, D]): stream the flattened view instead — reshape is
+        # free for C-contiguous arrays on host and device alike
+        flat = arr.reshape(-1) if _is_device_array(arr) else np.asarray(arr).reshape(-1)
+        yield from _iter_chunks(flat, (int(np.prod(shape, dtype=np.int64)),), dtype)
+        return
     rows = max(1, CHUNK_BYTES // max(row_bytes, 1))
     for s in range(0, n, rows):
         e = min(n, s + rows)

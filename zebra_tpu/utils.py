@@ -66,19 +66,30 @@ def uuid7_bytes() -> bytes:
 
 def uuid7_batch(n: int) -> list[bytes]:
     """Vectorised :func:`uuid7_bytes`: one urandom draw + numpy bit surgery
-    instead of n per-id syscalls (matters at 65k-vector insert batches)."""
+    instead of n per-id syscalls (matters at 65k-vector insert batches).
+
+    MONOTONE within the batch (like the uuid crate's ``Uuid::now_v7``
+    intra-millisecond counter the reference relies on, ``lsh.rs:415``): the
+    12-bit rand_a field carries a sequence counter, overflowing into the
+    millisecond timestamp every 4096 ids. Byte order of the ids therefore
+    equals insert order — which deduplicate() uses as its keep-earliest rule.
+    """
     import numpy as np
 
     if n <= 0:
         return []
     ms = time.time_ns() // 1_000_000
+    seq = np.arange(n, dtype=np.int64)
+    ms_i = ms + (seq >> 12)  # counter overflow rolls the timestamp forward
+    ctr = (seq & 0xFFF).astype(np.uint16)
     arr = np.empty((n, 16), dtype=np.uint8)
-    arr[:, 0:6] = np.frombuffer(ms.to_bytes(6, "big"), dtype=np.uint8)
-    rand = np.frombuffer(secrets.token_bytes(10 * n), dtype=np.uint8).reshape(n, 10)
-    arr[:, 6] = 0x70 | (rand[:, 0] & 0x0F)
-    arr[:, 7] = rand[:, 1]
-    arr[:, 8] = 0x80 | (rand[:, 2] & 0x3F)
-    arr[:, 9:16] = rand[:, 3:10]
+    for b in range(6):  # big-endian 48-bit ms per row
+        arr[:, b] = ((ms_i >> (8 * (5 - b))) & 0xFF).astype(np.uint8)
+    rand = np.frombuffer(secrets.token_bytes(8 * n), dtype=np.uint8).reshape(n, 8)
+    arr[:, 6] = 0x70 | (ctr >> 8).astype(np.uint8)
+    arr[:, 7] = (ctr & 0xFF).astype(np.uint8)
+    arr[:, 8] = 0x80 | (rand[:, 0] & 0x3F)
+    arr[:, 9:16] = rand[:, 1:8]
     flat = arr.tobytes()
     return [flat[i * 16 : (i + 1) * 16] for i in range(n)]
 
