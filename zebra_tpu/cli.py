@@ -35,7 +35,25 @@ def _open_db(modality: str, path: str):
     from zebra_tpu import defaults
 
     factory = {"text": defaults.text_db, "image": defaults.image_db, "audio": defaults.audio_db}
-    return factory[modality](path)
+    db = factory[modality](path)
+    _warn_degraded(db)
+    return db
+
+
+def _warn_degraded(db) -> None:
+    """Print embedding-path degradations LOUDLY (stderr) — a user must not
+    mistake hash-tokenizer / random-init results for semantic search."""
+    try:
+        status = db.model_status()
+    except Exception:
+        return
+    for d in status.get("degradations", []):
+        sys.stderr.write(f"WARNING: {status.get('model')}: {d}\n")
+    if status.get("degradations"):
+        sys.stderr.write(
+            "WARNING: results will NOT be semantic until the above is fixed.\n"
+        )
+        sys.stderr.flush()
 
 
 def _cmd_insert(args) -> int:
@@ -122,6 +140,7 @@ def _cmd_stats(args) -> int:
         "records": len(db),
         "config": db.config.to_json(),
         "index": db.index.stats(),
+        "model": db.model_status(),
     }
     print(json.dumps(info, indent=2))
     return 0

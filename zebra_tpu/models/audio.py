@@ -167,3 +167,17 @@ class VitAudioModel(BaseModel):
                 pixels[i] = audio_to_image_tensor224(d)
             out[start : start + len(batch)] = embed_pixels(pixels, mode=self.mode)[: len(batch)]
         return out
+
+    def status(self) -> dict:
+        from zebra_tpu.models.vit import weight_status
+
+        degr = weight_status(self.mode)
+        try:
+            import soundfile  # noqa: F401
+        except ImportError:
+            degr = degr + [
+                "compressed audio codecs (mp3/flac/ogg) unavailable — "
+                "install the 'audio' extra (soundfile); WAV/AIFF/AU decode "
+                "natively"
+            ]
+        return {"semantic": not degr, "degradations": degr}

@@ -58,3 +58,9 @@ class VitImageModel(BaseModel):
                 pixels[i] = load_image224(d)
             out[start : start + len(batch)] = embed_pixels(pixels, mode=self.mode)[: len(batch)]
         return out
+
+    def status(self) -> dict:
+        from zebra_tpu.models.vit import weight_status
+
+        degr = weight_status(self.mode)
+        return {"semantic": not degr, "degradations": degr}

@@ -87,6 +87,11 @@ class VitTower(nn.Module):
         return jnp.mean(x, axis=1)
 
 
+#: per-mode weight-load health ("loaded"/"partial"/"random"), surfaced by
+#: the image/audio models' status() -> Database.model_status() -> CLI
+WEIGHT_STATUS: dict[str, str] = {}
+
+
 @functools.lru_cache(maxsize=4)
 def _tower_and_params(mode: str, seed: int = 0):
     from zebra_tpu.profiling import logger
@@ -103,12 +108,32 @@ def _tower_and_params(mode: str, seed: int = 0):
                 "remains!): %s", weights_path, len(report["problems"]),
                 report["problems"][:8],
             )
+            WEIGHT_STATUS[mode] = "partial"
         else:
             logger.info("vit: loaded %d tensors from %s", report["mapped"], weights_path)
-    elif weights_path:
-        logger.warning("ZEBRA_TPU_VIT_WEIGHTS=%s does not exist — random init", weights_path)
+            WEIGHT_STATUS[mode] = "loaded"
+    else:
+        if weights_path:
+            logger.warning(
+                "ZEBRA_TPU_VIT_WEIGHTS=%s does not exist — random init", weights_path
+            )
+        WEIGHT_STATUS[mode] = "random"
     apply_fn = jax.jit(lambda p, x: model.apply({"params": p}, x))
     return apply_fn, params
+
+
+def weight_status(mode: str, seed: int = 0) -> list[str]:
+    """Degradation strings for a tower mode (builds the cached tower)."""
+    _tower_and_params(mode, seed)
+    st = WEIGHT_STATUS.get(mode, "random")
+    if st == "random":
+        return [
+            "random-init ViT weights (set ZEBRA_TPU_VIT_WEIGHTS to a "
+            "model.safetensors checkpoint)"
+        ]
+    if st == "partial":
+        return ["ViT checkpoint only partially mapped (see log)"]
+    return []
 
 
 #: checkpoint tensors legitimately unused by our pooling modes
