@@ -24,6 +24,44 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def emit(result: dict, out: str = "") -> None:
+    """Print the one-line JSON result; optionally also write it to a file
+    (bench_results/ artifacts — every README number maps to a JSON file)."""
+    line = json.dumps(result)
+    print(line, flush=True)
+    if out:
+        import os
+
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "w") as f:
+            f.write(line + "\n")
+
+
+def measure_tunnel(dim: int = 768):
+    """Measured host<->device bandwidth (MB/s) — context for facade numbers
+    on this box's tunnel (wire cost bounds any host-side query path)."""
+    import jax
+    import numpy as np
+
+    from zebra_tpu.utils import device_sync
+
+    up_mb = 32
+    host = np.random.default_rng(0).standard_normal(
+        (up_mb * 1024 * 1024 // (4 * dim), dim)
+    ).astype(np.float32)
+    h = jax.device_put(host)  # warm any lazy init
+    device_sync(h)
+    t0 = time.perf_counter()
+    h = jax.device_put(host)
+    device_sync(h)
+    up = up_mb / (time.perf_counter() - t0)
+    down_rows = max((4 * 1024 * 1024) // (4 * dim), 1)
+    t0 = time.perf_counter()
+    _ = np.asarray(h[:down_rows])
+    down = (down_rows * dim * 4 / 1e6) / (time.perf_counter() - t0)
+    return round(up, 1), round(down, 1)
+
+
 def make_data(n: int, dim: int, seed: int = 0, n_clusters: int | None = None):
     """Clustered Gaussians — the data regime ANN recall targets describe."""
     rng = np.random.default_rng(seed)
@@ -91,7 +129,7 @@ def churn(args):
                 f"stats={db.index.stats()}"
             )
         dt = time.perf_counter() - t0
-    print(json.dumps({
+    emit({
         "metric": f"churn_ops_per_sec_{args.n}x{args.dim}_{args.durability}",
         "value": round(ops / dt, 1),
         "unit": "ops/s",
@@ -104,7 +142,7 @@ def churn(args):
             "index_type": args.index,
             "durability": args.durability,
         },
-    }), flush=True)
+    }, args.out)
 
 
 def pipeline(args):
@@ -134,7 +172,7 @@ def pipeline(args):
         res = db.query_documents(docs[: args.qbatch], number_of_results=args.k)
         t_q = time.perf_counter() - t0
         hits = sum(docs[i] in res[i].values() for i in range(args.qbatch))
-        print(json.dumps({
+        emit({
             "metric": f"text_pipeline_docs_per_sec_{args.n}",
             "value": round(args.n / t_ins, 1),
             "unit": "docs/s",
@@ -144,7 +182,7 @@ def pipeline(args):
                 "self_retrieval": hits / args.qbatch,
                 "model": cfg.model,
             },
-        }), flush=True)
+        }, args.out)
 
 
 def main():
@@ -173,6 +211,8 @@ def main():
     ap.add_argument("--probes", type=int, default=0)
     ap.add_argument("--durability", choices=["full", "explicit"], default="full")
     ap.add_argument("--seed", type=int, default=0)
+    #: also write the result JSON to this file (bench_results/ artifacts)
+    ap.add_argument("--out", default="")
     args = ap.parse_args()
     if args.probes <= 0:
         # measured 1M x 768 bf16: P=4 = 263k QPS @ recall 0.9984 (P=2 is
@@ -345,6 +385,57 @@ def main():
         idx._next_slot += inc_n * (iters_dev + 1)
     log(f"device insert rate: {device_inserts_per_sec:,.0f} vectors/sec (HBM-resident batch)")
 
+    # ---- facade-level numbers: the FULL Database.query path ----------------
+    # (read lock + device search + packed readback + arena id mapping —
+    #  the reference's headline is its facade, core.rs:290-313)
+    import tempfile
+
+    from zebra_tpu.config import DatabaseConfig
+    from zebra_tpu.db import Database
+
+    up_mbs, down_mbs = measure_tunnel(args.dim)
+    log(f"tunnel: host->device {up_mbs} MB/s, device->host {down_mbs} MB/s")
+    facade = {}
+    with tempfile.TemporaryDirectory() as td:
+        cfg = DatabaseConfig(
+            dim=args.dim, metric=args.metric, index=idx.options,
+            durability="explicit",
+        )
+        db = Database(cfg, f"{td}/b.zebra", index=idx)
+        res = db.query(queries, args.k)  # warm
+        assert len(res) == args.qbatch and res[0], "facade query broken"
+        iters_f = max(args.qiters // 4, 3)
+        t0 = time.perf_counter()
+        for _ in range(iters_f):
+            res = db.query(queries, args.k)
+        t_f = time.perf_counter() - t0
+        facade["facade_qps"] = round(args.qbatch * iters_f / t_f, 1)
+        # wire accounting: what the tunnel alone costs per query batch
+        q_up = args.qbatch * args.dim * 4 / 1e6  # f32 queries up, MB
+        r_down = args.qbatch * 3 * args.k * 4 / 1e6  # packed results down, MB
+        facade["facade_wire_ms_per_batch"] = round(
+            1000 * (q_up / max(up_mbs, 1e-9) + r_down / max(down_mbs, 1e-9)), 1
+        )
+        facade["facade_wire_bound_qps"] = round(
+            args.qbatch / (q_up / max(up_mbs, 1e-9) + r_down / max(down_mbs, 1e-9)), 1
+        )
+        # facade cost with the tunnel subtracted: what the lock + device
+        # search + arena mapping would sustain on a real PCIe host (this
+        # box's dev tunnel is ~50x slower than production links)
+        t_batch = t_f / iters_f
+        wire_s = q_up / max(up_mbs, 1e-9) + r_down / max(down_mbs, 1e-9)
+        facade["facade_sw_qps"] = round(args.qbatch / max(t_batch - wire_s, 1e-9), 1)
+        # facade insert rate (index add + id registration + manifest)
+        inc2 = make_data(inc_n, args.dim, seed=args.seed + 11)
+        t0 = time.perf_counter()
+        db.insert_vectors(inc2)
+        device_sync(db.index.state.vectors)
+        facade["facade_inserts_per_sec"] = round(inc_n / (time.perf_counter() - t0), 1)
+        db._delta.close()
+    facade["tunnel_up_mb_s"] = up_mbs
+    facade["tunnel_down_mb_s"] = down_mbs
+    log(f"facade: {facade}")
+
 
     result = {
         "metric": f"query_qps_{args.n}x{args.dim}_{args.metric}",
@@ -367,9 +458,10 @@ def main():
             "devices": len(devs),
             "flat": flat_stats,
             "index": stats_snapshot,
+            **facade,
         },
     }
-    print(json.dumps(result), flush=True)
+    emit(result, args.out)
 
 
 if __name__ == "__main__":

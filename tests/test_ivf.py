@@ -247,3 +247,69 @@ def test_ivf_k_exceeds_cluster_capacity(rng):
     for row in res_all:
         assert len(row) == 400
         assert len({i for i, _ in row}) == 400
+
+
+def test_ivf_cold_build_prestaged(rng, monkeypatch):
+    """The cold-build fast path (stage-all -> device-sample k-means ->
+    prestaged inserts) must produce a working index identical in behavior
+    to the generic path."""
+    import zebra_tpu.index.base as base_mod
+    import zebra_tpu.index.ivf_host as host_mod
+
+    monkeypatch.setattr(base_mod, "BATCH", 1024)
+    monkeypatch.setattr(host_mod, "BATCH", 1024)
+    data = _data(rng, 5000, 24)
+    idx = IVFIndex(dim=24, metric="cosine", options=_opts(num_probes=8))
+    ids = idx.add(data)  # n >= 2*BATCH -> cold path
+    assert len(idx) == 5000
+    res = idx.search(data[:32], k=1)
+    hits = sum(row[0][0] == ids[i] for i, row in enumerate(res))
+    assert hits >= 31  # self-lookup through the staged build
+    # incremental adds after a cold build still work
+    more = idx.add(_data(rng, 300, 24))
+    assert len(idx) == 5300 and len(more) == 300
+
+
+def test_ivf_int8_slab(rng):
+    """int8 quantised slab: insert/search/remove/dedup/save-load, recall
+    against the exact scan of the SAME (quantised) slab."""
+    data = _data(rng, 2000, 32)
+    idx = IVFIndex(dim=32, metric="cosine", options=_opts(dtype="int8", num_probes=16))
+    ids = idx.add(data)
+    assert idx.state.vectors.dtype.name == "int8" and idx.state.scales is not None
+    res = idx.search(data[:50], k=1)
+    hits = sum(row[0][0] == ids[i] for i, row in enumerate(res))
+    assert hits >= 48  # int8 rounding can flip exact near-duplicates only
+    approx = idx.search(data[:100], k=10)
+    exact = idx.search(data[:100], k=10, exact=True)
+    overlap = sum(
+        len({i for i, _ in approx[b]} & {i for i, _ in exact[b]}) for b in range(100)
+    )
+    assert overlap / 1000 >= 0.95
+
+
+def test_ivf_int8_roundtrip_and_dedup(tmp_path, rng):
+    data = _data(rng, 400, 16)
+    dup = np.concatenate([data, data[:40]])
+    idx = IVFIndex(dim=16, metric="sql2", options=_opts(dtype="int8"))
+    idx.add(dup)
+    removed = idx.deduplicate()
+    assert len(removed) == 40 and len(idx) == 400
+    idx.save(str(tmp_path / "q"))
+    idx2 = load_index(str(tmp_path / "q"))
+    assert len(idx2) == 400 and idx2.state.scales is not None
+    r1 = idx.search(data[:10], k=3)
+    assert idx2.search(data[:10], k=3) == r1
+    # rebuild (tombstone compaction) dequantises through the scales
+    ids_live = idx2.ids()
+    idx2.remove(ids_live[:300])
+    assert len(idx2) == 100
+    res = idx2.search(data[:5], k=1)
+    assert all(row for row in res)
+
+
+def test_int8_rejected_outside_ivf():
+    from zebra_tpu.index.lsh import LSHIndex
+
+    with pytest.raises(ValueError, match="int8"):
+        LSHIndex(dim=16, options=IndexOptions(index_type="lsh", dtype="int8"))

@@ -91,3 +91,29 @@ def test_ivf_host_pallas_dim_padding(interp_kernel, rng):
         np.testing.assert_allclose(
             [d for _, d in a], [d for _, d in b], rtol=2e-3, atol=2e-3
         )
+
+
+def test_pallas_int8_scales_parity(rng, interp_kernel):
+    """int8 slab through the wave kernel (interpret mode): results must
+    match the XLA dequant path bit-for-bit in ranking."""
+    centers = rng.standard_normal((8, 128)).astype(np.float32)
+    n = 1024
+    data = centers[rng.integers(0, 8, n)] + 0.1 * rng.standard_normal(
+        (n, 128)
+    ).astype(np.float32)
+    cents, _ = kmeans(
+        jax.random.PRNGKey(0), jnp.asarray(data), jnp.int32(n), k=16, iters=4,
+        chunk=1024,
+    )
+    st = ivf.empty_state(cents, cluster_capacity=160, dtype=jnp.int8)
+    st, _ = ivf.insert(st, jnp.asarray(data), jnp.int32(n))
+    q = jnp.asarray(data[:32] + 0.02 * rng.standard_normal((32, 128)).astype(np.float32))
+    dp, sp, vp = ivf.query(st, q, 10, metric="cosine", num_probes=4, rerank="pallas")
+    dx, sx, vx = ivf.query(st, q, 10, metric="cosine", num_probes=4, rerank="xla")
+    overlap = sum(
+        len(set(np.asarray(sp)[b][np.asarray(vp)[b]].tolist())
+            & set(np.asarray(sx)[b][np.asarray(vx)[b]].tolist()))
+        for b in range(32)
+    )
+    assert overlap >= 0.95 * 32 * 10  # f32-near-tie ordering may differ
+    np.testing.assert_allclose(np.asarray(dp)[:, 0], np.asarray(dx)[:, 0], atol=1e-5)

@@ -91,7 +91,10 @@ class IndexOptions:
     kmeans_balance_rounds: int = 6
     #: max training-sample rows for k-means (subsampled from the build data).
     kmeans_sample: int = 262144
-    #: slab / compute dtype: "float32" or "bfloat16" (hash & re-rank in f32).
+    #: slab / compute dtype: "float32", "bfloat16" (hash & re-rank in f32),
+    #: or "int8" (ivf only: symmetric per-row quantised slab + f32 scales —
+    #: halves HBM probe traffic again vs bf16; distances dequantise after
+    #: the MXU dot, norms/scales describe the stored values exactly).
     dtype: str = "float32"
     #: "data" samples hyperplanes as bisectors of random stored-vector pairs
     #: (the reference's scheme, ``lsh.rs:221-230``); "random" uses Gaussian

@@ -255,7 +255,11 @@ class BaseVectorIndex:
 
     @property
     def dtype(self):
-        return jnp.bfloat16 if self.options.dtype == "bfloat16" else jnp.float32
+        if self.options.dtype == "bfloat16":
+            return jnp.bfloat16
+        if self.options.dtype == "int8":
+            return jnp.int8
+        return jnp.float32
 
     # -- device hooks --------------------------------------------------------
 
@@ -304,6 +308,12 @@ class BaseVectorIndex:
     def _valid_by_slot(self) -> np.ndarray:
         """1-D liveness mask indexed by PUBLIC slot number (load scrubbing)."""
         return np.asarray(self.state.valid)
+
+    def _take_rows(self, flat_idx: np.ndarray):
+        """Device gather of slab rows in STORED-VALUE space (int8 backends
+        override to dequantise — raw codes without their scales are not
+        comparable across rows). Used by dedup confirmation and rebuilds."""
+        return jnp.take(self._slab2d(), jnp.asarray(flat_idx), axis=0)
 
     def _meta_extra(self) -> dict:
         """Extra snapshot metadata (subclass hook; e.g. shard count)."""
@@ -357,47 +367,68 @@ class BaseVectorIndex:
                 seen.add(bytes(i))
 
         if self.state is None:
-            self.state = self._fresh_state(n, vectors)
             self._built_n = n
+            if self._cold_build(vectors, ids):  # backend fully handled it
+                self._maybe_rebuild()
+                return ids
+            self.state = self._fresh_state(n, vectors)
         self._before_batches(n)
         self._insert_batches(vectors, ids)
         self._maybe_rebuild()
         return ids
 
+    def _cold_build(self, vectors, ids) -> bool:
+        """First-build fast path hook: stage + train + insert with transfers
+        overlapping training (IVF overrides). Return True when the build and
+        insert completed here; False to take the generic path."""
+        return False
+
     @property
     def _wire_dtype(self):
-        """Host->device staging dtype: bf16 slabs ship bf16 (half the wire
-        bytes on slow links); f32 slabs must ship exact f32."""
-        if self.options.dtype == "bfloat16":
+        """Host->device staging dtype: bf16 AND int8 slabs ship bf16 (half
+        the wire bytes on slow links — int8 quantisation happens on device
+        from the bf16 batch); f32 slabs must ship exact f32."""
+        if self.options.dtype in ("bfloat16", "int8"):
             import ml_dtypes
 
             return ml_dtypes.bfloat16
         return np.float32
 
-    def _insert_batches(self, vectors, ids: list[bytes]) -> None:
+    def _spans(self, n: int) -> list[tuple[int, int]]:
+        return [(s, min(n - s, BATCH)) for s in range(0, n, BATCH)]
+
+    def _stage_span(self, vectors, span, src=None):
+        """Stage one span of ``vectors`` (host np -> padded wire device_put;
+        device array -> dynamic slice of the padded ``src``)."""
+        start, count = span
+        padded = next_pow2(max(count, _MIN_BATCH))
+        if src is not None:
+            return jax.lax.dynamic_slice_in_dim(src, start, padded, axis=0)
+        batch = np.zeros((padded, self._dev_dim), dtype=np.float32)
+        batch[:count, : vectors.shape[1]] = vectors[start : start + count]
+        return self._stage_batch(batch.astype(self._wire_dtype, copy=False))
+
+    def _insert_batches(self, vectors, ids: list[bytes], prestaged=None) -> None:
         """Pipelined insert: stage batch t+1 (async device_put) while batch t
         executes; slot readbacks resolve two batches behind so host<->device
         transfers overlap device compute instead of serialising it.
 
         ``vectors`` may be a host np array (padded + staged per batch) or a
         DEVICE array already at ``_dev_dim`` width (rebuild path: batches are
-        dynamic slices — the slab never round-trips to the host)."""
+        dynamic slices — the slab never round-trips to the host).
+        ``prestaged`` optionally supplies already-staged device batches per
+        span (cold-build path: every transfer was queued before training)."""
         n = vectors.shape[0]
-        spans = [(s, min(n - s, BATCH)) for s in range(0, n, BATCH)]
-        on_device = isinstance(vectors, jnp.ndarray)
-        wire = self._wire_dtype
-        if on_device:
+        spans = self._spans(n)
+        src = None
+        if isinstance(vectors, jnp.ndarray):
             pad_rows = next_pow2(max(spans[-1][1], _MIN_BATCH)) - spans[-1][1]
             src = jnp.pad(vectors, ((0, pad_rows), (0, 0))) if pad_rows else vectors
 
-        def stage(span):
-            start, count = span
-            padded = next_pow2(max(count, _MIN_BATCH))
-            if on_device:
-                return jax.lax.dynamic_slice_in_dim(src, start, padded, axis=0)
-            batch = np.zeros((padded, self._dev_dim), dtype=np.float32)
-            batch[:count, : vectors.shape[1]] = vectors[start : start + count]
-            return self._stage_batch(batch.astype(wire, copy=False))
+        def stage(i):
+            if prestaged is not None:
+                return prestaged[i]
+            return self._stage_span(vectors, spans[i], src)
 
         def resolve(span, handle):
             start, count = span
@@ -409,12 +440,14 @@ class BaseVectorIndex:
             self._register_slots(ids[start : start + count], slots)
 
         inflight: list = []
-        nxt = stage(spans[0])
+        nxt = stage(0)
         for i, span in enumerate(spans):
             cur = nxt
             if i + 1 < len(spans):
-                nxt = stage(spans[i + 1])  # transfer overlaps this insert
+                nxt = stage(i + 1)  # transfer overlaps this insert
             inflight.append((span, self._insert_batch_dev(cur, span[1])))
+            if prestaged is not None:
+                prestaged[i] = None  # free the staged buffer after use
             if len(inflight) > 2:
                 resolve(*inflight.pop(0))
         for item in inflight:
@@ -477,10 +510,7 @@ class BaseVectorIndex:
         # confirm actual bytes for colliding rows only (device gather of the
         # few suspect rows, not the whole slab)
         sus = slots[order[in_collision]]  # ascending within each hash group
-        sus_rows = np.asarray(
-            jnp.take(self._slab2d(), jnp.asarray(self._flat_slots(sus)), axis=0),
-            np.float32,
-        )
+        sus_rows = np.asarray(self._take_rows(self._flat_slots(sus)), np.float32)
         view = np.ascontiguousarray(sus_rows).view(np.uint32).reshape(len(sus), -1)
         _, inv = np.unique(view, axis=0, return_inverse=True)
         # keep the SMALLEST id in each exact-duplicate group: deterministic

@@ -58,6 +58,11 @@ class IVFState:
     norms: jnp.ndarray  # [K*C + G]  f32 squared L2 norms of stored rows
     valid: jnp.ndarray  # [K*C + G]  bool liveness
     overflow: jnp.ndarray  # []  int32 vectors dropped (spare also full)
+    #: [K*C + G] f32 per-row dequant scales — present ONLY for int8 slabs
+    #: (symmetric per-row quantisation: value = int8 * scale). Halves HBM
+    #: probe traffic again vs bf16; distances dequantise AFTER the dot
+    #: (dot(q, s*v) = s * dot(q, v)) so the MXU pass stays dense.
+    scales: jnp.ndarray | None = None
     #: per-cluster block width (static metadata, not a traced leaf)
     ccap: int = struct.field(pytree_node=False, default=0)
 
@@ -102,6 +107,7 @@ def empty_state(
         norms=jnp.zeros((S,), dtype=jnp.float32),
         valid=jnp.zeros((S,), dtype=jnp.bool_),
         overflow=jnp.zeros((), dtype=jnp.int32),
+        scales=jnp.ones((S,), dtype=jnp.float32) if dtype == jnp.int8 else None,
         ccap=cluster_capacity,
     )
 
@@ -217,8 +223,18 @@ def insert(
 
     dropped = jnp.sum((real & (slots < 0)).astype(jnp.int32))
     widx = jnp.where(slots >= 0, slots, OOB)
-    xd = x.astype(state.vectors.dtype)
-    xs32 = xd.astype(jnp.float32)  # norms of the STORED (rounded) vector
+    if state.vectors.dtype == jnp.int8:
+        # symmetric per-row quantisation; norms/scales describe the STORED
+        # (dequantised) values so re-rank math is exact w.r.t. the slab
+        absmax = jnp.max(jnp.abs(x32), axis=-1)
+        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        xd = jnp.clip(jnp.round(x32 / scale[:, None]), -127, 127).astype(jnp.int8)
+        xs32 = xd.astype(jnp.float32) * scale[:, None]
+        scales = state.scales.at[widx].set(scale, mode="drop")
+    else:
+        xd = x.astype(state.vectors.dtype)
+        xs32 = xd.astype(jnp.float32)  # norms of the STORED (rounded) vector
+        scales = state.scales
     return (
         state.replace(
             counts=counts,
@@ -226,6 +242,7 @@ def insert(
             norms=state.norms.at[widx].set(jnp.sum(xs32 * xs32, axis=-1), mode="drop"),
             valid=state.valid.at[widx].set(slots >= 0, mode="drop"),
             overflow=state.overflow + dropped,
+            scales=scales,
         ),
         slots,
     )
@@ -244,6 +261,8 @@ def grow_spare(state: IVFState) -> IVFState:
         vectors=jnp.pad(state.vectors, ((0, g), (0, 0))),
         norms=jnp.pad(state.norms, (0, g)),
         valid=jnp.pad(state.valid, (0, g)),
+        scales=None if state.scales is None
+        else jnp.pad(state.scales, (0, g), constant_values=1.0),
     )
 
 
@@ -332,6 +351,7 @@ def query(
         vl = take_block(state.valid, 1)(cl)  # [B, C]
         nrm = take_block(state.norms, 1)(cl)  # [B, C]
         sl = cl[:, None] * C + col
+        sc = take_block(state.scales, 1)(cl) if state.scales is not None else None
         if metric in D.MXU_METRICS:
             dots = jnp.einsum(
                 "bd,bcd->bc",
@@ -340,9 +360,14 @@ def query(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
+            if sc is not None:  # dequant after the dot: dot(q, s*v) = s*dot
+                dots = dots * sc
             d = D.mxu_from_parts(metric, dots, qn2, nrm)
         else:
-            d = D.rowwise(q32, vecs.astype(jnp.float32), metric=metric, power=power)
+            vf = vecs.astype(jnp.float32)
+            if sc is not None:
+                vf = vf * sc[..., None]
+            d = D.rowwise(q32, vf, metric=metric, power=power)
         # k may exceed the C-wide block (lax.top_k rejects k > width): select
         # min(k, C) per probe — merge_topk reselects k from unequal widths
         td, ti, tv = TK.masked_topk(d, vl, sl, min(k, C))
@@ -370,6 +395,9 @@ def _merge_spare(state: IVFState, q32, dk, ik, vk, k: int, metric: str, power: f
         dk, ik, vk = args
         vecs = jax.lax.dynamic_slice_in_dim(state.vectors, start, G, axis=0)
         vl = jax.lax.dynamic_slice_in_dim(state.valid, start, G, axis=0)
+        if state.scales is not None:
+            sc = jax.lax.dynamic_slice_in_dim(state.scales, start, G, axis=0)
+            vecs = vecs.astype(jnp.float32) * sc[:, None]
         d = D.pairwise(q32, vecs, metric=metric, power=power)
         B = q32.shape[0]
         sl = start + jnp.arange(G, dtype=jnp.int32)
@@ -401,7 +429,7 @@ def brute_force(
 
     return exact_scan(
         state.vectors, state.valid, q, k, metric=metric, power=power,
-        chunk=chunk, precision=precision, approx=approx,
+        chunk=chunk, precision=precision, approx=approx, scales=state.scales,
     )
 
 

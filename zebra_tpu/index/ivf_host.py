@@ -21,7 +21,7 @@ import numpy as np
 
 from zebra_tpu.config import IndexOptions
 from zebra_tpu.index import ivf as V
-from zebra_tpu.index.base import BaseVectorIndex, slab_from_np
+from zebra_tpu.index.base import BATCH, BaseVectorIndex, slab_from_np
 from zebra_tpu.ops.kmeans import kmeans
 from zebra_tpu.profiling import logger
 from zebra_tpu.utils import next_pow2
@@ -48,11 +48,13 @@ def resolved_clusters(options: IndexOptions, n: int) -> int:
 
 
 def resolved_capacity(options: IndexOptions, n: int, k: int) -> int:
-    """Per-cluster block width: 2x mean load rounded to 16 (pallas sublane
-    tiling), NOT a power of two — probe traffic scales with C, padding is QPS."""
+    """Per-cluster block width: 2x mean load rounded to the dtype's sublane
+    tile (16 for f32/bf16, 32 for int8 — pallas DMA alignment), NOT a power
+    of two — probe traffic scales with C, padding is QPS."""
+    unit = 32 if options.dtype == "int8" else 16
     if options.cluster_capacity > 0:
         return options.cluster_capacity
-    return max(-(-2 * -(-n // k) // 16) * 16, 16)
+    return max(-(-2 * -(-n // k) // unit) * unit, unit)
 
 
 def resolved_spare(options: IndexOptions, n: int) -> int:
@@ -147,6 +149,36 @@ class IVFIndex(BaseVectorIndex):
         cents = self._train_centroids(k, data)
         return V.empty_state(cents, cap, spare, dtype=self.dtype)
 
+    def _cold_build(self, vectors, ids) -> bool:
+        """First build: queue EVERY insert batch's host->device transfer
+        first (async device_put), train k-means on a device-side sample of
+        the staged batches, then insert from the staged buffers.
+
+        The k-means training sample never ships separately (it was a second
+        multi-hundred-MB upload), and training compute overlaps the tail of
+        the staging transfers — on a wire-bound link the whole cold build
+        costs ~the slab transfer alone (round-2: 98.4s at 1M x 768; the
+        wire floor is ~30s).
+        """
+        if isinstance(vectors, jnp.ndarray) or vectors.shape[0] < 2 * BATCH:
+            return False  # small/device builds: the generic path is fine
+        n = vectors.shape[0]
+        spans = self._spans(n)
+        staged = [self._stage_span(vectors, sp) for sp in spans]  # all queued
+        # balanced device-side sample: an even row-slice from every batch
+        target = max(self.options.kmeans_sample, 4 * self._resolved_clusters(n))
+        per = max(min(target // len(staged), spans[0][1]), 1)
+        # clip each slice to the span's REAL row count (the last batch is
+        # zero-padded; zeros in the sample would grow a parasitic centroid)
+        sample = jnp.concatenate(
+            [b[: min(per, sp[1])].astype(jnp.float32)
+             for b, sp in zip(staged, spans)],
+            axis=0,
+        )
+        self.state = self._fresh_state(n, sample)
+        self._insert_batches(vectors, ids, prestaged=staged)
+        return True
+
     # -- insert --------------------------------------------------------------------
 
     @property
@@ -239,9 +271,7 @@ class IVFIndex(BaseVectorIndex):
             ids: list[bytes] = []
             data = None
         else:
-            data = jnp.take(
-                self.state.vectors, jnp.asarray(order.astype(np.int32)), axis=0
-            )
+            data = self._take_rows(order.astype(np.int32))
             ids = self._slot_ids.take_list(order)
         n = len(ids)
         self.state = None  # free the old slab before allocating the new one
@@ -284,12 +314,19 @@ class IVFIndex(BaseVectorIndex):
 
     # -- persistence -----------------------------------------------------------------
 
+    def _take_rows(self, flat_idx):
+        rows = jnp.take(self._slab2d(), jnp.asarray(flat_idx), axis=0)
+        if self.state.scales is not None:  # int8: dequantise (bf16 transient)
+            sc = jnp.take(self.state.scales, jnp.asarray(flat_idx))
+            rows = rows.astype(jnp.bfloat16) * sc[:, None].astype(jnp.bfloat16)
+        return rows
+
     def _snapshot_arrays(self) -> dict:
         # raw device arrays: the streamed snapshot writer fetches them in
         # bounded chunks (bf16 slab ships as uint16 bits — slab_from_np's
         # format contract)
         st = self.state
-        return {
+        out = {
             "centroids": st.centroids,
             "counts": st.counts,
             "vectors": st.vectors,
@@ -298,6 +335,9 @@ class IVFIndex(BaseVectorIndex):
             "overflow": st.overflow,
             "ccap": np.asarray(st.cluster_capacity, dtype=np.int32),
         }
+        if st.scales is not None:
+            out["scales"] = st.scales
+        return out
 
     def _restore_arrays(self, z) -> None:
         counts = np.asarray(z["counts"])
@@ -310,6 +350,7 @@ class IVFIndex(BaseVectorIndex):
             norms=jnp.asarray(z["norms"]),
             valid=jnp.asarray(z["valid"]),
             overflow=jnp.asarray(z["overflow"]),
+            scales=jnp.asarray(z["scales"]) if "scales" in z else None,
             ccap=int(z["ccap"]),
         )
 

@@ -54,6 +54,12 @@ class LSHIndex(BaseVectorIndex):
         metric_power: float = 3.0,
     ):
         super().__init__(dim, metric, options, metric_power)
+        if self.options.dtype == "int8":
+            raise ValueError(
+                "dtype='int8' is supported by the ivf backend only (the "
+                "quantised slab needs per-row scales the bucket layout "
+                "doesn't carry); use dtype='bfloat16' or index_type='ivf'"
+            )
         # The pallas re-rank DMAs 1-D row segments of the slab, which TPU
         # tiling requires to be 1024-f32 (2048-bf16) aligned — pad the stored
         # dimension with zero columns (zero pads are identity for every

@@ -40,11 +40,16 @@ BIG = 3.0e38  # sentinel for masked-out candidates
 _WAVE_BYTES = 4 << 20
 
 
-def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int):
+def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
+                    has_scales: bool = False):
     assert P % 2 == 0
 
-    def kernel(probes_ref, nrm_ref, val_ref, q_ref, vec_ref,
-               outd_ref, outp_ref, buf0, buf1, sem0, sem1):
+    def kernel(probes_ref, nrm_ref, val_ref, q_ref, *rest):
+        if has_scales:
+            sc_ref, vec_ref, outd_ref, outp_ref, buf0, buf1, sem0, sem1 = rest
+        else:
+            vec_ref, outd_ref, outp_ref, buf0, buf1, sem0, sem1 = rest
+            sc_ref = None
         qt = q_ref[0]  # [Q, D]
         qn2 = jnp.sum(qt * qt, axis=1)[:, None]  # [Q, 1]
 
@@ -106,6 +111,9 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int):
                 start_wave(buf0, sem0, a + 2)
             dots[b] = wait_compute(buf1, sem1, b)
         dot = jnp.concatenate(dots, axis=1)  # [Q, P*C]
+        if sc_ref is not None:
+            # int8 slab: dequantise AFTER the dot (dot(q, s*v) = s*dot(q, v))
+            dot = dot * sc_ref[0]
 
         n2 = nrm_ref[0]  # [Q, P*C] (pre-flattened by the wrapper)
         vmask = val_ref[0] > 0
@@ -161,7 +169,8 @@ def _query_tile(C: int, D: int, itemsize: int) -> int:
     jax.jit, static_argnames=("cluster_capacity", "metric", "k", "interpret")
 )
 def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_valid,
-                      metric: str = "cosine", k: int = 10, interpret: bool = False):
+                      metric: str = "cosine", k: int = 10, interpret: bool = False,
+                      cand_scales=None):
     """Fused IVF block re-rank.
 
     Args:
@@ -185,7 +194,11 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
     assert k <= OUT_K
     if not interpret:
         assert D % 128 == 0, f"stored dim {D} must be a multiple of 128 lanes"
-        assert C % 8 == 0, f"cluster capacity {C} must be a multiple of 8 sublanes"
+        sub = 32 if vectors.dtype == jnp.int8 else 8
+        assert C % sub == 0, (
+            f"cluster capacity {C} must be a multiple of {sub} sublanes "
+            f"for dtype {vectors.dtype}"
+        )
 
     Q = _query_tile(C, D, vectors.dtype.itemsize)
     padB = (-B) % Q
@@ -194,9 +207,12 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
         probes = jnp.pad(probes, ((0, padB), (0, 0)))
         cand_norms = jnp.pad(cand_norms, ((0, padB), (0, 0), (0, 0)))
         cand_valid = jnp.pad(cand_valid, ((0, padB), (0, 0), (0, 0)))
+        if cand_scales is not None:
+            cand_scales = jnp.pad(cand_scales, ((0, padB), (0, 0), (0, 0)))
     Bp = B + padB
 
-    kernel = _kernel_factory(metric, Q, P, C, D, k)
+    kernel = _kernel_factory(metric, Q, P, C, D, k,
+                             has_scales=cand_scales is not None)
     probes4 = probes.reshape(Bp // Q, Q, P)
     # flatten the probe axis OUTSIDE the kernel (XLA reshapes are free;
     # in-kernel lane merges are not Mosaic-safe at every width)
@@ -204,16 +220,25 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
     val4 = cand_valid.reshape(Bp // Q, Q, P * C)
     q3 = q.astype(jnp.float32).reshape(Bp // Q, Q, D)
 
+    in_specs = [
+        pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, Q, P * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Q, P * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Q, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [probes4, nrm4, val4, q3]
+    if cand_scales is not None:
+        in_specs.append(
+            pl.BlockSpec((1, Q, P * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(cand_scales.reshape(Bp // Q, Q, P * C))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # slab stays in HBM
+    inputs.append(vectors)
+
     out_d, out_p = pl.pallas_call(
         kernel,
         grid=(Bp // Q,),
-        in_specs=[
-            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Q, P * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, P * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # slab stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, Q, OUT_K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Q, OUT_K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -229,7 +254,7 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
             pltpu.SemaphoreType.DMA((Q,)),
         ],
         interpret=interpret,
-    )(probes4, nrm4, val4, q3, vectors)
+    )(*inputs)
 
     d = out_d.reshape(Bp, OUT_K)[:B, :k]
     p = out_p.reshape(Bp, OUT_K)[:B, :k]
@@ -261,9 +286,13 @@ def ivf_rerank(state, q32, probes, k, metric: str = "cosine"):
     val = jnp.take(val2d, probes, axis=0)
     if pad:
         val = val.at[:, -1, :].set(0.0)
+    sc = None
+    if state.scales is not None:  # int8 slab: per-row dequant scales
+        sc2d = jax.lax.slice(state.scales, (0,), (K * C,)).reshape(K, C)
+        sc = jnp.take(sc2d, probes, axis=0)
     d, pos = pallas_ivf_rerank(
         state.vectors, C, q32, probes.astype(jnp.int32), nrm, val,
-        metric=metric, k=k,
+        metric=metric, k=k, cand_scales=sc,
     )
     valid = pos >= 0
     posc = jnp.clip(pos, 0, probes.shape[1] * C - 1)

@@ -32,6 +32,11 @@ def row_hashes(vectors: jnp.ndarray) -> jnp.ndarray:
     """
     if vectors.dtype == jnp.bfloat16:
         bits = jax.lax.bitcast_convert_type(vectors, jnp.int16).astype(jnp.int32)
+    elif vectors.dtype == jnp.int8:
+        # content hash of the raw codes; per-row scales are excluded, so
+        # equal-code/different-scale rows collide — the caller confirms
+        # colliding groups on DEQUANTISED values, which resolves them
+        bits = vectors.astype(jnp.int32)
     else:
         bits = jax.lax.bitcast_convert_type(vectors.astype(jnp.float32), jnp.int32)
     col = jnp.arange(bits.shape[1], dtype=jnp.int32)[None, :]

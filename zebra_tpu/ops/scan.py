@@ -31,6 +31,7 @@ def exact_scan(
     chunk: int = 8192,
     precision: str = "highest",
     approx: bool = False,
+    scales: jnp.ndarray | None = None,
 ):
     """Exact (or approx-top-k) scan of the whole slab.
 
@@ -68,6 +69,9 @@ def exact_scan(
         start = i * chunk
         vecs = jax.lax.dynamic_slice_in_dim(vectors, start, chunk, axis=0)
         vl = jax.lax.dynamic_slice_in_dim(valid, start, chunk, axis=0)
+        if scales is not None:  # int8 slab: dequantise the streamed chunk
+            sc = jax.lax.dynamic_slice_in_dim(scales, start, chunk, axis=0)
+            vecs = vecs.astype(jnp.float32) * sc[:, None]
         d = D.pairwise(q, vecs, metric=metric, power=power, precision=precision)
         if approx:
             d = jnp.where(vl[None, :], d, jnp.inf)

@@ -76,6 +76,8 @@ def _grow_spare_sharded(state: "V.IVFState") -> "V.IVFState":
         vectors=jnp.pad(state.vectors, ((0, 0), (0, g), (0, 0))),
         norms=jnp.pad(state.norms, ((0, 0), (0, g))),
         valid=jnp.pad(state.valid, ((0, 0), (0, g))),
+        scales=None if state.scales is None
+        else jnp.pad(state.scales, ((0, 0), (0, g)), constant_values=1.0),
     )
 
 
@@ -286,6 +288,8 @@ class ShardedIndex(BaseVectorIndex):
         mesh=None,
     ):
         super().__init__(dim, metric, options, metric_power)
+        if self.options.dtype == "int8" and self.options.index_type != "ivf":
+            raise ValueError("dtype='int8' is supported by the ivf backend only")
         if self.options.rerank == "pallas":
             # the pallas kernels need aligned stored dims (IVF block kernel:
             # 128 lanes; LSH flat-slab kernel: 1024 f32 / 2048 bf16) and the
@@ -333,6 +337,13 @@ class ShardedIndex(BaseVectorIndex):
     def _valid_by_slot(self) -> np.ndarray:
         # [S, cap] -> flat indexed by interleaved global slot l*S + s
         return np.asarray(self.state.valid).T.reshape(-1)
+
+    def _take_rows(self, flat_idx):
+        rows = jnp.take(self._slab2d(), jnp.asarray(flat_idx), axis=0)
+        if self._ivf and self.state.scales is not None:  # int8: dequantise
+            sc = jnp.take(self.state.scales.reshape(-1), jnp.asarray(flat_idx))
+            rows = rows.astype(jnp.bfloat16) * sc[:, None].astype(jnp.bfloat16)
+        return rows
 
     @property
     def _cell_metric(self) -> str:
@@ -611,10 +622,7 @@ class ShardedIndex(BaseVectorIndex):
         n = len(order)
         if n:
             ids = self._slot_ids.take_list(order)
-            flat = self._flat_slots(order)
-            data = jnp.take(
-                self._slab2d(), jnp.asarray(flat.astype(np.int32)), axis=0
-            )
+            data = self._take_rows(self._flat_slots(order).astype(np.int32))
         else:
             ids, data = [], None
         self.state = None  # free the old slab before allocating the new one
@@ -680,7 +688,7 @@ class ShardedIndex(BaseVectorIndex):
     def _snapshot_arrays(self) -> dict:
         st = self.state
         if self._ivf:
-            return {
+            out = {
                 "centroids": st.centroids,
                 "counts": st.counts,
                 "vectors": st.vectors,
@@ -689,6 +697,9 @@ class ShardedIndex(BaseVectorIndex):
                 "overflow": st.overflow,
                 "ccap": np.asarray(st.ccap, dtype=np.int32),
             }
+            if st.scales is not None:
+                out["scales"] = st.scales
+            return out
         return {
             "planes": st.planes,
             "consts": st.consts,
@@ -713,6 +724,7 @@ class ShardedIndex(BaseVectorIndex):
                 norms=jnp.asarray(z["norms"]),
                 valid=jnp.asarray(z["valid"]),
                 overflow=jnp.asarray(z["overflow"]),
+                scales=jnp.asarray(z["scales"]) if "scales" in z else None,
                 ccap=int(z["ccap"]),
             )
             self._kc = stacked.centroids.shape[1] * int(z["ccap"])
@@ -773,6 +785,7 @@ class ShardedIndex(BaseVectorIndex):
             vectors = z["vectors"]  # [S_old, cap, D] (uint16 bits if bf16)
             valid = np.asarray(z["valid"])
             ids_arr = np.ascontiguousarray(z["slot_ids"])
+            saved_scales = np.asarray(z["scales"]) if "scales" in z else None
         cap = vectors.shape[1]
         arena = SlotIdArena.from_array(ids_arr)
         live = arena.live_slots()  # global interleaved slots (old S)
@@ -787,6 +800,9 @@ class ShardedIndex(BaseVectorIndex):
             import ml_dtypes
 
             rows = rows.view(ml_dtypes.bfloat16).astype(np.float32)
+        elif rows.dtype == np.int8:  # dequantise with the saved scales
+            sc = saved_scales[live % S_old, live // S_old]
+            rows = rows.astype(np.float32) * sc[:, None]
         idx.add(np.ascontiguousarray(rows, dtype=np.float32),
                 ids=arena.take_list(live))
         return idx
