@@ -202,7 +202,7 @@ def main():
     ap.add_argument("--rerank", choices=["pallas", "xla"], default="pallas")
     #: bf16 slab: halves DMA traffic and wire bytes; re-rank math stays f32
     #: (measured 1M x 768: P=4 267.8k QPS @ recall 0.9984; P=2 344k @ 0.9953)
-    ap.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    ap.add_argument("--dtype", choices=["float32", "bfloat16", "int8"], default="bfloat16")
     # 10 tables x 8 probes: +40% QPS over the reference-parity 15 tables at
     # recall@10 ~0.98 on 200k clustered (tools/sweep2.py)
     ap.add_argument("--tables", type=int, default=10)
@@ -213,6 +213,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     #: also write the result JSON to this file (bench_results/ artifacts)
     ap.add_argument("--out", default="")
+    #: also measure recall against TRUE f32 neighbours (host oracle, ~1min)
+    ap.add_argument("--true-recall", action="store_true")
     args = ap.parse_args()
     if args.probes <= 0:
         # measured 1M x 768 bf16: P=4 = 263k QPS @ recall 0.9984 (P=2 is
@@ -311,6 +313,42 @@ def main():
     )
     recall = hits / (nrq * args.k)
     log(f"recall@{args.k} vs brute force: {recall:.4f}")
+
+    # ---- optional: recall vs TRUE f32 neighbours (host-side oracle) --------
+    # The in-slab brute force shares the slab's quantisation (bf16/int8), so
+    # it can't see quantisation-induced recall loss; this oracle can.
+    true_recall = None
+    if args.true_recall:
+        t0 = time.perf_counter()
+        qh = queries[:nrq]
+        if args.metric == "cosine":
+            dn = data / np.maximum(np.linalg.norm(data, axis=1, keepdims=True), 1e-30)
+            qn = qh / np.maximum(np.linalg.norm(qh, axis=1, keepdims=True), 1e-30)
+            sim = qn @ dn.T  # [nrq, n]
+            truth = np.argpartition(-sim, args.k, axis=1)[:, : args.k]
+        else:  # l2 / sql2
+            d2 = (
+                np.sum(qh * qh, 1)[:, None]
+                - 2.0 * (qh @ data.T)
+                + np.sum(data * data, 1)[None, :]
+            )
+            truth = np.argpartition(d2, args.k, axis=1)[:, : args.k]
+        # approx results hold SLOT ids; map slots -> original row via the
+        # insert order (slots are registered in row order for this build)
+        slot_to_row = {}
+        for row_i, did in enumerate(ids):
+            slot_to_row[did] = row_i
+        id_rows = [
+            {slot_to_row[i] for i, _ in row} for row in idx.search(qh, args.k)
+        ]
+        t_hits = sum(
+            len(id_rows[i] & set(truth[i].tolist())) for i in range(nrq)
+        )
+        true_recall = t_hits / (nrq * args.k)
+        log(
+            f"recall@{args.k} vs TRUE f32 neighbours: {true_recall:.4f} "
+            f"(oracle cost {time.perf_counter() - t0:.1f}s)"
+        )
 
     # ---- flat (exact/approx scan) alternatives on the same slab ------------
     from zebra_tpu.ops.scan import exact_scan
@@ -444,6 +482,7 @@ def main():
         "vs_baseline": round(qps / 100_000.0, 4),
         "extra": {
             "recall_at_k": round(recall, 4),
+            **({"recall_vs_f32_truth": round(true_recall, 4)} if true_recall is not None else {}),
             "k": args.k,
             "index_type": args.index,
             "probes": args.probes,

@@ -282,7 +282,9 @@ def _chunked_rerank(state, q, cand, cand_valid, k, metric, power, chunk):
             d = D.mxu_from_parts(metric, dot, qn2, state.norms[idx])
         else:
             d = D.rowwise(q, vecs, metric=metric, power=power)
-        td, ti, tv = TK.masked_topk(d, vl, sl, k)
+        # k can exceed the candidate-chunk width (lax.top_k rejects that):
+        # select min(k, chunk) per chunk, merge_topk reselects k
+        td, ti, tv = TK.masked_topk(d, vl, sl, min(k, sl.shape[1]))
         return TK.merge_topk(carry[0], carry[1], carry[2], td, ti, tv, k), None
 
     (dk, ik, vk), _ = jax.lax.scan(body, init, (cand_c, valid_c))

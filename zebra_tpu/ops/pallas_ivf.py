@@ -161,8 +161,10 @@ def _query_tile(C: int, D: int, itemsize: int) -> int:
 
     Deeper tiles amortise per-step costs (DMA issue, pipeline turnaround);
     bf16 slabs at the 1M x 768 defaults fit Q=16 (2 x 16 x 128 x 768 x 2B =
-    6.3MB of wave buffers)."""
-    return max(1, min(16, _WAVE_BYTES // max(C * D * itemsize, 1)))
+    6.3MB of wave buffers). int8 slabs halve the per-query footprint, so the
+    same budget affords Q=32 — deeper waves hide more DMA latency."""
+    cap = 32 if itemsize == 1 else 16
+    return max(1, min(cap, _WAVE_BYTES // max(C * D * itemsize, 1)))
 
 
 @functools.partial(
