@@ -91,6 +91,12 @@ class IndexOptions:
     kmeans_balance_rounds: int = 6
     #: max training-sample rows for k-means (subsampled from the build data).
     kmeans_sample: int = 262144
+    #: query staging dtype: "auto" ships queries as bf16 whenever the slab
+    #: itself is reduced-precision (bf16/int8) — halves the host->device
+    #: bytes of every search, which BOUNDS facade QPS on PCIe/tunnel links;
+    #: scoring still runs in f32 from the shipped values. "float32" ships
+    #: exact queries regardless.
+    query_wire: str = "auto"
     #: slab / compute dtype: "float32", "bfloat16" (hash & re-rank in f32),
     #: or "int8" (ivf only: symmetric per-row quantised slab + f32 scales —
     #: halves HBM probe traffic again vs bf16; distances dequantise after

@@ -581,6 +581,12 @@ class BaseVectorIndex:
         padded = next_pow2(max(nq, 8))
         qp = np.zeros((padded, self._dev_dim), np.float32)
         qp[:nq, : q.shape[1]] = q
+        if self.options.query_wire == "auto" and self.options.dtype != "float32":
+            # reduced-precision slab: bf16 queries halve the upload bytes
+            # (the wire bounds facade QPS); device scoring still runs f32
+            import ml_dtypes
+
+            qp = qp.astype(ml_dtypes.bfloat16)
         d, s, v = self._query_device(jnp.asarray(qp), k, exact)
         return _unpack_results(np.asarray(_pack_results(d, s, v)), nq, k)
 
