@@ -199,7 +199,7 @@ def main():
     #: headline index: "ivf" (cluster-contiguous blocks + pallas re-rank, the
     #: TPU-fast path) or "lsh" (reference-parity bucket tables)
     ap.add_argument("--index", choices=["ivf", "lsh"], default="ivf")
-    ap.add_argument("--rerank", choices=["pallas", "xla"], default="pallas")
+    ap.add_argument("--rerank", choices=["pallas", "pallas2", "xla"], default="pallas")
     #: bf16 slab: halves DMA traffic and wire bytes; re-rank math stays f32
     #: (measured 1M x 768: P=4 267.8k QPS @ recall 0.9984; P=2 344k @ 0.9953)
     ap.add_argument("--dtype", choices=["float32", "bfloat16", "int8"], default="bfloat16")

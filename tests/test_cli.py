@@ -78,3 +78,41 @@ def test_audio_roundtrip(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "bytes" in out
     assert os.listdir(out_dir)
+
+
+def test_audio_query_play_flag(tmp_path, monkeypatch, capsys):
+    """--play routes hits through the system player (rodio parity,
+    main.rs:271-293); without a player it degrades with a message."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+
+    from zebra_tpu import cli
+
+    # build a tiny wav
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes((np.sin(np.arange(4000) * 0.3) * 3000).astype("<i2").tobytes())
+    p = tmp_path / "t.wav"
+    p.write_bytes(buf.getvalue())
+
+    monkeypatch.chdir(tmp_path)
+    assert cli.main(["--database-path", "a.zebra", "audio", "insert", str(p)]) == 0
+    played = []
+    monkeypatch.setattr(cli, "_play_audio", lambda doc: played.append(len(doc)) or None)
+    assert cli.main(["--database-path", "a.zebra", "audio", "query", str(p), "--play"]) == 0
+    assert played and played[0] == len(buf.getvalue())
+
+
+def test_play_audio_no_player(monkeypatch):
+    import shutil
+
+    from zebra_tpu import cli
+
+    monkeypatch.setattr(shutil, "which", lambda name: None)
+    err = cli._play_audio(b"RIFFxxxx")
+    assert "no system audio player" in err

@@ -117,3 +117,39 @@ def test_pallas_int8_scales_parity(rng, interp_kernel):
     )
     assert overlap >= 0.95 * 32 * 10  # f32-near-tie ordering may differ
     np.testing.assert_allclose(np.asarray(dp)[:, 0], np.asarray(dx)[:, 0], atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+def test_wave_v2_matches_xla(rng, interp_kernel, dtype):
+    """v2 (one-matmul wave) parity vs the XLA path for every slab dtype."""
+    import jax.numpy as jnp2
+
+    centers = rng.standard_normal((8, 128)).astype(np.float32)
+    n = 1024
+    data = centers[rng.integers(0, 8, n)] + 0.1 * rng.standard_normal(
+        (n, 128)
+    ).astype(np.float32)
+    cents, _ = kmeans(
+        jax.random.PRNGKey(0), jnp.asarray(data), jnp.int32(n), k=16, iters=4,
+        chunk=1024,
+    )
+    dt = {"float32": jnp2.float32, "bfloat16": jnp2.bfloat16, "int8": jnp2.int8}[dtype]
+    st = ivf.empty_state(cents, cluster_capacity=160, dtype=dt)
+    st, slots = ivf.insert(st, jnp.asarray(data), jnp.int32(n))
+    st = ivf.delete_slots(st, jnp.asarray(np.asarray(slots)[:40].astype(np.int32)))
+    q = jnp.asarray(
+        data[:32] + 0.02 * rng.standard_normal((32, 128)).astype(np.float32)
+    )
+    dp, sp, vp = ivf.query(st, q, 10, metric="cosine", num_probes=4, rerank="pallas2")
+    dx, sx, vx = ivf.query(st, q, 10, metric="cosine", num_probes=4, rerank="xla")
+    overlap = sum(
+        len(set(np.asarray(sp)[b][np.asarray(vp)[b]].tolist())
+            & set(np.asarray(sx)[b][np.asarray(vx)[b]].tolist()))
+        for b in range(32)
+    )
+    # v2 on reduced-precision slabs ships bf16 queries (exact one-pass MXU);
+    # near-tie orderings vs the f32-query XLA path may differ slightly
+    assert overlap >= 0.9 * 32 * 10
+    # the top hit (a 0.02-sigma self-neighbour) must agree
+    agree = np.mean(np.asarray(sp)[:, 0] == np.asarray(sx)[:, 0])
+    assert agree >= 0.9

@@ -115,6 +115,13 @@ def _cmd_query(args) -> int:
                         sys.stdout.write(sixel_encode(doc) + "\n")
                     except Exception as e:  # corrupt blob / no PIL decode
                         print(f"    (preview failed: {e})")
+                if args.modality == "audio" and getattr(args, "play", False):
+                    # speaker playback — the reference's rodio parity
+                    # (main.rs:271-293) via the system player
+                    err = _play_audio(doc)
+                    if err:
+                        print(f"    (playback unavailable: {err}; "
+                              f"use --output-dir to extract)")
                 if args.output_dir:
                     os.makedirs(args.output_dir, exist_ok=True)
                     out = os.path.join(args.output_dir, f"{doc_id.hex()}.bin")
@@ -123,6 +130,30 @@ def _cmd_query(args) -> int:
                     print(f"    -> {out}")
     print(f"Queried {len(queries)} {args.modality} document(s) in {elapsed}.")
     return 0
+
+
+def _play_audio(doc: bytes) -> str | None:
+    """Play one retrieved audio blob through the first available system
+    player (the reference plays every result with rodio before returning,
+    ``main.rs:271-293``). Returns an error string when no player exists."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    for player, needs_file in (("aplay", True), ("paplay", True), ("afplay", True)):
+        path = shutil.which(player)
+        if not path:
+            continue
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(doc)
+            f.flush()
+            try:
+                subprocess.run([path, f.name], check=True, timeout=300,
+                               capture_output=True)
+                return None
+            except Exception as e:
+                return f"{player}: {e}"
+    return "no system audio player (aplay/paplay/afplay) on PATH"
 
 
 def _cmd_clear(args) -> int:
@@ -180,6 +211,9 @@ def build_parser() -> argparse.ArgumentParser:
         if modality == "image":
             q.add_argument("--preview", action="store_true",
                            help="render hits inline (sixel terminals)")
+        if modality == "audio":
+            q.add_argument("--play", action="store_true",
+                           help="play hits through the system audio player")
         q.set_defaults(fn=_cmd_query)
 
         c = verbs.add_parser("clear", help="delete the database")

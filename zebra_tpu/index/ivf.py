@@ -316,12 +316,20 @@ def query(
     else:
         _, probes = jax.lax.top_k(-score, P)  # [B, P] cluster ids
 
-    if rerank == "pallas" and metric in D.MXU_METRICS and k <= 128:
+    if (
+        rerank in ("pallas", "pallas2")
+        and metric in D.MXU_METRICS
+        and k <= 128
+    ):
         # the wave kernel's top-k output is OUT_K=128 wide; larger k falls
-        # back to the XLA path below (same results)
+        # back to the XLA path below (same results). "pallas2" selects the
+        # one-matmul wave kernel (see ops/pallas_ivf._kernel_factory_v2).
         from zebra_tpu.ops.pallas_ivf import ivf_rerank
 
-        dk, ik, vk = ivf_rerank(state, q32, probes.astype(jnp.int32), k, metric=metric)
+        dk, ik, vk = ivf_rerank(
+            state, q32, probes.astype(jnp.int32), k, metric=metric,
+            wave=2 if rerank == "pallas2" else 1,
+        )
         return _merge_spare(state, q32, dk, ik, vk, k, metric, power)
 
     # contiguous block reads off the full slab (the spare tail forbids a

@@ -84,7 +84,7 @@ class IVFIndex(BaseVectorIndex):
         # Pallas block re-rank DMAs 2-D [C, D] tiles: last dim must be a
         # multiple of 128 lanes (any float dtype) — a far lighter constraint
         # than the LSH kernel's 1024-element flat-slab alignment.
-        if self.options.rerank == "pallas":
+        if self.options.rerank in ("pallas", "pallas2"):
             self._dev_dim = -(-self.dim // 128) * 128
         self.state: V.IVFState | None = None
         #: host mirrors of slot occupancy, derived from resolved insert slots
@@ -165,14 +165,18 @@ class IVFIndex(BaseVectorIndex):
         n = vectors.shape[0]
         spans = self._spans(n)
         staged = [self._stage_span(vectors, sp) for sp in spans]  # all queued
-        # balanced device-side sample: an even row-slice from every batch
         target = max(self.options.kmeans_sample, 4 * self._resolved_clusters(n))
-        per = max(min(target // len(staged), spans[0][1]), 1)
+        # sample from the FIRST quarter of the staged batches only: training
+        # then starts as soon as those land, while the remaining transfers
+        # stream in parallel with the k-means compute (sampling from every
+        # batch would serialise training behind the LAST transfer)
+        nb = len(staged)
+        train = list(zip(staged, spans))[: max(min(4, nb), nb // 4)]
+        per = max(min(target // len(train), spans[0][1]), 1)
         # clip each slice to the span's REAL row count (the last batch is
         # zero-padded; zeros in the sample would grow a parasitic centroid)
         sample = jnp.concatenate(
-            [b[: min(per, sp[1])].astype(jnp.float32)
-             for b, sp in zip(staged, spans)],
+            [b[: min(per, sp[1])].astype(jnp.float32) for b, sp in train],
             axis=0,
         )
         self.state = self._fresh_state(n, sample)
@@ -300,7 +304,7 @@ class IVFIndex(BaseVectorIndex):
                 chunk=131072 if self.options.approx_topk else 8192,
             )
         rerank = self.options.rerank
-        if rerank == "pallas" and jax.default_backend() == "cpu":
+        if rerank.startswith("pallas") and jax.default_backend() == "cpu":
             rerank = "xla"  # Mosaic kernels need a real TPU; same results
         return V.query(
             self.state,

@@ -204,7 +204,7 @@ class LSHIndex(BaseVectorIndex):
                 chunk=131072 if self.options.approx_topk else 8192,
             )
         rerank = self.options.rerank
-        if rerank == "pallas" and jax.default_backend() == "cpu":
+        if rerank.startswith("pallas") and jax.default_backend() == "cpu":
             rerank = "xla"  # Mosaic kernels need a real TPU; same results
         return B.query(
             self.state,

@@ -156,6 +156,150 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
     return kernel
 
 
+def _kernel_factory_v2(metric: str, Q: int, P: int, C: int, D: int, k: int,
+                       has_scales: bool, slab_bf16_exact: bool):
+    """Wave kernel v2: ONE MXU matmul scores the whole wave.
+
+    v1 issues Q small [1, D] x [D, C] dots per probe (Mosaic rejects the
+    batched-matvec dot_general), whose per-dot issue latency dominates the
+    kernel at the 1M x 768 defaults (~half the kernel time). v2 computes
+    [Q, D] x [D, Q*C] in one pass — every query scored against every block
+    in the wave — and masks the off-diagonal (query, other query's block)
+    entries before selection. The wasted FLOPs are free: the MXU pass is
+    tiny either way; the serial issue latency is what disappears.
+
+    Precision: for bf16/int8 slabs the products are EXACT in one MXU pass
+    (bf16 x bf16 multiplies exactly with f32 accumulation; int8 codes are
+    exactly representable in bf16), so DEFAULT precision loses nothing if
+    the query is bf16-rounded — which reduced-precision slabs already accept
+    (see IndexOptions.query_wire). f32 slabs keep the HIGHEST 6-pass dot.
+
+    Selection runs over the concatenated [Q, P*Q*C] lane axis; selected
+    positions map back to the [P*C] probe axis at the end.
+    """
+    assert P % 2 == 0
+    QC = Q * C
+
+    def kernel(probes_ref, nrm_ref, val_ref, q_ref, *rest):
+        if has_scales:
+            sc_ref, vec_ref, outd_ref, outp_ref, buf0, buf1, sem0, sem1 = rest
+        else:
+            vec_ref, outd_ref, outp_ref, buf0, buf1, sem0, sem1 = rest
+            sc_ref = None
+        qt = q_ref[0]  # [Q, D] (f32 or bf16 — see wrapper)
+        qt32 = qt.astype(jnp.float32)
+        qn2 = jnp.sum(qt32 * qt32, axis=1)[:, None]  # [Q, 1]
+
+        def wave_dma(buf, sem, p, qi):
+            c = probes_ref[0, qi, p]
+            return pltpu.make_async_copy(
+                vec_ref.at[pl.ds(c * C, C), :],
+                buf.at[qi],
+                sem.at[qi],
+            )
+
+        def start_wave(buf, sem, p):
+            def body(qi, _):
+                wave_dma(buf, sem, p, qi).start()
+                return 0
+
+            jax.lax.fori_loop(0, Q, body, 0)
+
+        def wait_compute(buf, sem, p):
+            def body(qi, _):
+                wave_dma(buf, sem, p, qi).wait()
+                return 0
+
+            jax.lax.fori_loop(0, Q, body, 0)
+            flat = buf[...].reshape(QC, D)  # majormost merge — Mosaic-safe
+            if slab_bf16_exact:
+                # bf16/int8 slab: exact one-pass MXU (int8 -> bf16 is exact)
+                return jax.lax.dot_general(
+                    qt.astype(jnp.bfloat16),
+                    flat.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [Q, Q*C]
+            return jax.lax.dot_general(
+                qt32,
+                flat.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        dots: list = [None] * P
+        start_wave(buf0, sem0, 0)
+        for a in range(0, P, 2):
+            b = a + 1
+            start_wave(buf1, sem1, b)
+            dots[a] = wait_compute(buf0, sem0, a)  # [Q, Q*C]
+            if a + 2 < P:
+                start_wave(buf0, sem0, a + 2)
+            dots[b] = wait_compute(buf1, sem1, b)
+
+        # block-diagonal mask: row qi owns cols [qi*C, (qi+1)*C) of each
+        # probe's [Q, Q*C] tile
+        row = jax.lax.broadcasted_iota(jnp.int32, (Q, QC), 0)
+        colq = jax.lax.broadcasted_iota(jnp.int32, (Q, QC), 1)
+        own = (colq // C) == row  # [Q, QC]
+
+        parts_d = []
+        for p in range(P):
+            dot = dots[p]
+            # per-probe aux strips [Q, C], tiled Q times along lanes so the
+            # diagonal blocks line up (off-diagonal values are masked away)
+            n2s = nrm_ref[0][:, p * C : (p + 1) * C]
+            vs = val_ref[0][:, p * C : (p + 1) * C]
+            n2t = jnp.concatenate([n2s] * Q, axis=1)  # [Q, QC]
+            vt = jnp.concatenate([vs] * Q, axis=1)
+            if sc_ref is not None:
+                scs = sc_ref[0][:, p * C : (p + 1) * C]
+                dot = dot * jnp.concatenate([scs] * Q, axis=1)
+            if metric == "cosine":
+                denom = jax.lax.rsqrt(jnp.maximum(qn2 * n2t, 1e-30))
+                dd = 1.0 - dot * denom
+                dd = jnp.where(n2t * qn2 > 0, dd, 1.0)
+            else:
+                d2 = jnp.maximum(qn2 + n2t - 2.0 * dot, 0.0)
+                dd = jnp.sqrt(d2) if metric == "l2" else d2
+            parts_d.append(jnp.where(own & (vt > 0), dd, BIG))
+        d = jnp.concatenate(parts_d, axis=1)  # [Q, P*QC]
+
+        lin = jax.lax.broadcasted_iota(jnp.int32, (Q, P * QC), 1)
+        out_col = jax.lax.broadcasted_iota(jnp.int32, (Q, OUT_K), 1)
+
+        def select(j, carry):
+            dd, od, op = carry
+            m = jnp.min(dd, axis=1, keepdims=True)  # [Q, 1]
+            li = jnp.min(
+                jnp.where(dd == m, lin, jnp.int32(2**30)), axis=1, keepdims=True
+            )
+            od = jnp.where(out_col == j, m, od)
+            op = jnp.where(out_col == j, jnp.where(m < BIG, li, -1), op)
+            dd = jnp.where(lin == li, BIG, dd)
+            return dd, od, op
+
+        _, od, op = jax.lax.fori_loop(
+            0,
+            k,
+            select,
+            (
+                d,
+                jnp.full((Q, OUT_K), BIG, jnp.float32),
+                jnp.full((Q, OUT_K), -1, jnp.int32),
+            ),
+        )
+        # map the global [P*QC] position back to the [P*C] probe axis:
+        # gpos = p*QC + qi*C + c  ->  p*C + c
+        valid_op = op >= 0
+        op_pc = jnp.where(valid_op, (op // QC) * C + op % C, -1)
+        outd_ref[0] = od
+        outp_ref[0] = op_pc
+
+    return kernel
+
+
 def _query_tile(C: int, D: int, itemsize: int) -> int:
     """Queries per grid step, bounded by the wave-buffer VMEM budget.
 
@@ -168,11 +312,12 @@ def _query_tile(C: int, D: int, itemsize: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cluster_capacity", "metric", "k", "interpret")
+    jax.jit,
+    static_argnames=("cluster_capacity", "metric", "k", "interpret", "wave"),
 )
 def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_valid,
                       metric: str = "cosine", k: int = 10, interpret: bool = False,
-                      cand_scales=None):
+                      cand_scales=None, wave: int = 1):
     """Fused IVF block re-rank.
 
     Args:
@@ -213,14 +358,24 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
             cand_scales = jnp.pad(cand_scales, ((0, padB), (0, 0), (0, 0)))
     Bp = B + padB
 
-    kernel = _kernel_factory(metric, Q, P, C, D, k,
-                             has_scales=cand_scales is not None)
+    reduced = vectors.dtype in (jnp.bfloat16, jnp.int8)
+    if wave == 2:
+        kernel = _kernel_factory_v2(
+            metric, Q, P, C, D, k,
+            has_scales=cand_scales is not None, slab_bf16_exact=reduced,
+        )
+    else:
+        kernel = _kernel_factory(metric, Q, P, C, D, k,
+                                 has_scales=cand_scales is not None)
     probes4 = probes.reshape(Bp // Q, Q, P)
     # flatten the probe axis OUTSIDE the kernel (XLA reshapes are free;
     # in-kernel lane merges are not Mosaic-safe at every width)
     nrm4 = cand_norms.reshape(Bp // Q, Q, P * C)
     val4 = cand_valid.reshape(Bp // Q, Q, P * C)
-    q3 = q.astype(jnp.float32).reshape(Bp // Q, Q, D)
+    # v2 on a reduced-precision slab ships bf16 queries (the one-pass MXU
+    # dot is then exact; norms/rerank math stays f32)
+    qdt = jnp.bfloat16 if (wave == 2 and reduced) else jnp.float32
+    q3 = q.astype(qdt).reshape(Bp // Q, Q, D)
 
     in_specs = [
         pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
@@ -265,7 +420,7 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
     return d, p
 
 
-def ivf_rerank(state, q32, probes, k, metric: str = "cosine"):
+def ivf_rerank(state, q32, probes, k, metric: str = "cosine", wave: int = 1):
     """Adapter used by :func:`zebra_tpu.index.ivf.query`: gathers the probed
     blocks' norms/validity (tiny [B, P, C] f32 arrays), pads the probe axis to
     an even width, runs the kernel, and maps positions -> slab slots."""
@@ -294,7 +449,7 @@ def ivf_rerank(state, q32, probes, k, metric: str = "cosine"):
         sc = jnp.take(sc2d, probes, axis=0)
     d, pos = pallas_ivf_rerank(
         state.vectors, C, q32, probes.astype(jnp.int32), nrm, val,
-        metric=metric, k=k, cand_scales=sc,
+        metric=metric, k=k, cand_scales=sc, wave=wave,
     )
     valid = pos >= 0
     posc = jnp.clip(pos, 0, probes.shape[1] * C - 1)

@@ -290,7 +290,7 @@ class ShardedIndex(BaseVectorIndex):
         super().__init__(dim, metric, options, metric_power)
         if self.options.dtype == "int8" and self.options.index_type != "ivf":
             raise ValueError("dtype='int8' is supported by the ivf backend only")
-        if self.options.rerank == "pallas":
+        if self.options.rerank in ("pallas", "pallas2"):
             # the pallas kernels need aligned stored dims (IVF block kernel:
             # 128 lanes; LSH flat-slab kernel: 1024 f32 / 2048 bf16) and the
             # sharded state carries no dim padding (round-1 advisor finding)
@@ -659,7 +659,7 @@ class ShardedIndex(BaseVectorIndex):
         if self.options.index_type == "flat":
             exact = True
         rerank = self.options.rerank
-        if rerank == "pallas" and jax.default_backend() == "cpu":
+        if rerank.startswith("pallas") and jax.default_backend() == "cpu":
             rerank = "xla"  # Mosaic kernels need a real TPU; same results
         if exact:
             return _sharded_brute_force(
