@@ -100,3 +100,62 @@ def test_dedup_keeps_exactly_one_of_each(n, dup_every, seed):
     assert len(removed) == len(dups)
     assert len(idx) == n
     assert idx.deduplicate() == []  # idempotent
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("add"), st.integers(1, 24)),
+            st.tuples(st.just("remove"), st.integers(1, 12)),
+            st.tuples(st.just("dedup"), st.just(0)),
+            st.tuples(st.just("reload"), st.just(0)),
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    seed=st.integers(0, 2**16),
+)
+def test_sharded_crud_interleavings(tmp_path_factory, ops, seed):
+    """Random CRUD interleavings on the SHARDED index (8-way CPU mesh) keep
+    the live set exact — same contract the single-shard property test
+    enforces (ROADMAP round-3 item)."""
+    from zebra_tpu.parallel.sharded import ShardedIndex
+
+    rng = np.random.default_rng(seed)
+    dim = 12
+    idx = ShardedIndex(
+        dim=dim, metric="sql2",
+        options=IndexOptions(seed=1, kmeans_iters=2, kmeans_balance_rounds=1),
+        shards=8,
+    )
+    live: dict[bytes, np.ndarray] = {}
+    tag = 0
+    tmp = tmp_path_factory.mktemp("sprop")
+    for op, arg in ops:
+        if op == "add":
+            # tag-unique vectors so dedup is a guaranteed no-op
+            vecs = np.zeros((arg, dim), np.float32)
+            vecs[:, 0] = np.arange(tag, tag + arg)
+            vecs[:, 1:] = rng.standard_normal((arg, dim - 1)).astype(np.float32)
+            tag += arg
+            ids = idx.add(vecs)
+            live.update(zip(ids, vecs))
+        elif op == "remove" and live:
+            victims = list(live)[:arg]
+            removed = idx.remove(victims)
+            assert sorted(removed) == sorted(victims)
+            for v in victims:
+                live.pop(v)
+        elif op == "dedup":
+            assert idx.deduplicate() == []
+        elif op == "reload":
+            d = str(tmp / f"s{tag}")
+            idx.save(d)
+            idx = ShardedIndex.load(d)
+        assert len(idx) == len(live)
+    if live:
+        items = list(live.items())[:16]
+        res = idx.search(np.stack([v for _, v in items]), k=1)
+        for (i, _v), row in zip(items, res):
+            assert row and row[0][0] == i
