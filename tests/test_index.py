@@ -233,3 +233,18 @@ def test_user_supplied_id_validation(rng):
     with pytest.raises(ValueError, match="duplicate"):
         idx.add(v[:1], ids=ok[:1])  # collides with an existing id
     assert len(idx) == 3
+
+
+def test_lsh_k_wider_than_candidate_chunks(rng):
+    """k larger than re-rank chunks / bucket candidate widths must clamp,
+    not crash (same round-2 advisor class as the IVF block fix)."""
+    idx = make_index()
+    data = rng.standard_normal((300, 32)).astype(np.float32)
+    ids = idx.add(data)
+    res = idx.search(data[:4], k=64)
+    for i, row in enumerate(res):
+        assert row and row[0][0] == ids[i]
+        assert len({r for r, _ in row}) == len(row)  # no duplicate ids
+    # k beyond the whole database through the exact path too
+    res_all = idx.search(data[:2], k=512, exact=True)
+    assert all(len(row) == 300 for row in res_all)
