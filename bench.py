@@ -450,7 +450,7 @@ def main():
         facade["facade_qps"] = round(args.qbatch * iters_f / t_f, 1)
         # wire accounting: what the tunnel alone costs per query batch
         q_up = args.qbatch * args.dim * 4 / 1e6  # f32 queries up, MB
-        r_down = args.qbatch * 3 * args.k * 4 / 1e6  # packed results down, MB
+        r_down = args.qbatch * 2 * args.k * 4 / 1e6  # packed results down, MB
         facade["facade_wire_ms_per_batch"] = round(
             1000 * (q_up / max(up_mbs, 1e-9) + r_down / max(down_mbs, 1e-9)), 1
         )

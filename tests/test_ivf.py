@@ -313,3 +313,22 @@ def test_int8_rejected_outside_ivf():
 
     with pytest.raises(ValueError, match="int8"):
         LSHIndex(dim=16, options=IndexOptions(index_type="lsh", dtype="int8"))
+
+
+def test_ivf_spare_flood_triggers_rebuild(rng):
+    """Churn pattern that OOMed the 10M bench: clusters fill, a whole wave
+    floods the spare, grow_spare doubles it — the rebuild policy must fire
+    on spare OCCUPANCY vs live data (the old capacity-relative test could
+    never fire after growth) and retrain/drain the spare."""
+    idx = IVFIndex(dim=16, metric="sql2", options=_opts(num_probes=8))
+    idx.add(_data(rng, 128, 16))  # tiny auto-sized partition (K=8)
+    k0 = idx.stats()["clusters"]
+    # flood: 20k more rows -> spare crosses the occupancy threshold
+    idx.add(_data(rng, 20000, 16))
+    st = idx.stats()
+    assert len(idx) == 20128
+    assert st["clusters"] > k0  # retrained to the grown population
+    # post-rebuild the spare holds (far) less than the policy threshold
+    assert st["spare_used"] <= max(0.125 * len(idx), 4096)
+    q = _data(np.random.default_rng(3), 8, 16)
+    assert all(row for row in idx.search(q, k=3))

@@ -157,15 +157,20 @@ class IdSlotMap:
 
 @jax.jit
 def _pack_results(d, s, v):
-    """Pack (dists f32, slots i32, valid bool) into ONE int32 array so results
-    come back in a single device->host transfer (the slow direction).
+    """Pack (dists f32, slots i32, valid bool) into ONE [B, 2k] int32 array
+    so results come back in a single device->host transfer (the slow
+    direction): validity rides in the slot SIGN (-1 = invalid), so only
+    dist bits + signed slots ship — 8k bytes/query instead of 12k.
 
     The float distances travel as bit patterns inside the int array — the
     reverse (ints as f32 bit patterns) would flush small slot ids to zero on
     TPU, which treats denormal floats as 0.
     """
     return jnp.concatenate(
-        [jax.lax.bitcast_convert_type(d, jnp.int32), s, v.astype(jnp.int32)],
+        [
+            jax.lax.bitcast_convert_type(d, jnp.int32),
+            jnp.where(v, s, -1),
+        ],
         axis=1,
     )
 
@@ -193,8 +198,7 @@ def slab_from_np(arr: np.ndarray, dtype):
 def _unpack_results(packed: np.ndarray, nq: int, k: int):
     d = packed[:nq, :k].view(np.float32)
     s = packed[:nq, k : 2 * k]
-    v = packed[:nq, 2 * k :] > 0
-    return d, s, v
+    return d, s, s >= 0
 
 
 class BaseVectorIndex:

@@ -388,11 +388,16 @@ def query(
 def _merge_spare(state: IVFState, q32, dk, ik, vk, k: int, metric: str, power: float):
     """Fold the shared spare region into partial top-k results.
 
-    One ``[B, D] x [D, G]`` matmul streamed once for the whole batch — the
+    ``[B, D] x [D, G]`` matmuls streamed once for the whole batch — the
     spare block is query-independent, so unlike cluster probes it rides the
     MXU at full batch efficiency. With a well-balanced partition the spare
     is usually EMPTY (measured 0 at 1M x 768), so the whole scan sits behind
     a ``lax.cond`` — an empty spare costs one scalar compare, not a matmul.
+
+    The scan is CHUNKED (exact_scan over the spare slice): between a
+    spare-growth episode and the rebuild that follows it, G can transiently
+    reach millions of rows, and an unchunked [B, G] distance matrix is a
+    multi-GB HBM temporary (a 10M-churn wave OOMed exactly there).
     """
     G = state.spare_capacity
     if G == 0:
@@ -400,21 +405,21 @@ def _merge_spare(state: IVFState, q32, dk, ik, vk, k: int, metric: str, power: f
     start = state.spare_start
 
     def with_spare(args):
+        from zebra_tpu.ops.scan import exact_scan
+
         dk, ik, vk = args
         vecs = jax.lax.dynamic_slice_in_dim(state.vectors, start, G, axis=0)
         vl = jax.lax.dynamic_slice_in_dim(state.valid, start, G, axis=0)
-        if state.scales is not None:
-            sc = jax.lax.dynamic_slice_in_dim(state.scales, start, G, axis=0)
-            vecs = vecs.astype(jnp.float32) * sc[:, None]
-        d = D.pairwise(q32, vecs, metric=metric, power=power)
-        B = q32.shape[0]
-        sl = start + jnp.arange(G, dtype=jnp.int32)
-        td, ti, tv = TK.masked_topk(
-            d,
-            jnp.broadcast_to(vl[None, :], (B, G)),
-            jnp.broadcast_to(sl[None, :], (B, G)),
-            min(k, G),  # G-wide block: same clamp as the per-probe selection
+        sc = (
+            jax.lax.dynamic_slice_in_dim(state.scales, start, G, axis=0)
+            if state.scales is not None
+            else None
         )
+        td, ti, tv = exact_scan(
+            vecs, vl, q32, min(k, G), metric=metric, power=power,
+            chunk=65536, scales=sc,
+        )
+        ti = jnp.where(tv, ti + start, -1)
         return TK.merge_topk(dk, ik, vk, td, ti, tv, k)
 
     return jax.lax.cond(

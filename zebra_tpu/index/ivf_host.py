@@ -255,8 +255,16 @@ class IVFIndex(BaseVectorIndex):
         used = self._used_slots
         tombstones = used - n_live
         # heavy spare pressure means the partitions no longer fit the data —
-        # a retrain rebalances and resizes the spare to the grown population
-        spare_pressure = self._spare_used > 0.75 * max(self.state.spare_capacity, 1)
+        # a retrain rebalances and resizes the spare to the grown population.
+        # The occupancy test must be RELATIVE TO LIVE DATA, not capacity: a
+        # growth episode doubles the capacity past any fixed fraction of it
+        # (a 10M-churn wave grew the spare to 4M rows and the old
+        # 0.75*capacity test then never fired — every query paid a
+        # multi-million-row linear scan until it OOMed)
+        spare_pressure = (
+            self._spare_used > 0.75 * max(self.state.spare_capacity, 1)
+            or self._spare_used > max(0.125 * n_live, 4096)
+        )
         if (
             n_live > _REBUILD_GROWTH * max(self._built_n, 1)
             or tombstones > _COMPACT_TOMBSTONES * max(used, 1)

@@ -584,7 +584,13 @@ class ShardedIndex(BaseVectorIndex):
         if self._ivf:
             used = self._used_slots
             spare_cap = st.vectors.shape[1] - self._kc
-            spare_pressure = self._spare_used.max() > 0.75 * max(spare_cap, 1)
+            # occupancy tested vs capacity AND vs live data — growth doubles
+            # capacity past any fixed fraction of it (see IVFIndex note)
+            per_shard_live = max(n_live // max(self.shards, 1), 1)
+            spare_pressure = (
+                self._spare_used.max() > 0.75 * max(spare_cap, 1)
+                or self._spare_used.max() > max(0.125 * per_shard_live, 4096)
+            )
             if (
                 n_live > 4.0 * max(self._built_n, 1)
                 or (used - n_live) > 0.5 * max(used, 1)
