@@ -103,15 +103,22 @@ def audio_to_data(data: bytes) -> tuple[np.ndarray, int]:
                     _pcm_to_float(raw, a.getsampwidth(), a.getnchannels(), be),
                     int(a.getframerate()),
                 )
-    try:  # compressed codecs, if soundfile happens to be installed
+    if data[:4] == b"fLaC":  # native FLAC decoder (no external deps)
+        from zebra_tpu.native.flac import decode_flac
+
+        try:
+            return decode_flac(data)
+        except ValueError:
+            pass  # corrupt stream or no toolchain — try soundfile below
+    try:  # other compressed codecs (mp3/ogg/...), if soundfile is installed
         import soundfile as sf
 
         samples, rate = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
         return samples.mean(axis=1), int(rate)
     except ImportError as e:
         raise ValueError(
-            "unsupported audio container (WAV/AIFF/AU supported natively; "
-            "install `soundfile` for compressed codecs)"
+            "unsupported audio container (WAV/AIFF/AU/FLAC supported natively; "
+            "install `soundfile` for other compressed codecs)"
         ) from e
 
 
@@ -176,8 +183,7 @@ class VitAudioModel(BaseModel):
             import soundfile  # noqa: F401
         except ImportError:
             degr = degr + [
-                "compressed audio codecs (mp3/flac/ogg) unavailable — "
-                "install the 'audio' extra (soundfile); WAV/AIFF/AU decode "
-                "natively"
+                "mp3/ogg codecs unavailable — install the 'audio' extra "
+                "(soundfile); WAV/AIFF/AU/FLAC decode natively"
             ]
         return {"semantic": not degr, "degradations": degr}
