@@ -119,6 +119,141 @@ def test_pallas_int8_scales_parity(rng, interp_kernel):
     np.testing.assert_allclose(np.asarray(dp)[:, 0], np.asarray(dx)[:, 0], atol=1e-5)
 
 
+@pytest.mark.parametrize("dots", ["bf16", "bf16x2"])
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_wave_dots_precision_matches_xla(rng, interp_kernel, dots, dtype):
+    """Reduced-pass dot modes (the shipped 'auto' resolution for reduced
+    slabs) keep ranking parity with the f32 XLA path: per-pass bf16 products
+    are exact against bf16/int8 slab values; bf16x2 also keeps ~16 query
+    mantissa bits (measured top-10 overlap 0.9999 on TPU, tools/abl_aux.py)."""
+    centers = rng.standard_normal((8, 128)).astype(np.float32)
+    n = 1024
+    data = centers[rng.integers(0, 8, n)] + 0.1 * rng.standard_normal(
+        (n, 128)
+    ).astype(np.float32)
+    cents, _ = kmeans(
+        jax.random.PRNGKey(0), jnp.asarray(data), jnp.int32(n), k=16, iters=4,
+        chunk=1024,
+    )
+    dt = {"bfloat16": jnp.bfloat16, "int8": jnp.int8}[dtype]
+    st = ivf.empty_state(cents, cluster_capacity=160, dtype=dt)
+    st, slots = ivf.insert(st, jnp.asarray(data), jnp.int32(n))
+    st = ivf.delete_slots(st, jnp.asarray(np.asarray(slots)[:40].astype(np.int32)))
+    q = jnp.asarray(
+        data[:32] + 0.02 * rng.standard_normal((32, 128)).astype(np.float32)
+    )
+    dp, sp, vp = ivf.query(st, q, 10, metric="cosine", num_probes=4,
+                           rerank="pallas", rerank_dots=dots)
+    dx, sx, vx = ivf.query(st, q, 10, metric="cosine", num_probes=4,
+                           rerank="xla")
+    overlap = sum(
+        len(set(np.asarray(sp)[b][np.asarray(vp)[b]].tolist())
+            & set(np.asarray(sx)[b][np.asarray(vx)[b]].tolist()))
+        for b in range(32)
+    )
+    min_frac = 0.95 if dots == "bf16x2" else 0.9
+    assert overlap >= min_frac * 32 * 10
+    assert np.mean(np.asarray(sp)[:, 0] == np.asarray(sx)[:, 0]) >= 0.9
+    np.testing.assert_allclose(
+        np.asarray(dp)[:, 0], np.asarray(dx)[:, 0], rtol=2e-2, atol=2e-2
+    )
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2", "sql2"])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_wave_v3_aug_matches_xla(rng, metric, dtype):
+    """v3 (augmented slab, aux-free) parity vs the XLA path: same slots,
+    same distances, dead rows and empty slots masked identically."""
+    centers = rng.standard_normal((8, 128)).astype(np.float32)
+    n = 1024
+    data = centers[rng.integers(0, 8, n)] + 0.1 * rng.standard_normal(
+        (n, 128)
+    ).astype(np.float32)
+    cents, _ = kmeans(
+        jax.random.PRNGKey(0), jnp.asarray(data), jnp.int32(n), k=16, iters=4,
+        chunk=1024,
+    )
+    dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+    st = ivf.empty_state(cents, cluster_capacity=160, dtype=dt)
+    st, slots = ivf.insert(st, jnp.asarray(data), jnp.int32(n))
+    st = ivf.delete_slots(st, jnp.asarray(np.asarray(slots)[:40].astype(np.int32)))
+    q32 = jnp.asarray(
+        data[:32] + 0.02 * rng.standard_normal((32, 128)).astype(np.float32)
+    )
+
+    # probe selection identical to ivf.query's K<128 path
+    from zebra_tpu.ops import distances as DD
+
+    sel = metric if metric in DD.MXU_METRICS else "sql2"
+    score = DD.pairwise(q32, st.centroids, metric=sel, precision="default")
+    _, probes = jax.lax.top_k(-score, 4)
+
+    vec_aug = PI.augment_slab(st.vectors, st.norms, st.valid, metric)
+    d3, s3, v3 = PI.ivf_rerank_aug(
+        vec_aug, st.cluster_capacity, q32, probes.astype(jnp.int32), 10,
+        metric=metric, interpret=True,
+    )
+    # the kernel's contract is to rank ITS OWN augmented slab exactly — the
+    # oracle is numpy over the same representation (the augmented rows of a
+    # bf16 slab are a slightly different rounding of the raw rows, so a
+    # raw-row reference would only fuzzily agree; that representation delta
+    # is the adapter's documented property, not a kernel bug)
+    C = st.cluster_capacity
+    va = np.asarray(vec_aug, dtype=np.float32)
+    w = np.asarray(PI.aug_query(q32, metric))
+    pr = np.asarray(probes)
+    for b in range(32):
+        cand_slots = np.concatenate([np.arange(c * C, (c + 1) * C) for c in pr[b]])
+        draw = va[cand_slots] @ w[b]
+        draw = np.minimum(draw, PI.BIG)
+        order = np.argsort(draw, kind="stable")[:10]
+        exp_slots = cand_slots[order]
+        exp_valid = draw[order] < PI.BIG
+        got_s = np.asarray(s3)[b]
+        got_v = np.asarray(v3)[b]
+        np.testing.assert_array_equal(got_v, exp_valid)
+        # last-ulp accumulation-order ties may swap adjacent ranks between
+        # the numpy oracle and the kernel's dot — compare the distance
+        # SEQUENCE exactly-ish and the slot SET (supersets of any tie)
+        exp_d = draw[order][exp_valid]
+        got_d = np.asarray(d3)[b][got_v] - (1.0 if metric == "cosine" else 0.0)
+        if metric == "l2":
+            got_d = np.asarray(d3)[b][got_v] ** 2 - (q32[b] @ q32[b])
+        elif metric == "sql2":
+            got_d = np.asarray(d3)[b][got_v] - np.asarray(q32[b] @ q32[b])
+        np.testing.assert_allclose(got_d, exp_d, rtol=1e-4, atol=1e-4)
+        assert len(set(got_s[got_v].tolist()) ^ set(exp_slots[exp_valid].tolist())) <= 2
+    # distances map back to true metric values vs the XLA path (loose: the
+    # augmented bf16 representation re-rounds rows)
+    dx, sx, vx = ivf.query(st, q32, 10, metric=metric, num_probes=4, rerank="xla")
+    tol = 5e-3 if dtype == "bfloat16" else 2e-5
+    np.testing.assert_allclose(
+        np.asarray(d3)[:, 0], np.asarray(dx)[:, 0], rtol=tol, atol=tol
+    )
+
+
+def test_wave_v3_underfull(rng):
+    """Fewer live candidates than k through v3: tail must be -1/+inf."""
+    cents = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+    st = ivf.empty_state(cents, cluster_capacity=16)
+    data = rng.standard_normal((3, 128)).astype(np.float32)
+    st, _ = ivf.insert(st, jnp.asarray(np.pad(data, ((0, 5), (0, 0)))), jnp.int32(3))
+    q32 = jnp.asarray(data[:2])
+    from zebra_tpu.ops import distances as DD
+
+    score = DD.pairwise(q32, st.centroids, metric="cosine", precision="default")
+    _, probes = jax.lax.top_k(-score, 8)
+    vec_aug = PI.augment_slab(st.vectors, st.norms, st.valid, "cosine")
+    d, s, v = PI.ivf_rerank_aug(
+        vec_aug, st.cluster_capacity, q32, probes.astype(jnp.int32), 10,
+        metric="cosine", interpret=True,
+    )
+    d, s, v = map(np.asarray, (d, s, v))
+    assert v[:, :3].all() and not v[:, 3:].any()
+    assert (s[:, 3:] == -1).all()
+    assert np.isinf(d[:, 3:]).all()
+
+
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
 def test_wave_v2_matches_xla(rng, interp_kernel, dtype):
     """v2 (one-matmul wave) parity vs the XLA path for every slab dtype."""

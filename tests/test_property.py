@@ -102,6 +102,80 @@ def test_dedup_keeps_exactly_one_of_each(n, dup_every, seed):
     assert idx.deduplicate() == []  # idempotent
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("insert"), st.integers(1, 16)),
+            st.tuples(st.just("remove"), st.integers(1, 8)),
+            st.tuples(st.just("dedup"), st.just(0)),
+            st.tuples(st.just("reopen"), st.just(0)),
+            st.tuples(st.just("save"), st.just(0)),
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    seed=st.integers(0, 2**16),
+)
+def test_sharded_facade_crud_interleavings(tmp_path_factory, ops, seed):
+    """Random CRUD interleavings through the full `Database` FACADE with
+    shards > 1 (ROADMAP #7): blobs, WRITE-AHEAD delta log, id maps and the
+    sharded index must stay mutually consistent across close/reopen — the
+    reopen replays the delta log (crash-recovery path), so every interleaving
+    also exercises WAL replay on a sharded index."""
+    from zebra_tpu.config import DatabaseConfig
+    from zebra_tpu.db import Database
+
+    d = tmp_path_factory.mktemp("sfac")
+    path = str(d / "db.zebra")
+    cfg = DatabaseConfig(
+        dim=12,
+        metric="sql2",
+        model="hash-12",
+        shards=4,
+        durability="full",
+        index=IndexOptions(seed=1, kmeans_iters=2, kmeans_balance_rounds=1),
+    )
+    db = Database.open_or_create(path, cfg)
+    live: dict[bytes, bytes] = {}  # id -> document
+    tag = seed * 10_000
+    try:
+        for op, arg in ops:
+            if op == "insert":
+                docs = [f"doc-{tag + i}".encode() for i in range(arg)]
+                tag += arg
+                ids = db.insert_documents(docs)
+                assert len(ids) == len(docs)
+                live.update(zip(ids, docs))
+            elif op == "remove" and live:
+                victims = sorted(live)[:arg]
+                db.remove(victims + [b"\xfe" * 16])  # unknown id is a no-op
+                for v in victims:
+                    live.pop(v)
+            elif op == "dedup":
+                db.deduplicate()  # tag-unique docs: must remove nothing
+            elif op == "save":
+                db.save()
+            elif op == "reopen":
+                db.close()
+                db = Database.open(path)
+            assert len(db) == len(live)
+        if live:
+            probe = sorted(live)[:8]
+            res = db.query_documents([live[i] for i in probe],
+                                     number_of_results=1)
+            for qi, want in enumerate(probe):
+                hit = res[qi]
+                assert list(hit.keys()) == [want]
+                assert hit[want] == live[want]
+    finally:
+        db.close()
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     ops=st.lists(

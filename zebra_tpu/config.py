@@ -91,6 +91,13 @@ class IndexOptions:
     kmeans_balance_rounds: int = 6
     #: max training-sample rows for k-means (subsampled from the build data).
     kmeans_sample: int = 262144
+    #: IVF wave-kernel dot precision: "auto" = 2-pass split-query bf16
+    #: ("bf16x2") on reduced-precision slabs (bf16/int8 — per-pass products
+    #: are exact there; measured +31% QPS at 1M x 768 over the 6-pass f32
+    #: "highest" with top-10 overlap 0.9999, tools/abl_aux.py) and "highest"
+    #: on f32 slabs. Explicit values: "highest" | "bf16x2" | "bf16" (1-pass,
+    #: bf16-rounded query wire — fastest, ~0.998 overlap).
+    rerank_dots: str = "auto"
     #: query staging dtype: "auto" ships queries as bf16 whenever the slab
     #: itself is reduced-precision (bf16/int8) — halves the host->device
     #: bytes of every search, which BOUNDS facade QPS on PCIe/tunnel links;

@@ -278,7 +278,9 @@ def delete_slots(state: IVFState, slots: jnp.ndarray) -> IVFState:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "num_probes", "rerank", "qchunk")
+    jax.jit,
+    static_argnames=("k", "metric", "num_probes", "rerank", "qchunk",
+                     "rerank_dots"),
 )
 def query(
     state: IVFState,
@@ -289,6 +291,7 @@ def query(
     power: float = 3.0,
     rerank: str = "xla",
     qchunk: int = 256,
+    rerank_dots: str = "auto",
 ):
     """Approximate top-k: score centroids -> top-P blocks -> exact re-rank.
 
@@ -326,9 +329,18 @@ def query(
         # one-matmul wave kernel (see ops/pallas_ivf._kernel_factory_v2).
         from zebra_tpu.ops.pallas_ivf import ivf_rerank
 
+        if rerank_dots == "auto":
+            # reduced-precision slabs: per-pass bf16 products are exact, so
+            # the 2-pass split-query dot keeps ranking (overlap 0.9999) at
+            # 1/3 the MXU passes — the measured kernel bottleneck
+            # (tools/abl_aux.py). f32 slabs keep the exact 6-pass dot.
+            reduced = state.vectors.dtype in (jnp.bfloat16, jnp.int8)
+            rerank_dots_r = "bf16x2" if reduced else "highest"
+        else:
+            rerank_dots_r = rerank_dots
         dk, ik, vk = ivf_rerank(
             state, q32, probes.astype(jnp.int32), k, metric=metric,
-            wave=2 if rerank == "pallas2" else 1,
+            wave=2 if rerank == "pallas2" else 1, dots=rerank_dots_r,
         )
         return _merge_spare(state, q32, dk, ik, vk, k, metric, power)
 

@@ -322,6 +322,7 @@ class IVFIndex(BaseVectorIndex):
             num_probes=self.options.resolved_probes(),
             power=self.metric_power,
             rerank=rerank,
+            rerank_dots=self.options.rerank_dots,
         )
 
     # -- persistence -----------------------------------------------------------------

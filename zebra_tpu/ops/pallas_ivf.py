@@ -36,13 +36,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 OUT_K = 128  # padded top-k output width (k <= OUT_K)
 BIG = 3.0e38  # sentinel for masked-out candidates
+#: dead-row penalty stored in the aug lane — chosen so that BOTH its f32
+#: value and its bf16 ROUNDING stay >= BIG after the dot (bf16(3.2e38) =
+#: 3.20e38 > BIG; a 3.0e38 constant would round DOWN below BIG in bf16 and
+#: dead rows would leak through the sentinel clamp)
+PEN = 3.2e38
+AUG = 128  # augmentation lanes appended to the stored dim (Mosaic lane unit)
 #: per-buffer VMEM budget for the double-buffered block waves
 _WAVE_BYTES = 4 << 20
 
 
 def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
-                    has_scales: bool = False):
+                    has_scales: bool = False, dots: str = "highest"):
     assert P % 2 == 0
+    assert dots in ("highest", "bf16", "bf16x2")
 
     def kernel(probes_ref, nrm_ref, val_ref, q_ref, *rest):
         if has_scales:
@@ -50,8 +57,17 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
         else:
             vec_ref, outd_ref, outp_ref, buf0, buf1, sem0, sem1 = rest
             sc_ref = None
-        qt = q_ref[0]  # [Q, D]
-        qn2 = jnp.sum(qt * qt, axis=1)[:, None]  # [Q, 1]
+        qt = q_ref[0]  # [Q, D] (f32; bf16 when dots == "bf16")
+        qt32 = qt.astype(jnp.float32)
+        qn2 = jnp.sum(qt32 * qt32, axis=1)[:, None]  # [Q, 1]
+        if dots == "bf16x2":
+            # split-precision one-pass dots: q = q_hi + q_lo with both halves
+            # bf16. Two bf16 MXU passes recover ~16 mantissa bits of the f32
+            # query — vs SIX passes for a full f32 HIGHEST dot (the measured
+            # kernel bottleneck, tools/abl_aux.py). Products against a bf16
+            # slab are exact per pass; only the f32 accumulate orders differ.
+            qhi = qt32.astype(jnp.bfloat16)
+            qlo = (qt32 - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
 
         def wave_dma(buf, sem, p, qi):
             c = probes_ref[0, qi, p]
@@ -79,20 +95,46 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
             # and Mosaic's TPU_DotDimensionNumbersAttr rejects it; a
             # [Q, D] x [D, Q*C] full matmul needs a lane-split reshape that
             # Mosaic also rejects at C % 128 != 0. The DMA wave is what
-            # amortises latency — the dots are tiny either way.)
-            # HIGHEST: full-f32 MXU passes — default precision is bf16-grade
-            # and mis-ranks near-ties (see ops/pallas_rerank.py)
+            # amortises latency.)
+            # Dot precision is the measured kernel bottleneck (abl_aux.py):
+            #   highest = 6-pass f32 (exact; the r2/r3 headline path)
+            #   bf16x2  = 2-pass split query (~16 query mantissa bits)
+            #   bf16    = 1-pass, bf16-rounded query (exact PRODUCTS vs a
+            #             bf16 slab; only the query wire is rounded)
+            dd = (((1,), (1,)), ((), ()))
             outs = []
             for qi in range(Q):
-                outs.append(
-                    jax.lax.dot_general(
-                        qt[qi : qi + 1].astype(jnp.float32),
-                        buf[qi].astype(jnp.float32),
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                if dots == "highest":
+                    outs.append(
+                        jax.lax.dot_general(
+                            qt32[qi : qi + 1],
+                            buf[qi].astype(jnp.float32),
+                            dimension_numbers=dd,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
                     )
-                )
+                elif dots == "bf16x2":
+                    b16 = buf[qi].astype(jnp.bfloat16)
+                    outs.append(
+                        jax.lax.dot_general(
+                            qhi[qi : qi + 1], b16, dimension_numbers=dd,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jax.lax.dot_general(
+                            qlo[qi : qi + 1], b16, dimension_numbers=dd,
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                else:  # bf16
+                    outs.append(
+                        jax.lax.dot_general(
+                            qt[qi : qi + 1].astype(jnp.bfloat16),
+                            buf[qi].astype(jnp.bfloat16),
+                            dimension_numbers=dd,
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
             return jnp.concatenate(outs, axis=0)  # [Q, C]
 
         # statically-unrolled probe pairs (P is small): per-probe [Q, C] dot
@@ -101,16 +143,16 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
         # Mosaic layout-inference failures at some widths (the reshape:
         # "unsupported shape cast" at P=8, C=128; the reduce: a layout.h
         # CHECK crash).
-        dots: list = [None] * P
+        tiles: list = [None] * P
         start_wave(buf0, sem0, 0)
         for a in range(0, P, 2):
             b = a + 1
             start_wave(buf1, sem1, b)
-            dots[a] = wait_compute(buf0, sem0, a)  # [Q, C]
+            tiles[a] = wait_compute(buf0, sem0, a)  # [Q, C]
             if a + 2 < P:
                 start_wave(buf0, sem0, a + 2)
-            dots[b] = wait_compute(buf1, sem1, b)
-        dot = jnp.concatenate(dots, axis=1)  # [Q, P*C]
+            tiles[b] = wait_compute(buf1, sem1, b)
+        dot = jnp.concatenate(tiles, axis=1)  # [Q, P*C]
         if sc_ref is not None:
             # int8 slab: dequantise AFTER the dot (dot(q, s*v) = s*dot(q, v))
             dot = dot * sc_ref[0]
@@ -228,15 +270,15 @@ def _kernel_factory_v2(metric: str, Q: int, P: int, C: int, D: int, k: int,
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        dots: list = [None] * P
+        tiles: list = [None] * P
         start_wave(buf0, sem0, 0)
         for a in range(0, P, 2):
             b = a + 1
             start_wave(buf1, sem1, b)
-            dots[a] = wait_compute(buf0, sem0, a)  # [Q, Q*C]
+            tiles[a] = wait_compute(buf0, sem0, a)  # [Q, Q*C]
             if a + 2 < P:
                 start_wave(buf0, sem0, a + 2)
-            dots[b] = wait_compute(buf1, sem1, b)
+            tiles[b] = wait_compute(buf1, sem1, b)
 
         # block-diagonal mask: row qi owns cols [qi*C, (qi+1)*C) of each
         # probe's [Q, Q*C] tile
@@ -246,7 +288,7 @@ def _kernel_factory_v2(metric: str, Q: int, P: int, C: int, D: int, k: int,
 
         parts_d = []
         for p in range(P):
-            dot = dots[p]
+            dot = tiles[p]
             # per-probe aux strips [Q, C], tiled Q times along lanes so the
             # diagonal blocks line up (off-diagonal values are masked away)
             n2s = nrm_ref[0][:, p * C : (p + 1) * C]
@@ -300,6 +342,275 @@ def _kernel_factory_v2(metric: str, Q: int, P: int, C: int, D: int, k: int,
     return kernel
 
 
+def _kernel_factory_v3(Q: int, P: int, C: int, D: int, k: int, exact: bool):
+    """Wave kernel v3: AUGMENTED slab — no aux inputs at all.
+
+    The stored rows carry their own re-rank epilogue in extra lanes (see
+    :func:`zebra_tpu.index.ivf_aug.augment_rows`): a penalty lane (0 live,
+    3e38 dead/empty) and, for l2/sql2, the split-precision squared norm.
+    The query is pre-transformed so that ONE dot per (query, block) yields
+    a value whose per-query ranking equals the true distance ranking:
+
+      cosine:  w = [-q/|q|, 1, 0, 0]   d_raw = -cos(q, v) + penalty
+      l2/sql2: w = [-2q,    1, 1, 1]   d_raw = |v|^2 - 2 q.v + penalty
+
+    so the kernel is: DMA waves -> one dot -> top-k select. No norm/valid
+    gathers outside, no [B, P, C] aux pipeline through VMEM, no in-kernel
+    mask math — dead rows select to BIG and map to pos=-1 exactly like v1.
+    The +128 aug lanes cost D/(D+128) extra DMA bytes (16.7% at 768), which
+    the measured kernel is not bound by; the aux stages they replace are
+    the measured cost (see tools/abl_aux.py).
+
+    ``exact``: f32 HIGHEST dots (parity with v1); False = one-pass bf16
+    (exact for bf16 slabs when the query wire is bf16-rounded, see v2 note).
+    """
+    assert P % 2 == 0
+
+    def kernel(probes_ref, q_ref, vec_ref, outd_ref, outp_ref, buf0, buf1,
+               sem0, sem1):
+        qt = q_ref[0]  # [Q, Daug]
+
+        def wave_dma(buf, sem, p, qi):
+            c = probes_ref[0, qi, p]
+            return pltpu.make_async_copy(
+                vec_ref.at[pl.ds(c * C, C), :], buf.at[qi], sem.at[qi]
+            )
+
+        def start_wave(buf, sem, p):
+            def body(qi, _):
+                wave_dma(buf, sem, p, qi).start()
+                return 0
+
+            jax.lax.fori_loop(0, Q, body, 0)
+
+        def wait_compute(buf, sem, p):
+            def body(qi, _):
+                wave_dma(buf, sem, p, qi).wait()
+                return 0
+
+            jax.lax.fori_loop(0, Q, body, 0)
+            outs = []
+            for qi in range(Q):
+                if exact:
+                    outs.append(
+                        jax.lax.dot_general(
+                            qt[qi : qi + 1].astype(jnp.float32),
+                            buf[qi].astype(jnp.float32),
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                    )
+                else:
+                    outs.append(
+                        jax.lax.dot_general(
+                            qt[qi : qi + 1],
+                            buf[qi],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+            return jnp.concatenate(outs, axis=0)  # [Q, C] raw distances
+
+        tiles: list = [None] * P
+        start_wave(buf0, sem0, 0)
+        for a in range(0, P, 2):
+            b = a + 1
+            start_wave(buf1, sem1, b)
+            tiles[a] = wait_compute(buf0, sem0, a)
+            if a + 2 < P:
+                start_wave(buf0, sem0, a + 2)
+            tiles[b] = wait_compute(buf1, sem1, b)
+        d = jnp.concatenate(tiles, axis=1)  # [Q, P*C] — already distances
+        d = jnp.minimum(d, BIG)  # clamp the dead-row sentinel to BIG exactly
+
+        lin = jax.lax.broadcasted_iota(jnp.int32, (Q, P * C), 1)
+        out_col = jax.lax.broadcasted_iota(jnp.int32, (Q, OUT_K), 1)
+
+        def select(j, carry):
+            dd, od, op = carry
+            m = jnp.min(dd, axis=1, keepdims=True)
+            li = jnp.min(
+                jnp.where(dd == m, lin, jnp.int32(2**30)), axis=1, keepdims=True
+            )
+            od = jnp.where(out_col == j, m, od)
+            op = jnp.where(out_col == j, jnp.where(m < BIG, li, -1), op)
+            dd = jnp.where(lin == li, BIG, dd)
+            return dd, od, op
+
+        _, od, op = jax.lax.fori_loop(
+            0,
+            k,
+            select,
+            (
+                d,
+                jnp.full((Q, OUT_K), BIG, jnp.float32),
+                jnp.full((Q, OUT_K), -1, jnp.int32),
+            ),
+        )
+        outd_ref[0] = od
+        outp_ref[0] = op
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cluster_capacity", "k", "exact", "interpret"),
+)
+def pallas_ivf_rerank_aug(vectors_aug, cluster_capacity, w, probes,
+                          k: int = 10, exact: bool = True,
+                          interpret: bool = False):
+    """Aux-free fused re-rank over an AUGMENTED slab.
+
+    Args:
+      vectors_aug: ``[K*C + G, D + 128]`` augmented cluster-contiguous slab.
+      w: ``[B, D + 128]`` pre-transformed queries (see _kernel_factory_v3).
+      probes: ``[B, P]`` int32 cluster ids, P even (pad with a DUPLICATE of
+        probe 0 and post-filter, or any in-range id — dead/duplicate rows
+        cost nothing: duplicates select twice but the caller's slot map is
+        identical, and Database-level results dedup by id).
+
+    Returns: ``(d_raw [B, k], pos [B, k])`` — pos on the flat [P*C] probe
+    axis, -1 where fewer than k live candidates exist.
+    """
+    B, P = probes.shape
+    S, Daug = vectors_aug.shape
+    C = cluster_capacity
+    assert P % 2 == 0
+    assert k <= OUT_K
+    if not interpret:
+        assert Daug % 128 == 0
+        sub = 8
+        assert C % sub == 0
+
+    Q = _query_tile(C, Daug, vectors_aug.dtype.itemsize)
+    padB = (-B) % Q
+    if padB:
+        w = jnp.pad(w, ((0, padB), (0, 0)))
+        probes = jnp.pad(probes, ((0, padB), (0, 0)))
+    Bp = B + padB
+
+    kernel = _kernel_factory_v3(Q, P, C, Daug, k, exact)
+    probes4 = probes.reshape(Bp // Q, Q, P)
+    qdt = jnp.float32 if exact else vectors_aug.dtype
+    q3 = w.astype(qdt).reshape(Bp // Q, Q, Daug)
+
+    out_d, out_p = pl.pallas_call(
+        kernel,
+        grid=(Bp // Q,),
+        in_specs=[
+            pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Q, Daug), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Q, OUT_K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q, OUT_K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp // Q, Q, OUT_K), jnp.float32),
+            jax.ShapeDtypeStruct((Bp // Q, Q, OUT_K), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Q, C, Daug), vectors_aug.dtype),
+            pltpu.VMEM((Q, C, Daug), vectors_aug.dtype),
+            pltpu.SemaphoreType.DMA((Q,)),
+            pltpu.SemaphoreType.DMA((Q,)),
+        ],
+        interpret=interpret,
+    )(probes4, q3, vectors_aug)
+
+    d = out_d.reshape(Bp, OUT_K)[:B, :k]
+    p = out_p.reshape(Bp, OUT_K)[:B, :k]
+    d = jnp.where(p >= 0, d, jnp.inf)
+    return d, p
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def augment_slab(vectors, norms, valid, metric: str = "cosine"):
+    """One-shot derivation of the augmented slab ``[S, D + AUG]``.
+
+    Lane layout of the AUG tail: lane 0 = dead-row penalty (0 live, PEN
+    dead/empty), lanes 1-2 = split-precision squared norm (hi + lo; zero for
+    cosine, whose body rows are L2-NORMALISED so the norm is implicit), rest
+    zero. Cosine distances are scale-invariant in the stored vector, so the
+    normalised body yields IDENTICAL cosine results to the raw rows.
+    """
+    S, D = vectors.shape
+    dt = vectors.dtype
+    v32 = vectors.astype(jnp.float32)
+    if metric == "cosine":
+        body = v32 * jax.lax.rsqrt(jnp.maximum(norms, 1e-30))[:, None]
+        nhi = jnp.zeros_like(norms)
+        nlo = nhi
+    else:
+        body = v32
+        # split so a bf16 slab keeps ~16 mantissa bits of |v|^2: hi is the
+        # dtype rounding, lo the f32 remainder (both exact in f32 for f32)
+        nhi = norms.astype(dt).astype(jnp.float32)
+        nlo = norms - nhi
+    pen = jnp.where(valid, 0.0, PEN).astype(jnp.float32)
+    aug = (
+        jnp.zeros((S, AUG), jnp.float32)
+        .at[:, 0].set(pen)
+        .at[:, 1].set(nhi)
+        .at[:, 2].set(nlo)
+    )
+    return jnp.concatenate([body, aug], axis=1).astype(dt)
+
+
+def aug_query(q32, metric: str = "cosine"):
+    """Pre-transform queries for the v3 kernel: ``[B, D] -> [B, D + AUG]``.
+
+    cosine: ``[-q/|q|, 1, 1, 1, 0...]`` — the dot gives ``-cos + penalty``;
+    l2/sql2: ``[-2q, 1, 1, 1, 0...]`` — the dot gives ``|v|^2 - 2 q.v +
+    penalty`` (the per-query ``|q|^2`` constant is added after selection —
+    it never changes the ranking).
+    """
+    B, D = q32.shape
+    if metric == "cosine":
+        qn2 = jnp.sum(q32 * q32, axis=1)
+        wq = -q32 * jax.lax.rsqrt(jnp.maximum(qn2, 1e-30))[:, None]
+    else:
+        wq = -2.0 * q32
+    aug = jnp.zeros((B, AUG), jnp.float32).at[:, 0:3].set(1.0)
+    return jnp.concatenate([wq, aug], axis=1)
+
+
+def aug_post(d_raw, q32, metric: str):
+    """Map raw kernel values back to true distances (valid entries only)."""
+    if metric == "cosine":
+        return 1.0 + d_raw
+    qn2 = jnp.sum(q32 * q32, axis=1)[:, None]
+    d2 = jnp.maximum(qn2 + d_raw, 0.0)
+    return jnp.sqrt(d2) if metric == "l2" else d2
+
+
+def ivf_rerank_aug(vectors_aug, C: int, q32, probes, k: int,
+                   metric: str = "cosine", exact: bool = True,
+                   interpret: bool = False):
+    """Adapter for the aux-free v3 kernel: transform queries, run, map the
+    flat probe-axis positions back to slab slots, post-transform distances.
+
+    ``probes`` must have an EVEN width of REAL cluster ids (when the caller
+    wants an odd probe count it probes one more real cluster instead of
+    masking a pad — see ivf.query)."""
+    B, P = probes.shape
+    assert P % 2 == 0, "v3 probes must be even (probe one more real cluster)"
+    w = aug_query(q32, metric)
+    d_raw, pos = pallas_ivf_rerank_aug(
+        vectors_aug, C, w, probes.astype(jnp.int32), k=k, exact=exact,
+        interpret=interpret,
+    )
+    valid = pos >= 0
+    posc = jnp.clip(pos, 0, P * C - 1)
+    cl = jnp.take_along_axis(probes, posc // C, axis=1)
+    slots = jnp.where(valid, cl * C + posc % C, -1)
+    d = jnp.where(valid, aug_post(d_raw, q32, metric), jnp.inf)
+    return d, slots, valid
+
+
 def _query_tile(C: int, D: int, itemsize: int) -> int:
     """Queries per grid step, bounded by the wave-buffer VMEM budget.
 
@@ -313,11 +624,12 @@ def _query_tile(C: int, D: int, itemsize: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cluster_capacity", "metric", "k", "interpret", "wave"),
+    static_argnames=("cluster_capacity", "metric", "k", "interpret", "wave",
+                     "dots"),
 )
 def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_valid,
                       metric: str = "cosine", k: int = 10, interpret: bool = False,
-                      cand_scales=None, wave: int = 1):
+                      cand_scales=None, wave: int = 1, dots: str = "highest"):
     """Fused IVF block re-rank.
 
     Args:
@@ -366,15 +678,19 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
         )
     else:
         kernel = _kernel_factory(metric, Q, P, C, D, k,
-                                 has_scales=cand_scales is not None)
+                                 has_scales=cand_scales is not None, dots=dots)
     probes4 = probes.reshape(Bp // Q, Q, P)
     # flatten the probe axis OUTSIDE the kernel (XLA reshapes are free;
     # in-kernel lane merges are not Mosaic-safe at every width)
     nrm4 = cand_norms.reshape(Bp // Q, Q, P * C)
     val4 = cand_valid.reshape(Bp // Q, Q, P * C)
-    # v2 on a reduced-precision slab ships bf16 queries (the one-pass MXU
-    # dot is then exact; norms/rerank math stays f32)
-    qdt = jnp.bfloat16 if (wave == 2 and reduced) else jnp.float32
+    # bf16 query wires: v2 on reduced slabs, and v1 with dots="bf16"
+    # (one-pass MXU; norms/rerank math stays f32 either way)
+    qdt = (
+        jnp.bfloat16
+        if (wave == 2 and reduced) or (wave == 1 and dots == "bf16")
+        else jnp.float32
+    )
     q3 = q.astype(qdt).reshape(Bp // Q, Q, D)
 
     in_specs = [
@@ -420,7 +736,8 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
     return d, p
 
 
-def ivf_rerank(state, q32, probes, k, metric: str = "cosine", wave: int = 1):
+def ivf_rerank(state, q32, probes, k, metric: str = "cosine", wave: int = 1,
+               dots: str = "highest"):
     """Adapter used by :func:`zebra_tpu.index.ivf.query`: gathers the probed
     blocks' norms/validity (tiny [B, P, C] f32 arrays), pads the probe axis to
     an even width, runs the kernel, and maps positions -> slab slots."""
@@ -449,7 +766,7 @@ def ivf_rerank(state, q32, probes, k, metric: str = "cosine", wave: int = 1):
         sc = jnp.take(sc2d, probes, axis=0)
     d, pos = pallas_ivf_rerank(
         state.vectors, C, q32, probes.astype(jnp.int32), nrm, val,
-        metric=metric, k=k, cand_scales=sc, wave=wave,
+        metric=metric, k=k, cand_scales=sc, wave=wave, dots=dots,
     )
     valid = pos >= 0
     posc = jnp.clip(pos, 0, probes.shape[1] * C - 1)

@@ -187,9 +187,12 @@ def _sharded_query_lsh(mesh, state, q, k, metric, num_probes, power, chunk,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "k", "metric", "num_probes", "rerank")
+    jax.jit,
+    static_argnames=("mesh", "k", "metric", "num_probes", "rerank",
+                     "rerank_dots"),
 )
-def _sharded_query_ivf(mesh, state, q, k, metric, num_probes, power, rerank="xla"):
+def _sharded_query_ivf(mesh, state, q, k, metric, num_probes, power,
+                       rerank="xla", rerank_dots="auto"):
     """IVF variant: per-shard probe + re-rank, ICI all-gather top-k merge."""
     S = mesh.shape[SHARD_AXIS]
 
@@ -197,7 +200,7 @@ def _sharded_query_ivf(mesh, state, q, k, metric, num_probes, power, rerank="xla
         st = _unstack(state)
         d, s, v = V.query(
             st, q, k, metric=metric, num_probes=num_probes, power=power,
-            rerank=rerank,
+            rerank=rerank, rerank_dots=rerank_dots,
         )
         shard = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
         gid = jnp.where(v, s * S + shard, -1)
@@ -678,7 +681,7 @@ class ShardedIndex(BaseVectorIndex):
             return _sharded_query_ivf(
                 self.mesh, self.state, qj, k, self.metric,
                 self.options.resolved_probes(), self.metric_power,
-                rerank=rerank,
+                rerank=rerank, rerank_dots=self.options.rerank_dots,
             )
         return _sharded_query_lsh(
             self.mesh, self.state, qj, k, self.metric,
