@@ -332,3 +332,44 @@ def test_ivf_spare_flood_triggers_rebuild(rng):
     assert st["spare_used"] <= max(0.125 * len(idx), 4096)
     q = _data(np.random.default_rng(3), 8, 16)
     assert all(row for row in idx.search(q, k=3))
+
+
+@pytest.mark.parametrize("metric", ["cosine", "sql2"])
+def test_two_stage_probe_selection_parity(rng, metric):
+    """probe_sel='fast' (bf16 approx top-2P + exact f32 rescore) must agree
+    with the single-stage f32 path at the RESULT level: needs K >= 128 so
+    both use their non-trivial selection branches."""
+    import jax.numpy as jnp
+
+    from zebra_tpu.index import ivf
+    from zebra_tpu.ops.kmeans import kmeans
+    import jax
+
+    data = _data(rng, 8000, 64, clusters=96, sigma=0.05)
+    cents, _ = kmeans(
+        jax.random.PRNGKey(0), jnp.asarray(data), jnp.int32(8000), k=256,
+        iters=4, chunk=4096,
+    )
+    st = ivf.empty_state(cents, cluster_capacity=96)
+    st, _ = ivf.insert(st, jnp.asarray(data), jnp.int32(8000))
+    q = jnp.asarray(
+        data[:64] + 0.01 * rng.standard_normal((64, 64)).astype(np.float32)
+    )
+    da, sa, va = ivf.query(st, q, 10, metric=metric, num_probes=4,
+                           probe_sel="f32")
+    db_, sb, vb = ivf.query(st, q, 10, metric=metric, num_probes=4,
+                            probe_sel="fast")
+    overlap = sum(
+        len(set(np.asarray(sa)[b][np.asarray(va)[b]].tolist())
+            & set(np.asarray(sb)[b][np.asarray(vb)[b]].tolist()))
+        for b in range(64)
+    )
+    # both are approximate probe selections of the same index; the fast
+    # path's top-P-of-2P refinement may legitimately pick BETTER probes
+    assert overlap >= 0.9 * 64 * 10
+    assert np.mean(np.asarray(sa)[:, 0] == np.asarray(sb)[:, 0]) >= 0.95
+    # self-lookup through the fast path must be exact
+    dself, sself, vself = ivf.query(st, jnp.asarray(data[:64]), 1,
+                                    metric=metric, num_probes=4,
+                                    probe_sel="fast")
+    assert np.asarray(dself)[:, 0].max() < 1e-3

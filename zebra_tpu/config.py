@@ -98,6 +98,12 @@ class IndexOptions:
     #: on f32 slabs. Explicit values: "highest" | "bf16x2" | "bf16" (1-pass,
     #: bf16-rounded query wire — fastest, ~0.998 overlap).
     rerank_dots: str = "auto"
+    #: IVF probe selection: "auto"/"fast" = 1-pass bf16 centroid score +
+    #: bf16 approx top-2P + exact f32 rescore of the survivors (measured
+    #: ~0.45ms vs ~1.2ms per 1024-batch, MORE faithful than the direct f32
+    #: approx top-P it replaces — tools/abl_centroid.py); "f32" = the
+    #: single-stage 3-pass-f32 path.
+    probe_sel: str = "auto"
     #: query staging dtype: "auto" ships queries as bf16 whenever the slab
     #: itself is reduced-precision (bf16/int8) — halves the host->device
     #: bytes of every search, which BOUNDS facade QPS on PCIe/tunnel links;

@@ -280,7 +280,7 @@ def delete_slots(state: IVFState, slots: jnp.ndarray) -> IVFState:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "num_probes", "rerank", "qchunk",
-                     "rerank_dots"),
+                     "rerank_dots", "probe_sel"),
 )
 def query(
     state: IVFState,
@@ -292,6 +292,7 @@ def query(
     rerank: str = "xla",
     qchunk: int = 256,
     rerank_dots: str = "auto",
+    probe_sel: str = "auto",
 ):
     """Approximate top-k: score centroids -> top-P blocks -> exact re-rank.
 
@@ -299,6 +300,13 @@ def query(
     geometry otherwise (elementwise metrics over [B, K, D] would dwarf the
     re-rank; sql2 picks the same nearby regions). Re-rank always uses the
     true metric.
+
+    probe_sel: "auto"/"fast" = 1-pass bf16 score + bf16 approx top-2P +
+    exact f32 rescore of the 2P survivors (see tools/abl_centroid.py: the
+    3-pass f32 score and the f32 approx_max_k were ~1.2ms/batch, ~45% of
+    post-bf16x2 query time; the 2-stage select measures ~0.45ms and its
+    top-P-of-2P refinement is MORE faithful than a direct f32 approx top-P).
+    "f32" = the round-2/3 single-stage path.
 
     Returns:
       ``(dists [B, k], slots [B, k], valid [B, k])``.
@@ -310,14 +318,50 @@ def query(
     q32 = q.astype(jnp.float32)
 
     sel_metric = metric if metric in D.MXU_METRICS else "sql2"
-    score = D.pairwise(q32, state.centroids, metric=sel_metric, precision="default")
-    # approx_max_k: TPU-native partial reduction — probe selection tolerates
-    # its ~0.3% miss rate (a missed 4th-nearest cell, not a missed neighbour)
-    if K >= 128:
-        _, probes = jax.lax.approx_max_k(-score, P)
-        probes = probes.astype(jnp.int32)
+    two_stage = probe_sel in ("auto", "fast") and K >= 128 and 2 * P < K
+    if two_stage:
+        # stage 1: cheap wide selection. One bf16 MXU pass (exact products
+        # of bf16-rounded values; f32 accumulate), scores cast bf16 so the
+        # partial top-k reduction runs on half the bytes.
+        cb = state.centroids.astype(jnp.bfloat16)
+        dot = jnp.dot(
+            q32.astype(jnp.bfloat16), cb.T, preferred_element_type=jnp.float32
+        )
+        cn2 = jnp.sum(state.centroids * state.centroids, axis=-1)
+        if sel_metric == "cosine":
+            s = dot * jax.lax.rsqrt(jnp.maximum(cn2, 1e-30))[None, :]
+        elif sel_metric == "l2":
+            s = 2.0 * dot - cn2[None, :]
+        else:  # sql2
+            s = 2.0 * dot - cn2[None, :]
+        _, cand = jax.lax.approx_max_k(s.astype(jnp.bfloat16), 2 * P)
+        cand = cand.astype(jnp.int32)  # [B, 2P]
+        # stage 2: exact f32 rescore of the 2P survivors, keep the true
+        # top-P. Tiny: a [B, 2P, D] gather + batched dots.
+        cg = jnp.take(state.centroids, cand, axis=0)
+        dots = jnp.einsum(
+            "bd,bpd->bp", q32, cg, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        cn2c = jnp.take(cn2, cand, axis=0)
+        if sel_metric == "cosine":
+            fs = dots * jax.lax.rsqrt(jnp.maximum(cn2c, 1e-30))
+        else:
+            fs = 2.0 * dots - cn2c
+        _, ix = jax.lax.top_k(fs, P)
+        probes = jnp.take_along_axis(cand, ix, axis=1)
     else:
-        _, probes = jax.lax.top_k(-score, P)  # [B, P] cluster ids
+        score = D.pairwise(
+            q32, state.centroids, metric=sel_metric, precision="default"
+        )
+        # approx_max_k: TPU-native partial reduction — probe selection
+        # tolerates its ~0.3% miss rate (a missed 4th-nearest cell, not a
+        # missed neighbour)
+        if K >= 128:
+            _, probes = jax.lax.approx_max_k(-score, P)
+            probes = probes.astype(jnp.int32)
+        else:
+            _, probes = jax.lax.top_k(-score, P)  # [B, P] cluster ids
 
     if (
         rerank in ("pallas", "pallas2")

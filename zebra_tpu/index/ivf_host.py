@@ -323,6 +323,7 @@ class IVFIndex(BaseVectorIndex):
             power=self.metric_power,
             rerank=rerank,
             rerank_dots=self.options.rerank_dots,
+            probe_sel=self.options.probe_sel,
         )
 
     # -- persistence -----------------------------------------------------------------

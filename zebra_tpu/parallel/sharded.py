@@ -189,10 +189,10 @@ def _sharded_query_lsh(mesh, state, q, k, metric, num_probes, power, chunk,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "k", "metric", "num_probes", "rerank",
-                     "rerank_dots"),
+                     "rerank_dots", "probe_sel"),
 )
 def _sharded_query_ivf(mesh, state, q, k, metric, num_probes, power,
-                       rerank="xla", rerank_dots="auto"):
+                       rerank="xla", rerank_dots="auto", probe_sel="auto"):
     """IVF variant: per-shard probe + re-rank, ICI all-gather top-k merge."""
     S = mesh.shape[SHARD_AXIS]
 
@@ -200,7 +200,7 @@ def _sharded_query_ivf(mesh, state, q, k, metric, num_probes, power,
         st = _unstack(state)
         d, s, v = V.query(
             st, q, k, metric=metric, num_probes=num_probes, power=power,
-            rerank=rerank, rerank_dots=rerank_dots,
+            rerank=rerank, rerank_dots=rerank_dots, probe_sel=probe_sel,
         )
         shard = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
         gid = jnp.where(v, s * S + shard, -1)
@@ -682,6 +682,7 @@ class ShardedIndex(BaseVectorIndex):
                 self.mesh, self.state, qj, k, self.metric,
                 self.options.resolved_probes(), self.metric_power,
                 rerank=rerank, rerank_dots=self.options.rerank_dots,
+                probe_sel=self.options.probe_sel,
             )
         return _sharded_query_lsh(
             self.mesh, self.state, qj, k, self.metric,
