@@ -211,16 +211,27 @@ def main():
     ap.add_argument("--probes", type=int, default=0)
     ap.add_argument("--durability", choices=["full", "explicit"], default="full")
     ap.add_argument("--seed", type=int, default=0)
+    #: IVF capacity overrides (0 = auto). The auto sizing targets 2x mean
+    #: cell load; at 10M x 768 that is a 15.75GB int8 slab — over one v5e
+    #: chip's 16GB HBM. The 10M capacity demo passes --ccap 128 --spare
+    #: 1048576 (12.9GB) instead.
+    ap.add_argument("--clusters", type=int, default=0)
+    ap.add_argument("--ccap", type=int, default=0)
+    ap.add_argument("--spare", type=int, default=0)
     #: also write the result JSON to this file (bench_results/ artifacts)
+    ap.add_argument("--rerank-dots", default="auto",
+                    choices=["auto", "highest", "bf16x2", "bf16x3", "bf16"])
     ap.add_argument("--out", default="")
     #: also measure recall against TRUE f32 neighbours (host oracle, ~1min)
     ap.add_argument("--true-recall", action="store_true")
     args = ap.parse_args()
     if args.probes <= 0:
-        # measured 1M x 768 bf16: P=4 = 263k QPS @ recall 0.9984 (P=2 is
-        # ~30% faster at 0.9953 — pick the recall margin for the headline);
-        # CRUD churn favors even more margin
-        args.probes = (4 if args.mode == "ann" else 8) if args.index == "ivf" else 10
+        # measured 1M x 768 bf16 (bf16x2 dots + 2-stage probe_sel): P=2 =
+        # 334.5k QPS @ in-slab recall 0.9977 (r3_ann_bf16_p2_x2ps.json);
+        # P=4 = 308.3k @ 1.0 / true-f32 0.9891. Both clear the >=0.9
+        # target with room — take the throughput for the headline; pass
+        # --probes 4 for the recall-margin point. CRUD churn keeps P=8.
+        args.probes = (2 if args.mode == "ann" else 8) if args.index == "ivf" else 10
 
     import jax
     import jax.numpy as jnp
@@ -254,9 +265,13 @@ def main():
         options=IndexOptions(
             index_type=args.index,
             rerank=args.rerank,
+            rerank_dots=args.rerank_dots,
             dtype=args.dtype,
             num_tables=args.tables,
             num_probes=args.probes,
+            num_clusters=args.clusters,
+            cluster_capacity=args.ccap,
+            spare_capacity=args.spare,
             seed=args.seed,
         ),
     )
@@ -265,7 +280,7 @@ def main():
         def query_fn(qq, k):
             return IV.query(
                 idx.state, qq, k, metric=args.metric, num_probes=args.probes,
-                rerank=args.rerank,
+                rerank=args.rerank, rerank_dots=args.rerank_dots,
             )
         def brute_fn(qq, k):
             return IV.brute_force(idx.state, qq, k, metric=args.metric)
@@ -487,6 +502,7 @@ def main():
             "index_type": args.index,
             "probes": args.probes,
             "rerank": args.rerank,
+            "rerank_dots": args.rerank_dots,
             "dtype": args.dtype,
             "inserts_per_sec": round(inserts_per_sec, 1),
             "warm_inserts_per_sec": round(warm_inserts_per_sec, 1),

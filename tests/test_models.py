@@ -87,6 +87,74 @@ def test_audio_decode():
         audio_to_data(b"not audio at all")
 
 
+def _compressed_samples():
+    """Real-world mp3/ogg encodings of one recording, shipped as pygame
+    example data — decoded through soundfile or the SDL_mixer fallback."""
+    try:
+        import pygame.examples
+    except ImportError:
+        return [None, None]
+    import os
+
+    base = os.path.join(os.path.dirname(pygame.examples.__file__), "data")
+    return [os.path.join(base, "house_lo.mp3"), os.path.join(base, "house_lo.ogg")]
+
+
+_COMPRESSED_SAMPLES = _compressed_samples()
+
+
+@pytest.mark.parametrize("path", _COMPRESSED_SAMPLES, ids=["mp3", "ogg"])
+def test_audio_decode_compressed(path):
+    import os
+
+    if path is None or not os.path.exists(path):
+        pytest.skip("pygame sample files absent")
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        pytest.importorskip("pygame")
+    from zebra_tpu.models.audio import audio_to_data
+
+    with open(path, "rb") as f:
+        samples, rate = audio_to_data(f.read())
+    assert rate >= 8000
+    assert samples.ndim == 1 and len(samples) > rate  # >1s of audio
+    assert samples.dtype == np.float32
+    assert 0.05 < abs(samples).max() <= 1.0  # real signal, normalised
+
+
+def test_audio_decode_compressed_same_signal():
+    """mp3 and ogg encodings of the SAME recording must decode to the same
+    audio once the mp3 encoder-delay lead (~4.4k samples here) is removed:
+    cross-correlate to find the lag, then require waveform corr > 0.95."""
+    import os
+
+    if not all(p and os.path.exists(p) for p in _COMPRESSED_SAMPLES):
+        pytest.skip("pygame sample files absent")
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        pytest.importorskip("pygame")
+    from zebra_tpu.models.audio import audio_to_data
+
+    sigs = []
+    for p in _COMPRESSED_SAMPLES:
+        with open(p, "rb") as f:
+            sigs.append(audio_to_data(f.read())[0])
+    a, b = sigs
+    w = 1 << 16
+    xc = np.fft.irfft(np.fft.rfft(a[:w]) * np.conj(np.fft.rfft(b[:w])))
+    lag = int(np.argmax(xc))
+    lag = lag if lag < w // 2 else lag - w
+    if lag >= 0:
+        a = a[lag:]
+    else:
+        b = b[-lag:]
+    m = min(len(a), len(b))
+    corr = np.corrcoef(a[:m], b[:m])[0, 1]
+    assert corr > 0.95, (lag, corr)
+
+
 def test_audio_spectrogram_distinguishes_frequencies():
     from zebra_tpu.models.audio import audio_to_image_tensor224
 

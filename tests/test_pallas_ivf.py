@@ -288,3 +288,37 @@ def test_wave_v2_matches_xla(rng, interp_kernel, dtype):
     # the top hit (a 0.02-sigma self-neighbour) must agree
     agree = np.mean(np.asarray(sp)[:, 0] == np.asarray(sx)[:, 0])
     assert agree >= 0.9
+
+
+def test_wave_dots_bf16x3_f32_slab(rng, interp_kernel):
+    """bf16x3 (3-pass split of BOTH operands) on an f32 slab must match the
+    6-pass HIGHEST XLA path: the dropped qlo*blo term is below f32 rounding."""
+    centers = rng.standard_normal((8, 128)).astype(np.float32)
+    n = 1024
+    data = centers[rng.integers(0, 8, n)] + 0.1 * rng.standard_normal(
+        (n, 128)
+    ).astype(np.float32)
+    cents, _ = kmeans(
+        jax.random.PRNGKey(0), jnp.asarray(data), jnp.int32(n), k=16, iters=4,
+        chunk=1024,
+    )
+    st = ivf.empty_state(cents, cluster_capacity=160)
+    st, slots = ivf.insert(st, jnp.asarray(data), jnp.int32(n))
+    st = ivf.delete_slots(st, jnp.asarray(np.asarray(slots)[:40].astype(np.int32)))
+    q = jnp.asarray(
+        data[:32] + 0.02 * rng.standard_normal((32, 128)).astype(np.float32)
+    )
+    dp, sp, vp = ivf.query(st, q, 10, metric="cosine", num_probes=4,
+                           rerank="pallas", rerank_dots="bf16x3")
+    dx, sx, vx = ivf.query(st, q, 10, metric="cosine", num_probes=4,
+                           rerank="xla")
+    overlap = sum(
+        len(set(np.asarray(sp)[b][np.asarray(vp)[b]].tolist())
+            & set(np.asarray(sx)[b][np.asarray(vx)[b]].tolist()))
+        for b in range(32)
+    )
+    assert overlap >= 0.97 * 32 * 10
+    np.testing.assert_array_equal(np.asarray(sp)[:, 0], np.asarray(sx)[:, 0])
+    np.testing.assert_allclose(
+        np.asarray(dp)[:, 0], np.asarray(dx)[:, 0], rtol=1e-4, atol=1e-4
+    )

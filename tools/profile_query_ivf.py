@@ -39,15 +39,35 @@ q = jnp.asarray(data[rng.permutation(n)[:B]] +
 device_sync(q)
 
 
-def bench(name, fn, iters=30):
+#: Per-iteration dispatch/sync overhead measured with a null program and
+#: SUBTRACTED from every stage time. Without this, each standalone stage
+#: reads ~0.75ms too high (30ms device_sync round trip / iters) — the trap
+#: that made the norm/valid gathers and the centroid stage look like
+#: bottlenecks in round 3 (they are nearly free in the fused program; see
+#: ROADMAP "ceiling hunt" notes).
+_null = jax.jit(lambda x: x + 1.0)
+
+
+def _overhead(iters=30):
+    x = jnp.zeros(())
+    device_sync(_null(x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = _null(x)
+    device_sync(x)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench(name, fn, iters=30, overhead=0.0):
     out = fn()
     device_sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
     device_sync(out)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:34s} {dt*1e3:8.2f} ms/batch  ({B/dt:,.0f} QPS)", flush=True)
+    dt = max((time.perf_counter() - t0) / iters - overhead, 1e-9)
+    print(f"{name:34s} {dt*1e3:8.2f} ms/batch  ({B/dt:,.0f} QPS)  "
+          f"(dispatch-corrected)", flush=True)
     return out
 
 
@@ -58,7 +78,12 @@ def score_and_probes(st, q):
     return probes.astype(jnp.int32)
 
 
-probes = bench("centroid score + approx top-P", lambda: score_and_probes(st, q))
+oh = _overhead()
+print(f"per-iteration dispatch overhead: {oh*1e3:.2f} ms (subtracted below)",
+      flush=True)
+
+probes = bench("centroid score + approx top-P",
+               lambda: score_and_probes(st, q), overhead=oh)
 
 
 @jax.jit
@@ -72,13 +97,15 @@ def gathers(st, probes):
     return jnp.take(nrm2d, probes, axis=0), jnp.take(val2d, probes, axis=0)
 
 
-nrm, val = bench("norm/valid block gathers", lambda: gathers(st, probes))
+nrm, val = bench("norm/valid block gathers", lambda: gathers(st, probes),
+                 overhead=oh)
 
 nrm2 = nrm.reshape(B, -1).reshape(nrm.shape)
-bench("pallas kernel only",
+bench("pallas kernel only (bf16x2 dots)",
       lambda: pallas_ivf_rerank(st.vectors, st.cluster_capacity, q, probes,
-                                nrm, val, metric="cosine", k=10)[0])
+                                nrm, val, metric="cosine", k=10,
+                                dots="bf16x2")[0], overhead=oh)
 
-bench("full ivf.query (pallas)",
+bench("full ivf.query (pallas, defaults)",
       lambda: V.query(st, q, 10, metric="cosine", num_probes=P_PROBES,
-                      rerank="pallas")[0])
+                      rerank="pallas")[0], overhead=oh)

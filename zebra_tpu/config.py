@@ -94,8 +94,11 @@ class IndexOptions:
     #: IVF wave-kernel dot precision: "auto" = 2-pass split-query bf16
     #: ("bf16x2") on reduced-precision slabs (bf16/int8 — per-pass products
     #: are exact there; measured +31% QPS at 1M x 768 over the 6-pass f32
-    #: "highest" with top-10 overlap 0.9999, tools/abl_aux.py) and "highest"
-    #: on f32 slabs. Explicit values: "highest" | "bf16x2" | "bf16" (1-pass,
+    #: "highest" with top-10 overlap 0.9999, tools/abl_aux.py) and "bf16x3"
+    #: on f32 slabs (3-pass split of both operands — the dropped qlo*blo
+    #: term is below f32 rounding; 219.5k vs 212.4k QPS at identical
+    #: true-f32 recall 1.0, bench_results/r3_ann_f32_p4_x3.json). Explicit:
+    #: "highest" (exact 6-pass f32) | "bf16x3" | "bf16x2" | "bf16" (1-pass,
     #: bf16-rounded query wire — fastest, ~0.998 overlap).
     rerank_dots: str = "auto"
     #: IVF probe selection: "auto"/"fast" = 1-pass bf16 centroid score +

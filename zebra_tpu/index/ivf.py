@@ -377,9 +377,14 @@ def query(
             # reduced-precision slabs: per-pass bf16 products are exact, so
             # the 2-pass split-query dot keeps ranking (overlap 0.9999) at
             # 1/3 the MXU passes — the measured kernel bottleneck
-            # (tools/abl_aux.py). f32 slabs keep the exact 6-pass dot.
+            # (tools/abl_aux.py). f32 slabs use the 3-pass split of BOTH
+            # operands (qhi*bhi + qhi*blo + qlo*bhi; the dropped qlo*blo
+            # term is below f32 rounding): measured 219.5k vs 212.4k QPS
+            # for the exact 6-pass HIGHEST dot at identical true-f32 recall
+            # 1.0 (bench_results/r3_ann_f32_p4_x3.json). Pass
+            # rerank_dots="highest" for the bitwise-f32 dot.
             reduced = state.vectors.dtype in (jnp.bfloat16, jnp.int8)
-            rerank_dots_r = "bf16x2" if reduced else "highest"
+            rerank_dots_r = "bf16x2" if reduced else "bf16x3"
         else:
             rerank_dots_r = rerank_dots
         dk, ik, vk = ivf_rerank(

@@ -51,9 +51,10 @@ def audio_to_data(data: bytes) -> tuple[np.ndarray, int]:
     """Decode audio bytes to mono float32 samples + sample rate (reference
     ``audio_to_data``, ``src/model/audio.rs:35-75``).
 
-    Native containers (stdlib): WAV, AIFF/AIFC, AU/SND. Compressed codecs
-    (mp3/flac/ogg) route through ``soundfile`` when importable — the
-    reference covers those via the symphonia crate."""
+    Native containers (stdlib): WAV, AIFF/AIFC, AU/SND; FLAC via the
+    in-tree C++ decoder. Other compressed codecs (mp3/ogg/...) route
+    through ``soundfile`` when importable, else SDL_mixer via ``pygame``
+    — the reference covers those via the symphonia crate."""
     try:
         with wave.open(io.BytesIO(data)) as w:
             raw = w.readframes(w.getnframes())
@@ -112,14 +113,55 @@ def audio_to_data(data: bytes) -> tuple[np.ndarray, int]:
             pass  # corrupt stream or no toolchain — try soundfile below
     try:  # other compressed codecs (mp3/ogg/...), if soundfile is installed
         import soundfile as sf
-
+    except ImportError:
+        sf = None
+    if sf is not None:
         samples, rate = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
         return samples.mean(axis=1), int(rate)
-    except ImportError as e:
-        raise ValueError(
-            "unsupported audio container (WAV/AIFF/AU/FLAC supported natively; "
-            "install `soundfile` for other compressed codecs)"
-        ) from e
+    decoded = _decode_via_sdl_mixer(data)
+    if decoded is not None:
+        return decoded
+    raise ValueError(
+        "unsupported audio container (WAV/AIFF/AU/FLAC supported natively; "
+        "install `soundfile` or `pygame` for other compressed codecs)"
+    )
+
+
+_SDL_MIXER_RATE = 44100
+
+
+def _decode_via_sdl_mixer(data: bytes) -> tuple[np.ndarray, int] | None:
+    """Decode mp3/ogg-vorbis via SDL_mixer (bundled with ``pygame``), the
+    no-soundfile fallback for the codecs the reference covers through
+    symphonia (``src/model/audio.rs:35-75``). SDL_mixer resamples every
+    stream to the mixer's init rate, so the returned rate is always
+    ``_SDL_MIXER_RATE`` — exact for the spectrogram mapping, which only
+    needs samples + their effective rate. Returns None when pygame is
+    absent or the bytes aren't a codec SDL_mixer understands."""
+    import os
+
+    os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
+    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")  # decode-only, headless
+    try:
+        import pygame
+        import pygame.sndarray
+    except ImportError:
+        return None
+    if not pygame.mixer.get_init():
+        try:
+            pygame.mixer.init(frequency=_SDL_MIXER_RATE, size=-16, channels=2)
+        except pygame.error:
+            return None
+    try:
+        snd = pygame.mixer.Sound(io.BytesIO(data))
+    except pygame.error:
+        return None
+    arr = pygame.sndarray.array(snd)  # [n] or [n, channels] int16
+    samples = arr.astype(np.float32) / 32768.0
+    if samples.ndim > 1:
+        samples = samples.mean(axis=1)
+    rate = pygame.mixer.get_init()[0]
+    return samples, int(rate)
 
 
 @functools.lru_cache(maxsize=1)
@@ -182,8 +224,11 @@ class VitAudioModel(BaseModel):
         try:
             import soundfile  # noqa: F401
         except ImportError:
-            degr = degr + [
-                "mp3/ogg codecs unavailable — install the 'audio' extra "
-                "(soundfile); WAV/AIFF/AU/FLAC decode natively"
-            ]
+            try:
+                import pygame  # noqa: F401  (SDL_mixer mp3/ogg fallback)
+            except ImportError:
+                degr = degr + [
+                    "mp3/ogg codecs unavailable — install the 'audio' extra "
+                    "(soundfile) or pygame; WAV/AIFF/AU/FLAC decode natively"
+                ]
         return {"semantic": not degr, "degradations": degr}

@@ -49,7 +49,7 @@ _WAVE_BYTES = 4 << 20
 def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
                     has_scales: bool = False, dots: str = "highest"):
     assert P % 2 == 0
-    assert dots in ("highest", "bf16", "bf16x2")
+    assert dots in ("highest", "bf16", "bf16x2", "bf16x3")
 
     def kernel(probes_ref, nrm_ref, val_ref, q_ref, *rest):
         if has_scales:
@@ -60,12 +60,15 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
         qt = q_ref[0]  # [Q, D] (f32; bf16 when dots == "bf16")
         qt32 = qt.astype(jnp.float32)
         qn2 = jnp.sum(qt32 * qt32, axis=1)[:, None]  # [Q, 1]
-        if dots == "bf16x2":
+        if dots in ("bf16x2", "bf16x3"):
             # split-precision one-pass dots: q = q_hi + q_lo with both halves
             # bf16. Two bf16 MXU passes recover ~16 mantissa bits of the f32
             # query — vs SIX passes for a full f32 HIGHEST dot (the measured
             # kernel bottleneck, tools/abl_aux.py). Products against a bf16
             # slab are exact per pass; only the f32 accumulate orders differ.
+            # bf16x3 (f32 slabs) additionally splits the BLOCK and adds the
+            # qhi*blo + qlo*bhi cross terms — the classic 3-pass f32 dot
+            # (the dropped qlo*blo term is below f32 rounding).
             qhi = qt32.astype(jnp.bfloat16)
             qlo = (qt32 - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
 
@@ -123,6 +126,24 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
                         )
                         + jax.lax.dot_general(
                             qlo[qi : qi + 1], b16, dimension_numbers=dd,
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                elif dots == "bf16x3":
+                    b32 = buf[qi].astype(jnp.float32)
+                    bh = b32.astype(jnp.bfloat16)
+                    bl = (b32 - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+                    outs.append(
+                        jax.lax.dot_general(
+                            qhi[qi : qi + 1], bh, dimension_numbers=dd,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jax.lax.dot_general(
+                            qhi[qi : qi + 1], bl, dimension_numbers=dd,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jax.lax.dot_general(
+                            qlo[qi : qi + 1], bh, dimension_numbers=dd,
                             preferred_element_type=jnp.float32,
                         )
                     )
