@@ -52,9 +52,11 @@ def audio_to_data(data: bytes) -> tuple[np.ndarray, int]:
     ``audio_to_data``, ``src/model/audio.rs:35-75``).
 
     Native containers (stdlib): WAV, AIFF/AIFC, AU/SND; FLAC via the
-    in-tree C++ decoder. Other compressed codecs (mp3/ogg/...) route
-    through ``soundfile`` when importable, else SDL_mixer via ``pygame``
-    — the reference covers those via the symphonia crate."""
+    in-tree C++ decoder; mp3/ogg-vorbis via the system codec libraries
+    (libmpg123 / libvorbisfile over ctypes, ``native/codecs.py``).
+    Anything else routes through ``soundfile`` when importable, else
+    SDL_mixer via ``pygame`` — the reference covers all of these via the
+    symphonia crate."""
     try:
         with wave.open(io.BytesIO(data)) as w:
             raw = w.readframes(w.getnframes())
@@ -111,7 +113,19 @@ def audio_to_data(data: bytes) -> tuple[np.ndarray, int]:
             return decode_flac(data)
         except ValueError:
             pass  # corrupt stream or no toolchain — try soundfile below
-    try:  # other compressed codecs (mp3/ogg/...), if soundfile is installed
+    # lossy codecs via SYSTEM libraries first (true sample rates, zero
+    # Python deps): mp3 -> libmpg123, ogg-vorbis -> libvorbisfile
+    from zebra_tpu.native import codecs as _codecs
+
+    if _codecs.looks_like_ogg(data):
+        decoded = _codecs.decode_ogg(data)
+        if decoded is not None:
+            return decoded
+    if _codecs.looks_like_mp3(data):
+        decoded = _codecs.decode_mp3(data)
+        if decoded is not None:
+            return decoded
+    try:  # anything else (aac/opus/...), if soundfile is installed
         import soundfile as sf
     except ImportError:
         sf = None
@@ -122,8 +136,9 @@ def audio_to_data(data: bytes) -> tuple[np.ndarray, int]:
     if decoded is not None:
         return decoded
     raise ValueError(
-        "unsupported audio container (WAV/AIFF/AU/FLAC supported natively; "
-        "install `soundfile` or `pygame` for other compressed codecs)"
+        "unsupported audio container (WAV/AIFF/AU/FLAC natively; mp3/ogg "
+        "via system libmpg123/libvorbisfile; install `soundfile` or "
+        "`pygame` for other compressed codecs)"
     )
 
 
@@ -221,14 +236,26 @@ class VitAudioModel(BaseModel):
         from zebra_tpu.models.vit import weight_status
 
         degr = weight_status(self.mode)
-        try:
-            import soundfile  # noqa: F401
-        except ImportError:
+        from zebra_tpu.native import codecs as _codecs
+
+        have_lossy = (
+            _codecs._libmpg123() is not None
+            and _codecs._libvorbisfile() is not None
+        )
+        if not have_lossy:
             try:
-                import pygame  # noqa: F401  (SDL_mixer mp3/ogg fallback)
+                import soundfile  # noqa: F401
+                have_lossy = True
             except ImportError:
-                degr = degr + [
-                    "mp3/ogg codecs unavailable — install the 'audio' extra "
-                    "(soundfile) or pygame; WAV/AIFF/AU/FLAC decode natively"
-                ]
+                try:
+                    import pygame  # noqa: F401  (SDL_mixer mp3/ogg fallback)
+                    have_lossy = True
+                except ImportError:
+                    pass
+        if not have_lossy:
+            degr = degr + [
+                "mp3/ogg codecs unavailable — install system "
+                "libmpg123/libvorbisfile, the 'audio' extra (soundfile), "
+                "or pygame; WAV/AIFF/AU/FLAC decode natively"
+            ]
         return {"semantic": not degr, "degradations": degr}
