@@ -136,6 +136,90 @@ def test_truncated_streams_keep_prefix_or_fail_cleanly():
         assert len(out[0]) < len(full[0])
 
 
+# -- ffmpeg catch-all shim (native/zebra_av.cpp) ------------------------------
+
+#: (encoder, container) pairs for codecs with no sample files on this box;
+#: the shim's TEST-ONLY encoder synthesizes a 440 Hz sine per codec
+_AV_CODECS = [
+    ("aac", "adts", 44100),
+    ("libopus", "ogg", 48000),  # opus requires 48k; also tests ogg fall-through
+    ("wmav2", "asf", 44100),
+    ("alac", "ipod", 44100),  # m4a container
+]
+
+
+@pytest.mark.parametrize("codec,container,rate", _AV_CODECS,
+                         ids=[c[0] for c in _AV_CODECS])
+def test_av_shim_roundtrips_other_codecs(codec, container, rate):
+    from zebra_tpu.native import av
+
+    if not av.available():
+        pytest.skip("ffmpeg libs/toolchain absent")
+    blob = av.encode_test_tone(codec, container, rate=rate, n=rate, freq=440.0)
+    if blob is None:
+        pytest.skip(f"{codec} encoder not built into this ffmpeg")
+    out = av.decode_any(blob)
+    assert out is not None
+    samples, out_rate = out
+    assert out_rate == rate
+    assert abs(len(samples) - rate) < rate // 4  # ~1s +/- codec padding
+    spec = np.abs(np.fft.rfft(samples * np.hanning(len(samples))))
+    peak_hz = np.argmax(spec) * out_rate / len(samples)
+    assert abs(peak_hz - 440.0) < 5.0, peak_hz
+
+
+def test_av_shim_matches_dedicated_decoders_on_mp3():
+    p = _sample("mp3")
+    if p is None:
+        pytest.skip("pygame sample files absent")
+    from zebra_tpu.native import av
+
+    if not av.available() or codecs._libmpg123() is None:
+        pytest.skip("ffmpeg or libmpg123 absent")
+    with open(p, "rb") as f:
+        data = f.read()
+    a, ra = av.decode_any(data)
+    b, rb = codecs.decode_mp3(data)
+    assert ra == rb
+    assert _aligned_corr(a, b) > 0.999  # same underlying decoder family
+
+
+def test_av_shim_rejects_garbage_and_non_audio():
+    from zebra_tpu.native import av
+
+    if not av.available():
+        pytest.skip("ffmpeg libs/toolchain absent")
+    rng = np.random.default_rng(1)
+    assert av.decode_any(rng.integers(0, 256, 8192).astype(np.uint8).tobytes()) is None
+    # parseable NON-AUDIO media must not come back as audio
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 32), (255, 0, 0)).save(buf, format="PNG")
+    assert av.decode_any(buf.getvalue()) is None
+
+
+def test_audio_to_data_decodes_aac_and_opus():
+    """The model decode chain must handle codecs only the ffmpeg shim
+    covers — including ogg-opus, which sniffs as ogg but is declined by
+    libvorbisfile and must fall through."""
+    from zebra_tpu.native import av
+
+    if not av.available():
+        pytest.skip("ffmpeg libs/toolchain absent")
+    from zebra_tpu.models.audio import audio_to_data
+
+    for codec, container, rate in [("aac", "adts", 44100),
+                                   ("libopus", "ogg", 48000)]:
+        blob = av.encode_test_tone(codec, container, rate=rate, n=rate)
+        if blob is None:
+            continue
+        samples, out_rate = audio_to_data(blob)
+        assert out_rate == rate and len(samples) > rate // 2
+
+
 def test_audio_to_data_routes_through_system_codecs():
     """The model decode path must pick the system codec (true 11.025/44.1k
     rate), not the SDL fallback (which resamples to the mixer rate)."""

@@ -53,10 +53,11 @@ def audio_to_data(data: bytes) -> tuple[np.ndarray, int]:
 
     Native containers (stdlib): WAV, AIFF/AIFC, AU/SND; FLAC via the
     in-tree C++ decoder; mp3/ogg-vorbis via the system codec libraries
-    (libmpg123 / libvorbisfile over ctypes, ``native/codecs.py``).
-    Anything else routes through ``soundfile`` when importable, else
-    SDL_mixer via ``pygame`` — the reference covers all of these via the
-    symphonia crate."""
+    (libmpg123 / libvorbisfile over ctypes, ``native/codecs.py``); every
+    other codec (aac/m4a, opus, wma, alac, ...) via the ffmpeg shim
+    (``native/zebra_av.cpp``). ``soundfile``/``pygame`` remain as last
+    resorts for systems without those libs — the reference covers all of
+    this via the symphonia crate."""
     try:
         with wave.open(io.BytesIO(data)) as w:
             raw = w.readframes(w.getnframes())
@@ -125,7 +126,15 @@ def audio_to_data(data: bytes) -> tuple[np.ndarray, int]:
         decoded = _codecs.decode_mp3(data)
         if decoded is not None:
             return decoded
-    try:  # anything else (aac/opus/...), if soundfile is installed
+    # catch-all native decode (aac/m4a, opus, wma, alac, ...) via the
+    # system ffmpeg libraries — also picks up ogg-opus streams the
+    # vorbisfile path above declined
+    from zebra_tpu.native import av as _av
+
+    decoded = _av.decode_any(data)
+    if decoded is not None:
+        return decoded
+    try:  # last resorts for systems without the ffmpeg libs
         import soundfile as sf
     except ImportError:
         sf = None
@@ -236,9 +245,10 @@ class VitAudioModel(BaseModel):
         from zebra_tpu.models.vit import weight_status
 
         degr = weight_status(self.mode)
+        from zebra_tpu.native import av as _av
         from zebra_tpu.native import codecs as _codecs
 
-        have_lossy = (
+        have_lossy = _av.available() or (
             _codecs._libmpg123() is not None
             and _codecs._libvorbisfile() is not None
         )

@@ -71,12 +71,19 @@ def _libmpg123():
 
 
 def looks_like_mp3(data: bytes) -> bool:
-    """Cheap sniff: ID3v2 tag or an MPEG audio frame sync at offset 0.
-    (mpg123 itself resynchronises past junk; this gate just keeps us from
-    feeding arbitrary bytes to it on the generic decode path.)"""
+    """Cheap sniff: ID3v2 tag or an MPEG *audio* frame sync at offset 0.
+    The layer bits must be nonzero — ADTS/AAC shares the 0xFFFx sync but
+    sets layer=00 (reserved in MPEG audio), and mpg123 will happily decode
+    an ADTS stream into garbage if we let it (caught by
+    ``tests/test_codecs.py::test_audio_to_data_decodes_aac_and_opus``)."""
     if data[:3] == b"ID3":
         return True
-    return len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    return (
+        len(data) >= 2
+        and data[0] == 0xFF
+        and (data[1] & 0xE0) == 0xE0
+        and (data[1] >> 1) & 0x3 != 0  # layer I/II/III, not ADTS's 00
+    )
 
 
 def decode_mp3(data: bytes) -> tuple[np.ndarray, int] | None:
