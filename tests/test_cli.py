@@ -114,5 +114,64 @@ def test_play_audio_no_player(monkeypatch):
     from zebra_tpu import cli
 
     monkeypatch.setattr(shutil, "which", lambda name: None)
-    err = cli._play_audio(b"RIFFxxxx")
+    err = cli._play_audio(_wav_blob())
     assert "no system audio player" in err
+
+
+def test_play_audio_decode_failure_reported():
+    from zebra_tpu import cli
+
+    err = cli._play_audio(b"definitely not audio")
+    assert err is not None and err.startswith("decode:")
+
+
+def _wav_blob(freq=440.0):
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    pcm = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_play_audio_transcodes_compressed_blobs(monkeypatch):
+    """A stored mp3 must reach the player as decodable PCM WAV (rodio
+    parity: the reference decodes any codec before its sink)."""
+    import shutil
+    import subprocess
+    import wave as _wave
+
+    from zebra_tpu import cli
+
+    pytest.importorskip("pygame")
+    import os
+
+    import pygame.examples
+
+    p = os.path.join(os.path.dirname(pygame.examples.__file__), "data",
+                     "house_lo.mp3")
+    if not os.path.exists(p):
+        pytest.skip("pygame sample absent")
+    captured = {}
+
+    def fake_run(cmd, **kw):
+        with _wave.open(cmd[1]) as w:
+            captured["rate"] = w.getframerate()
+            captured["frames"] = w.getnframes()
+        return None
+
+    monkeypatch.setattr(shutil, "which",
+                        lambda name: "/usr/bin/aplay" if name == "aplay" else None)
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    with open(p, "rb") as f:
+        assert cli._play_audio(f.read()) is None
+    assert captured["rate"] > 0 and captured["frames"] > captured["rate"]

@@ -135,17 +135,41 @@ def _cmd_query(args) -> int:
 def _play_audio(doc: bytes) -> str | None:
     """Play one retrieved audio blob through the first available system
     player (the reference plays every result with rodio before returning,
-    ``main.rs:271-293``). Returns an error string when no player exists."""
+    ``main.rs:271-293``). The blob is decoded through the full codec chain
+    and re-rendered as PCM WAV first, so stored mp3/flac/aac/... play just
+    like rodio's symphonia-backed sink — aplay alone only accepts WAV.
+    Returns an error string when decode or every player fails."""
+    import io
     import shutil
+    import struct
     import subprocess
     import tempfile
 
-    for player, needs_file in (("aplay", True), ("paplay", True), ("afplay", True)):
+    try:
+        from zebra_tpu.models.audio import audio_to_data
+
+        samples, rate = audio_to_data(doc)
+        import numpy as np
+
+        pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+        wav = io.BytesIO()
+        import wave as _wave
+
+        with _wave.open(wav, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm)
+        payload = wav.getvalue()
+    except Exception as e:
+        return f"decode: {e}"
+
+    for player in ("aplay", "paplay", "afplay"):
         path = shutil.which(player)
         if not path:
             continue
         with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-            f.write(doc)
+            f.write(payload)
             f.flush()
             try:
                 subprocess.run([path, f.name], check=True, timeout=300,
