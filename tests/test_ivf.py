@@ -270,6 +270,44 @@ def test_ivf_cold_build_prestaged(rng, monkeypatch):
     assert len(idx) == 5300 and len(more) == 300
 
 
+def test_ivf_cold_build_partial_window(rng, monkeypatch):
+    """When the staging window is smaller than the batch count (big-slab
+    builds: the 10M x 768 case would OOM prestaging 15GB of wire buffers),
+    the cold path must live-stage the tail spans and still build correctly."""
+    import zebra_tpu.index.base as base_mod
+    import zebra_tpu.index.ivf_host as host_mod
+
+    monkeypatch.setattr(base_mod, "BATCH", 512)
+    monkeypatch.setattr(host_mod, "BATCH", 512)
+    monkeypatch.setattr(host_mod, "_STAGE_HBM_BUDGET", 0)  # force min window
+    data = _data(rng, 5000, 24)
+    idx = IVFIndex(dim=24, metric="cosine", options=_opts(num_probes=8))
+    ids = idx.add(data)  # 10 spans, window clamps to 2
+    assert len(idx) == 5000
+    res = idx.search(data[:32], k=1)
+    hits = sum(row[0][0] == ids[i] for i, row in enumerate(res))
+    assert hits >= 31
+
+
+def test_cell_choice_chunked_matches_unchunked(rng, monkeypatch):
+    """Row-chunked insert cell scoring (the big-K OOM guard) must pick the
+    same cells as the single-tile path: approx_max_k is per-row, so
+    chunking the rows cannot change any row's result."""
+    import jax.numpy as jnp
+
+    from zebra_tpu.index import ivf
+
+    x = jnp.asarray(rng.standard_normal((512, 24)).astype(np.float32))
+    cents = jnp.asarray(rng.standard_normal((256, 24)).astype(np.float32))
+    for metric in ("sql2", "cosine"):
+        full = np.asarray(ivf._cell_choice(x, cents, metric, 4))
+        monkeypatch.setattr(ivf, "_CHOICE_TRIGGER_ELEMS", 1)
+        monkeypatch.setattr(ivf, "_CHOICE_TILE_ELEMS", 64 * 256)  # 64-row tiles
+        chunked = np.asarray(ivf._cell_choice(x, cents, metric, 4))
+        monkeypatch.undo()
+        np.testing.assert_array_equal(full, chunked)
+
+
 def test_ivf_int8_slab(rng):
     """int8 quantised slab: insert/search/remove/dedup/save-load, recall
     against the exact scan of the SAME (quantised) slab."""

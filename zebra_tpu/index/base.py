@@ -430,7 +430,9 @@ class BaseVectorIndex:
             src = jnp.pad(vectors, ((0, pad_rows), (0, 0))) if pad_rows else vectors
 
         def stage(i):
-            if prestaged is not None:
+            # prestaged may be a partial (HBM-budgeted) window — fall back
+            # to live staging for spans beyond it
+            if prestaged is not None and prestaged[i] is not None:
                 return prestaged[i]
             return self._stage_span(vectors, spans[i], src)
 

@@ -130,6 +130,57 @@ def _segmented_ranks(c: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
 
 
+#: chunk the insert-time cell scoring only past this many [n, K] score
+#: elements (the 1M-x-768 flagship shape, 65536 x 16384 = 1.07G, stays a
+#: single fused tile — its 1.44M/s device insert rate is a recorded
+#: headline); beyond it, row-chunks keep each score tile ~1GB. At
+#: K = 131072 (the 10M auto sizing) an unchunked batch tile would be
+#: 65536 x 131072 x 4B = 34GB — far past HBM.
+_CHOICE_TRIGGER_ELEMS = 1 << 31
+_CHOICE_TILE_ELEMS = 1 << 28
+
+
+def _cell_choice(x32: jnp.ndarray, centroids: jnp.ndarray, metric: str,
+                 A: int) -> jnp.ndarray:
+    """Per-row top-``A`` nearest cells ``[n, A]`` (insert placement).
+
+    DEFAULT matmul precision: partition assignment tolerates bf16-grade
+    error. approx_max_k instead of top_k: a full sort over [65536, 16384]
+    is multi-GB/seconds per batch, and the partial reduction's ~0.5% miss
+    just means a vector lands in a neighbouring cell — queries probe
+    several anyway.
+    """
+    n = x32.shape[0]
+    K = centroids.shape[0]
+
+    def score_of(xc):
+        dot = jnp.dot(xc, centroids.T, preferred_element_type=jnp.float32)
+        if metric == "cosine":
+            # per-row |x| is constant in the argmax — centroid norms only
+            cn = jnp.sqrt(jnp.sum(centroids * centroids, axis=-1))
+            return dot / jnp.maximum(cn, 1e-30)[None, :]
+        # sql2 geometry (||x||^2 constant per row — omit)
+        cn2 = jnp.sum(centroids * centroids, axis=-1)
+        return -(cn2[None, :] - 2.0 * dot)
+
+    def choice_of(xc):
+        s = score_of(xc)
+        if K >= 128:
+            _, ch = jax.lax.approx_max_k(s, A)
+        else:
+            _, ch = jax.lax.top_k(s, A)
+        return ch.astype(jnp.int32)
+
+    if n * K <= _CHOICE_TRIGGER_ELEMS:
+        return choice_of(x32)
+    c = max(256, _CHOICE_TILE_ELEMS // K)
+    while n % c:  # n and c are powers of two in practice; guard anyway
+        c //= 2
+    return jax.lax.map(
+        choice_of, x32.reshape(n // c, c, x32.shape[1])
+    ).reshape(n, A)
+
+
 @functools.partial(
     jax.jit, donate_argnums=(0,), static_argnames=("spill", "metric")
 )
@@ -163,24 +214,7 @@ def insert(
     real = jnp.arange(n, dtype=jnp.int32) < n_valid
 
     x32 = x.astype(jnp.float32)
-    # DEFAULT precision: partition assignment tolerates bf16-grade error.
-    dot = jnp.dot(x32, state.centroids.T, preferred_element_type=jnp.float32)
-    if metric == "cosine":
-        # per-row |x| is constant in the argmax — only centroid norms matter
-        cn = jnp.sqrt(jnp.sum(state.centroids * state.centroids, axis=-1))
-        score = dot / jnp.maximum(cn, 1e-30)[None, :]
-    else:
-        # sql2 geometry (||x||^2 constant per row — omit)
-        cn2 = jnp.sum(state.centroids * state.centroids, axis=-1)
-        score = -(cn2[None, :] - 2.0 * dot)
-    if K >= 128:
-        # approx_max_k: a full top_k over [65536, 16384] is a multi-GB sort
-        # (~seconds/batch); the partial reduction's ~0.5% miss just means a
-        # vector lands in a neighbouring cell — queries probe several anyway
-        _, choice = jax.lax.approx_max_k(score, min(spill, K))
-        choice = choice.astype(jnp.int32)
-    else:
-        _, choice = jax.lax.top_k(score, min(spill, K))  # [n, a]
+    choice = _cell_choice(x32, state.centroids, metric, min(spill, K))
 
     slots = jnp.full((n,), -1, jnp.int32)
     counts = state.counts

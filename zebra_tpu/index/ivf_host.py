@@ -26,6 +26,11 @@ from zebra_tpu.ops.kmeans import kmeans
 from zebra_tpu.profiling import logger
 from zebra_tpu.utils import next_pow2
 
+#: HBM budget the cold build fits (slab + staged transfer window) inside —
+#: conservative for a 16GB v5e chip, leaving room for k-means tiles, the
+#: f32 training sample, and insert working buffers.
+_STAGE_HBM_BUDGET = 12 << 30
+
 #: retrain when live vectors outgrow the built size by this factor
 _REBUILD_GROWTH = 4.0
 #: compact when tombstones exceed this fraction of allocated slots
@@ -132,12 +137,18 @@ class IVFIndex(BaseVectorIndex):
             if padded != host.shape[0]:
                 host = np.pad(host, ((0, padded - host.shape[0]), (0, 0)))
             sample = jnp.asarray(host)
+        # Lloyd's [chunk, K] distance tile must stay ~1GB: the default
+        # 65536-row chunk is fine through K=32768 (the 1M flagship trains
+        # exactly as measured), but at the 10M auto sizing (K=131072) it
+        # would be a 34GB tile.
+        chunk = 65536 if k <= 32768 else max(2048, (1 << 28) // k)
         cents, _counts = kmeans(
             key,
             sample,
             jnp.int32(sample_n),
             k=k,
             iters=self.options.kmeans_iters,
+            chunk=chunk,
             balance_rounds=self.options.kmeans_balance_rounds,
         )
         return cents
@@ -150,9 +161,10 @@ class IVFIndex(BaseVectorIndex):
         return V.empty_state(cents, cap, spare, dtype=self.dtype)
 
     def _cold_build(self, vectors, ids) -> bool:
-        """First build: queue EVERY insert batch's host->device transfer
-        first (async device_put), train k-means on a device-side sample of
-        the staged batches, then insert from the staged buffers.
+        """First build: queue an HBM-budgeted window of insert-batch
+        host->device transfers first (async device_put), train k-means on a
+        device-side sample of the staged batches, then insert from the
+        staged buffers (live-staging any spans beyond the window).
 
         The k-means training sample never ships separately (it was a second
         multi-hundred-MB upload), and training compute overlaps the tail of
@@ -164,14 +176,34 @@ class IVFIndex(BaseVectorIndex):
             return False  # small/device builds: the generic path is fine
         n = vectors.shape[0]
         spans = self._spans(n)
-        staged = [self._stage_span(vectors, sp) for sp in spans]  # all queued
-        target = max(self.options.kmeans_sample, 4 * self._resolved_clusters(n))
-        # sample from the FIRST quarter of the staged batches only: training
-        # then starts as soon as those land, while the remaining transfers
-        # stream in parallel with the k-means compute (sampling from every
-        # batch would serialise training behind the LAST transfer)
-        nb = len(staged)
-        train = list(zip(staged, spans))[: max(min(4, nb), nb // 4)]
+        nb = len(spans)
+        # HBM-BUDGETED staging window: prestage as many transfers as fit
+        # alongside the slab about to be allocated. At 1M x 768 (bf16 slab
+        # 3.3GB) every batch prestages — the measured cold-build behaviour.
+        # At 10M x 768 int8 the slab alone is ~10-13GB, and prestaging all
+        # 153 batches (15.3GB of bf16 wire buffers) is a guaranteed OOM;
+        # the window holds a few GB in flight and _insert_batches' 1-deep
+        # lookahead keeps transfers overlapping inserts for the rest.
+        k = self._resolved_clusters(n)
+        slots = k * self._resolved_capacity(n, k) + self._resolved_spare(n)
+        slab_bytes = slots * self._dev_dim * np.dtype(self.dtype).itemsize
+        slab_bytes += slots * 9 + k * self._dev_dim * 4  # norms/valid/scales + cents
+        batch_bytes = (
+            next_pow2(max(spans[0][1], 1))
+            * self._dev_dim
+            * np.dtype(self._wire_dtype).itemsize
+        )
+        budget = max(_STAGE_HBM_BUDGET - slab_bytes, 2 * batch_bytes)
+        window = int(min(nb, max(budget // batch_bytes, 2)))
+        staged: list = [None] * nb
+        for i in range(window):
+            staged[i] = self._stage_span(vectors, spans[i])
+        target = max(self.options.kmeans_sample, 4 * k)
+        # sample from the FIRST quarter of the staged window only: training
+        # then starts as soon as those land, while the remaining windowed
+        # transfers stream in parallel with the k-means compute (sampling
+        # from every batch would serialise training behind the LAST one)
+        train = list(zip(staged, spans))[: max(min(4, window), window // 4)]
         per = max(min(target // len(train), spans[0][1]), 1)
         # clip each slice to the span's REAL row count (the last batch is
         # zero-padded; zeros in the sample would grow a parasitic centroid)
@@ -180,6 +212,7 @@ class IVFIndex(BaseVectorIndex):
             axis=0,
         )
         self.state = self._fresh_state(n, sample)
+        del sample, train  # free the f32 training copy before the big insert
         self._insert_batches(vectors, ids, prestaged=staged)
         return True
 
