@@ -199,11 +199,14 @@ class IVFIndex(BaseVectorIndex):
         for i in range(window):
             staged[i] = self._stage_span(vectors, spans[i])
         target = max(self.options.kmeans_sample, 4 * k)
-        # sample from the FIRST quarter of the staged window only: training
+        # sample from a LEADING slice of the staged window only: training
         # then starts as soon as those land, while the remaining windowed
         # transfers stream in parallel with the k-means compute (sampling
-        # from every batch would serialise training behind the LAST one)
-        train = list(zip(staged, spans))[: max(min(4, window), window // 4)]
+        # from every batch would serialise training behind the LAST one).
+        # The slice must still cover the full sample target — at K=131072
+        # the 4K lower bound needs 8 full batches, not the window quarter.
+        need = -(-target // max(spans[0][1], 1))
+        train = list(zip(staged, spans))[: max(min(4, window), min(window, need))]
         per = max(min(target // len(train), spans[0][1]), 1)
         # clip each slice to the span's REAL row count (the last batch is
         # zero-padded; zeros in the sample would grow a parasitic centroid)
