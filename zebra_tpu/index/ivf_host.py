@@ -24,7 +24,7 @@ from zebra_tpu.index import ivf as V
 from zebra_tpu.index.base import BATCH, BaseVectorIndex, slab_from_np
 from zebra_tpu.ops.kmeans import kmeans
 from zebra_tpu.profiling import logger
-from zebra_tpu.utils import next_pow2
+from zebra_tpu.utils import device_sync, next_pow2
 
 #: HBM budget the cold build fits (slab + staged transfer window) inside —
 #: conservative for a 16GB v5e chip, leaving room for k-means tiles, the
@@ -126,7 +126,12 @@ class IVFIndex(BaseVectorIndex):
             idx = None
         if isinstance(data, jnp.ndarray):  # rebuild path: stay on device
             sample = data if idx is None else jnp.take(data, jnp.asarray(idx), axis=0)
-            sample = sample.astype(jnp.float32)
+            # keep floating samples in their wire dtype — kmeans casts chunks
+            # to f32 INSIDE its jit, so an eager astype here is a second
+            # whole-sample HBM copy (1.6GB at the 10M auto sizing's 524k-row
+            # f32 target; the round-3 10M OOM)
+            if not jnp.issubdtype(sample.dtype, jnp.floating):
+                sample = sample.astype(jnp.float32)
             padded = next_pow2(sample.shape[0])
             if padded != sample.shape[0]:
                 sample = jnp.pad(sample, ((0, padded - sample.shape[0]), (0, 0)))
@@ -209,13 +214,23 @@ class IVFIndex(BaseVectorIndex):
         train = list(zip(staged, spans))[: max(min(4, window), min(window, need))]
         per = max(min(target // len(train), spans[0][1]), 1)
         # clip each slice to the span's REAL row count (the last batch is
-        # zero-padded; zeros in the sample would grow a parasitic centroid)
+        # zero-padded; zeros in the sample would grow a parasitic centroid).
+        # The sample stays in the WIRE dtype (bf16 for bf16/int8 slabs):
+        # kmeans casts per-chunk inside its jit, and an f32 copy here doubles
+        # the training footprint (1.6GB at the 10M sizing's 524k-row target).
         sample = jnp.concatenate(
-            [b[: min(per, sp[1])].astype(jnp.float32) for b, sp in train],
-            axis=0,
+            [b[: min(per, sp[1])] for b, sp in train], axis=0
         )
-        self.state = self._fresh_state(n, sample)
-        del sample, train  # free the f32 training copy before the big insert
+        # Train BEFORE allocating the slab, and free the sample in between:
+        # at 10M x 768 int8 the slab is ~10.5GB — allocated while the sample
+        # + kmeans temporaries were still alive, the round-3 capacity run hit
+        # RESOURCE_EXHAUSTED on a 16GB chip.
+        cap = self._resolved_capacity(n, k)
+        spare = self._resolved_spare(n)
+        cents = self._train_centroids(k, sample)
+        device_sync(cents)  # training done -> sample/temporaries freeable
+        del sample, train
+        self.state = V.empty_state(cents, cap, spare, dtype=self.dtype)
         self._insert_batches(vectors, ids, prestaged=staged)
         return True
 
