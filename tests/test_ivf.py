@@ -137,6 +137,30 @@ def test_ivf_tombstone_compaction(rng):
         assert row[0][0] == ids[400 + i]
 
 
+def test_ivf_rebuild_skipped_when_transient_exceeds_hbm(rng, monkeypatch):
+    """Capacity-scale guard: when the rebuild's HBM transient cannot fit,
+    auto-maintenance SKIPS (queries stay correct) instead of crashing with
+    RESOURCE_EXHAUSTED mid-churn; shrinking pressure resumes it."""
+    from zebra_tpu.index import ivf_host as host_mod
+
+    idx = IVFIndex(dim=16, options=_opts())
+    data = _data(rng, 600, 16)
+    ids = idx.add(data)
+    calls = []
+    monkeypatch.setattr(idx, "rebuild", lambda: calls.append(1))
+    monkeypatch.setattr(host_mod, "_STAGE_HBM_BUDGET", 0)
+    idx.remove(ids[:400])  # tombstone pressure fires _maybe_rebuild
+    assert not calls and idx._rebuild_skip_warned
+    # tombstoned rows stay masked — search still correct without the rebuild
+    res = idx.search(data[400:420], k=1)
+    for i, row in enumerate(res):
+        assert row[0][0] == ids[400 + i]
+    # budget restored -> the next maintenance pass rebuilds again
+    monkeypatch.setattr(host_mod, "_STAGE_HBM_BUDGET", 12 << 30)
+    idx.remove(ids[400:500])
+    assert calls
+
+
 def test_ivf_save_load_roundtrip(tmp_path, rng):
     data = _data(rng, 300, 32)
     idx = IVFIndex(dim=32, metric="cosine", options=_opts())

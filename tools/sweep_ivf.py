@@ -39,6 +39,12 @@ ap.add_argument("--spill", type=int, default=8)
 ap.add_argument("--qbatch", type=int, default=1024)
 ap.add_argument("--probes", default="4,8,16")
 ap.add_argument("--reranks", default="xla,pallas")
+ap.add_argument("--metric", default="cosine")
+ap.add_argument("--dots", default="auto",
+                help="comma list of rerank_dots: auto,highest,bf16,bf16x2,bf16x3")
+ap.add_argument("--probe-sels", default="auto",
+                help="comma list of probe_sel: auto,f32")
+ap.add_argument("--out", default="", help="write sweep rows as a JSON artifact")
 args = ap.parse_args()
 
 print("devices:", jax.devices(), flush=True)
@@ -48,7 +54,7 @@ rng = np.random.default_rng(1)
 
 idx = IVFIndex(
     dim=dim,
-    metric="cosine",
+    metric=args.metric,
     options=IndexOptions(
         index_type="ivf",
         rerank="pallas",  # sizes _dev_dim for the kernel; backend chosen per query below
@@ -72,34 +78,57 @@ qp[:, :dim] = queries
 qj = jnp.asarray(qp)
 
 # ground truth on 256 queries
-nrq = 256
+nrq = min(256, args.qbatch)
 t0 = time.perf_counter()
-db_, sb, vb = V.brute_force(idx.state, qj[:nrq], 10, metric="cosine")
+db_, sb, vb = V.brute_force(idx.state, qj[:nrq], 10, metric=args.metric)
 device_sync(db_)
 sb, vb = np.asarray(sb), np.asarray(vb)
 truth = [set(sb[i][vb[i]].tolist()) for i in range(nrq)]
 print(f"brute truth: {time.perf_counter()-t0:.1f}s", flush=True)
 
+rows = []
 for P in [int(x) for x in args.probes.split(",")]:
     for rr in args.reranks.split(","):
-        t0 = time.perf_counter()
-        d, s, v = V.query(idx.state, qj, 10, metric="cosine", num_probes=P, rerank=rr)
-        device_sync(d)
-        t_compile = time.perf_counter() - t0
-        iters = 20
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            d, s, v = V.query(
-                idx.state, qj, 10, metric="cosine", num_probes=P, rerank=rr
-            )
-        device_sync(d)
-        qps = args.qbatch * iters / (time.perf_counter() - t0)
-        sa, va = np.asarray(s[:nrq]), np.asarray(v[:nrq])
-        hits = sum(len(set(sa[i][va[i]].tolist()) & truth[i]) for i in range(nrq))
-        recall = hits / (nrq * 10)
-        print(
-            f"P={P:3d} rerank={rr:6s}: {qps:10,.0f} QPS  recall@10={recall:.4f}"
-            f"  (compile {t_compile:.0f}s)",
-            flush=True,
-        )
+        for dots in args.dots.split(","):
+            for psel in args.probe_sels.split(","):
+                t0 = time.perf_counter()
+                d, s, v = V.query(
+                    idx.state, qj, 10, metric=args.metric, num_probes=P,
+                    rerank=rr, rerank_dots=dots, probe_sel=psel,
+                )
+                device_sync(d)
+                t_compile = time.perf_counter() - t0
+                iters = 20
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    d, s, v = V.query(
+                        idx.state, qj, 10, metric=args.metric, num_probes=P,
+                        rerank=rr, rerank_dots=dots, probe_sel=psel,
+                    )
+                device_sync(d)
+                qps = args.qbatch * iters / (time.perf_counter() - t0)
+                sa, va = np.asarray(s[:nrq]), np.asarray(v[:nrq])
+                hits = sum(
+                    len(set(sa[i][va[i]].tolist()) & truth[i]) for i in range(nrq)
+                )
+                recall = hits / (nrq * 10)
+                print(
+                    f"P={P:3d} rerank={rr:6s} dots={dots:7s} sel={psel:4s}:"
+                    f" {qps:10,.0f} QPS  recall@10={recall:.4f}"
+                    f"  (compile {t_compile:.0f}s)",
+                    flush=True,
+                )
+                rows.append(dict(
+                    probes=P, rerank=rr, dots=dots, probe_sel=psel,
+                    qps=round(qps, 1), recall_at_10=round(recall, 4),
+                ))
+if args.out:
+    import json
+
+    with open(args.out, "w") as f:
+        json.dump(dict(
+            n=n, dim=dim, metric=args.metric, dtype=args.dtype,
+            qbatch=args.qbatch, build_seconds=round(t_build, 1), rows=rows,
+        ), f, indent=1)
+    print(f"wrote {args.out}", flush=True)
 print("sweep done", flush=True)

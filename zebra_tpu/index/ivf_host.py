@@ -299,6 +299,28 @@ class IVFIndex(BaseVectorIndex):
             start = self.state.spare_start
             self._spare_used += int(np.sum(np.asarray(slots) >= start))
 
+    def _rebuild_peak_bytes(self, n_live: int) -> int:
+        """Worst-case HBM transient of :meth:`rebuild` at ``n_live`` rows.
+
+        The rebuild gathers every live row off the old slab (bf16 for int8
+        slabs — `_take_rows` dequantises; slab dtype otherwise), frees the
+        old state, then allocates the retrained slab while the copy is still
+        alive for re-insertion. Peak = max(old slab + live copy,
+        live copy + new slab) + auxiliaries.
+        """
+        d = self._dev_dim
+        item = np.dtype(self.dtype).itemsize
+        copy_item = 2 if self.dtype == np.int8 else item
+        live_copy = n_live * d * copy_item
+        k = self._resolved_clusters(max(n_live, 1))
+        slots = (
+            k * self._resolved_capacity(max(n_live, 1), k)
+            + self._resolved_spare(max(n_live, 1))
+        )
+        new_slab = slots * (d * item + 9) + k * d * 4
+        old_slab = self.state.vectors.nbytes + self.state.norms.nbytes
+        return max(old_slab + live_copy, live_copy + new_slab)
+
     def _maybe_rebuild(self) -> None:
         n_live = len(self._id_to_slot)
         if n_live == 0 or self.state is None:
@@ -321,6 +343,25 @@ class IVFIndex(BaseVectorIndex):
             or tombstones > _COMPACT_TOMBSTONES * max(used, 1)
             or spare_pressure
         ):
+            # graceful degradation at capacity scale: a rebuild whose
+            # transient cannot fit HBM would crash the process mid-churn
+            # (RESOURCE_EXHAUSTED). Skip it — queries stay CORRECT
+            # (tombstones masked, spare scanned in chunks), maintenance
+            # just stops reclaiming space; an explicit rebuild()/save()
+            # + offline rebuild remains available. Warn once per episode.
+            peak = self._rebuild_peak_bytes(n_live)
+            if peak > _STAGE_HBM_BUDGET:
+                if not getattr(self, "_rebuild_skip_warned", False):
+                    logger.warning(
+                        "ivf: skipping auto-rebuild at %d live rows — the "
+                        "rebuild transient (%.1f GB) exceeds the HBM budget "
+                        "(%.1f GB). Queries remain correct; reclaim space "
+                        "via a sharded index or an offline rebuild.",
+                        n_live, peak / 2**30, _STAGE_HBM_BUDGET / 2**30,
+                    )
+                    self._rebuild_skip_warned = True
+                return
+            self._rebuild_skip_warned = False
             self.rebuild()
 
     def rebuild(self) -> None:
