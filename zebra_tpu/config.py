@@ -122,6 +122,13 @@ class IndexOptions:
     #: (the reference's scheme, ``lsh.rs:221-230``); "random" uses Gaussian
     #: projections. "data" generally matches reference recall on clustered data.
     plane_mode: str = "data"
+    #: snapshot container: "npz" (default — ONE streamed, np.load-compatible
+    #: file with bounded host memory; storage/snapshots.py) or "orbax"
+    #: (optional orbax/tensorstore checkpoint directory — multi-host-capable:
+    #: each host writes only the mesh shards it owns; storage/orbax_snap.py).
+    #: The format is recorded in the snapshot's index.json, so load()
+    #: dispatches automatically whichever knob the opening process has.
+    snapshot_format: str = "npz"
     seed: int = 0
 
     def resolved_bits(self, n: int) -> int:

@@ -603,6 +603,7 @@ class BaseVectorIndex:
         (reference persists via fjall ``PersistMode::SyncAll``,
         ``lsh.rs:87-89``)."""
         os.makedirs(directory, exist_ok=True)
+        fmt = getattr(self.options, "snapshot_format", "npz") or "npz"
         meta = {
             "dim": self.dim,
             "metric": self.metric,
@@ -611,19 +612,32 @@ class BaseVectorIndex:
             "built_n": self._built_n,
             "has_state": self.state is not None,
             "backend": type(self).__name__,
+            "snapshot_format": fmt,
             **self._meta_extra(),
         }
         fsync_write(os.path.join(directory, "index.json"), json.dumps(meta).encode())
         if self.state is None:
             return
-        from zebra_tpu.storage.snapshots import write_npz_streamed
+        arrays = {"slot_ids": self._slot_ids.to_array(), **self._snapshot_arrays()}
+        npz_path = os.path.join(directory, "arrays.npz")
+        orbax_path = os.path.join(directory, "arrays.orbax")
+        if fmt == "orbax":
+            from zebra_tpu.storage.orbax_snap import save_arrays_orbax
 
-        # streamed npz: bounded host memory — device arrays fetch chunk by
-        # chunk, nothing buffers the whole snapshot (round-2 judge weak #4)
-        write_npz_streamed(
-            os.path.join(directory, "arrays.npz"),
-            {"slot_ids": self._slot_ids.to_array(), **self._snapshot_arrays()},
-        )
+            save_arrays_orbax(orbax_path, arrays)
+            # a format switch must not leave a stale other-format artifact
+            if os.path.exists(npz_path):
+                os.remove(npz_path)
+        else:
+            from zebra_tpu.storage.snapshots import write_npz_streamed
+
+            # streamed npz: bounded host memory — device arrays fetch chunk
+            # by chunk, nothing buffers the whole snapshot (round-2 weak #4)
+            write_npz_streamed(npz_path, arrays)
+            if os.path.isdir(orbax_path):
+                import shutil
+
+                shutil.rmtree(orbax_path)
 
     @classmethod
     def _construct_for_load(cls, meta: dict, **ctor_kw):
@@ -643,7 +657,9 @@ class BaseVectorIndex:
         idx._built_n = meta.get("built_n", 0)
         if not meta.get("has_state"):
             return idx
-        with np.load(os.path.join(directory, "arrays.npz")) as z:
+        from zebra_tpu.storage.snapshots import open_snapshot_arrays
+
+        with open_snapshot_arrays(directory, meta) as z:
             idx._restore_arrays(z)
             ids_arr = np.ascontiguousarray(z["slot_ids"])
         valid = idx._valid_by_slot()

@@ -789,9 +789,11 @@ class ShardedIndex(BaseVectorIndex):
     def _load_resharded(cls, directory, meta, mesh, target):
         """Rebuild over a different mesh size from snapshot bytes: collect
         live (id, vector) rows in global-slot order and re-add."""
+        from zebra_tpu.storage.snapshots import open_snapshot_arrays
+
         idx = cls._construct_for_load(meta, mesh=mesh, shards=target)
         S_old = meta["shards"]
-        with np.load(os.path.join(directory, "arrays.npz")) as z:
+        with open_snapshot_arrays(directory, meta) as z:
             vectors = z["vectors"]  # [S_old, cap, D] (uint16 bits if bf16)
             valid = np.asarray(z["valid"])
             ids_arr = np.ascontiguousarray(z["slot_ids"])

@@ -20,6 +20,7 @@ memory to persist it; neither should we.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import zipfile
 
@@ -82,6 +83,26 @@ def _iter_chunks(arr, shape, dtype):
         yield np.ascontiguousarray(_encode_np(np.asarray(chunk)))
     if n == 0:
         yield np.zeros((0, *shape[1:]), dtype=dtype)
+
+
+@contextlib.contextmanager
+def open_snapshot_arrays(directory: str, meta: dict):
+    """Yield the snapshot's array mapping, whichever container wrote it.
+
+    Dispatches on ``meta["snapshot_format"]`` (recorded by ``save()``;
+    absent in pre-round-3 snapshots, which are always npz). npz yields the
+    LAZY ``NpzFile`` (members decode one at a time — the restore path's
+    peak host memory stays one member, not the whole snapshot); orbax
+    yields an eager ``{name: np.ndarray}`` dict
+    (:func:`zebra_tpu.storage.orbax_snap.load_arrays_orbax`).
+    """
+    if meta.get("snapshot_format", "npz") == "orbax":
+        from zebra_tpu.storage.orbax_snap import load_arrays_orbax
+
+        yield load_arrays_orbax(os.path.join(directory, "arrays.orbax"))
+        return
+    with np.load(os.path.join(directory, "arrays.npz")) as z:
+        yield z
 
 
 def write_npz_streamed(path: str, arrays: dict, fsync: bool = True) -> None:
