@@ -226,12 +226,14 @@ def main():
     ap.add_argument("--true-recall", action="store_true")
     args = ap.parse_args()
     if args.probes <= 0:
-        # measured 1M x 768 bf16 (bf16x2 dots + 2-stage probe_sel): P=2 =
-        # 334.5k QPS @ in-slab recall 0.9977 (r3_ann_bf16_p2_x2ps.json);
-        # P=4 = 308.3k @ 1.0 / true-f32 0.9891. Both clear the >=0.9
-        # target with room — take the throughput for the headline; pass
-        # --probes 4 for the recall-margin point. CRUD churn keeps P=8.
-        args.probes = (2 if args.mode == "ann" else 8) if args.index == "ivf" else 10
+        # the headline measures the LIBRARY defaults (round-2 verdict weak
+        # #1: a headline users don't get by default isn't a headline). IVF
+        # ann resolves to P=4 — the recall-first shipped default: measured
+        # 1M x 768 bf16 (bf16x2 dots + 2-stage probe_sel) 308.3k QPS @
+        # in-slab recall 1.0 / true-f32 0.9891 (r3_ann_bf16_p4_x2ps.json).
+        # The P=2 throughput point (334.5k @ 0.9977, r3_ann_bf16_p2_x2ps
+        # .json) stays one recorded `--probes 2` away. CRUD churn keeps P=8.
+        args.probes = (4 if args.mode == "ann" else 8) if args.index == "ivf" else 10
 
     import jax
     import jax.numpy as jnp
