@@ -220,7 +220,8 @@ def main():
     ap.add_argument("--spare", type=int, default=0)
     #: also write the result JSON to this file (bench_results/ artifacts)
     ap.add_argument("--rerank-dots", default="auto",
-                    choices=["auto", "highest", "bf16x2", "bf16x3", "bf16"])
+                    choices=["auto", "highest", "bf16x2", "bf16x3", "bf16",
+                             "bf16x2f", "bf16x3f"])
     ap.add_argument("--out", default="")
     #: also measure recall against TRUE f32 neighbours (host oracle, ~1min)
     ap.add_argument("--true-recall", action="store_true")

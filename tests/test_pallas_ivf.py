@@ -159,6 +159,45 @@ def test_wave_dots_precision_matches_xla(rng, interp_kernel, dots, dtype):
     )
 
 
+@pytest.mark.parametrize(
+    "pair", [("bf16x2", "bf16x2f", "bfloat16"), ("bf16x3", "bf16x3f", "float32")]
+)
+def test_fused_split_dots_match_multi_issue(rng, interp_kernel, pair):
+    """The fused row-stacked split dots (qhi/qlo as two lhs ROWS of one MXU
+    issue) must reproduce their multi-issue counterparts: same top-k slots,
+    same distances up to f32 summation order (the backend may accumulate a
+    [2, D] x [D, C] dot in a different contraction order than two separate
+    [1, D] dots — observed ~3e-5 relative on the CPU interpreter)."""
+    base, fused, dtype = pair
+    centers = rng.standard_normal((8, 128)).astype(np.float32)
+    n = 1024
+    data = centers[rng.integers(0, 8, n)] + 0.1 * rng.standard_normal(
+        (n, 128)
+    ).astype(np.float32)
+    cents, _ = kmeans(
+        jax.random.PRNGKey(0), jnp.asarray(data), jnp.int32(n), k=16, iters=4,
+        chunk=1024,
+    )
+    dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+    st = ivf.empty_state(cents, cluster_capacity=160, dtype=dt)
+    st, slots = ivf.insert(st, jnp.asarray(data), jnp.int32(n))
+    st = ivf.delete_slots(st, jnp.asarray(np.asarray(slots)[:40].astype(np.int32)))
+    q = jnp.asarray(
+        data[:32] + 0.02 * rng.standard_normal((32, 128)).astype(np.float32)
+    )
+    for metric in ("cosine", "sql2"):
+        da, sa, va = ivf.query(st, q, 10, metric=metric, num_probes=4,
+                               rerank="pallas", rerank_dots=base)
+        db_, sb, vb = ivf.query(st, q, 10, metric=metric, num_probes=4,
+                                rerank="pallas", rerank_dots=fused)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        overlap = np.mean(np.asarray(sa) == np.asarray(sb))
+        assert overlap >= 0.99, f"{metric}: slot overlap {overlap}"
+        np.testing.assert_allclose(
+            np.asarray(da), np.asarray(db_), rtol=2e-4, atol=2e-4
+        )
+
+
 @pytest.mark.parametrize("metric", ["cosine", "l2", "sql2"])
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 def test_wave_v3_aug_matches_xla(rng, metric, dtype):

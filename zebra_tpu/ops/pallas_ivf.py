@@ -49,7 +49,8 @@ _WAVE_BYTES = 4 << 20
 def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
                     has_scales: bool = False, dots: str = "highest"):
     assert P % 2 == 0
-    assert dots in ("highest", "bf16", "bf16x2", "bf16x3")
+    assert dots in ("highest", "bf16", "bf16x2", "bf16x3",
+                    "bf16x2f", "bf16x3f")
 
     def kernel(probes_ref, nrm_ref, val_ref, q_ref, *rest):
         if has_scales:
@@ -60,7 +61,7 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
         qt = q_ref[0]  # [Q, D] (f32; bf16 when dots == "bf16")
         qt32 = qt.astype(jnp.float32)
         qn2 = jnp.sum(qt32 * qt32, axis=1)[:, None]  # [Q, 1]
-        if dots in ("bf16x2", "bf16x3"):
+        if dots in ("bf16x2", "bf16x3", "bf16x2f", "bf16x3f"):
             # split-precision one-pass dots: q = q_hi + q_lo with both halves
             # bf16. Two bf16 MXU passes recover ~16 mantissa bits of the f32
             # query — vs SIX passes for a full f32 HIGHEST dot (the measured
@@ -102,6 +103,11 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
             # Dot precision is the measured kernel bottleneck (abl_aux.py):
             #   highest = 6-pass f32 (exact; the r2/r3 headline path)
             #   bf16x2  = 2-pass split query (~16 query mantissa bits)
+            #   bf16x2f = SAME math as bf16x2 in ONE issue — qhi/qlo ride as
+            #             two lhs ROWS (row tiles pad to 128 anyway), so the
+            #             MXU does half the K-tile passes of bf16x2
+            #   bf16x3f = the 3-term f32-slab dot in 2 issues (both *bh
+            #             terms share one [2, D] lhs)
             #   bf16    = 1-pass, bf16-rounded query (exact PRODUCTS vs a
             #             bf16 slab; only the query wire is rounded)
             dd = (((1,), (1,)), ((), ()))
@@ -126,6 +132,43 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
                         )
                         + jax.lax.dot_general(
                             qlo[qi : qi + 1], b16, dimension_numbers=dd,
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                elif dots == "bf16x2f":
+                    # FUSED split-query dot: qhi/qlo as two ROWS of one lhs.
+                    # Row tiles pad to 128 on the MXU either way, so [2, D]
+                    # costs the same K-tile passes as [1, D] — HALF the MXU
+                    # work of bf16x2's two issues. Same math; distances match
+                    # up to f32 summation order (~1e-5 rel).
+                    b16 = buf[qi].astype(jnp.bfloat16)
+                    qs = jnp.concatenate(
+                        [qhi[qi : qi + 1], qlo[qi : qi + 1]], axis=0
+                    )  # [2, D]
+                    r = jax.lax.dot_general(
+                        qs, b16, dimension_numbers=dd,
+                        preferred_element_type=jnp.float32,
+                    )  # [2, C]
+                    outs.append(r[0:1] + r[1:2])
+                elif dots == "bf16x3f":
+                    # fused 3-term f32-slab dot: the two *bh terms share the
+                    # rhs, so they ride one [2, D] x [D, C] issue; only the
+                    # qhi*bl cross term needs a second issue (2 issues vs 3).
+                    b32 = buf[qi].astype(jnp.float32)
+                    bh = b32.astype(jnp.bfloat16)
+                    bl = (b32 - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+                    qs = jnp.concatenate(
+                        [qhi[qi : qi + 1], qlo[qi : qi + 1]], axis=0
+                    )  # [2, D]
+                    r = jax.lax.dot_general(
+                        qs, bh, dimension_numbers=dd,
+                        preferred_element_type=jnp.float32,
+                    )  # [2, C]
+                    outs.append(
+                        r[0:1]
+                        + r[1:2]
+                        + jax.lax.dot_general(
+                            qhi[qi : qi + 1], bl, dimension_numbers=dd,
                             preferred_element_type=jnp.float32,
                         )
                     )
