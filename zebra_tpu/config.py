@@ -91,15 +91,18 @@ class IndexOptions:
     kmeans_balance_rounds: int = 6
     #: max training-sample rows for k-means (subsampled from the build data).
     kmeans_sample: int = 262144
-    #: IVF wave-kernel dot precision: "auto" = 2-pass split-query bf16
-    #: ("bf16x2") on reduced-precision slabs (bf16/int8 — per-pass products
-    #: are exact there; measured +31% QPS at 1M x 768 over the 6-pass f32
-    #: "highest" with top-10 overlap 0.9999, tools/abl_aux.py) and "bf16x3"
-    #: on f32 slabs (3-pass split of both operands — the dropped qlo*blo
-    #: term is below f32 rounding; 219.5k vs 212.4k QPS at identical
-    #: true-f32 recall 1.0, bench_results/r3_ann_f32_p4_x3.json). Explicit:
-    #: "highest" (exact 6-pass f32) | "bf16x3" | "bf16x2" | "bf16" (1-pass,
-    #: bf16-rounded query wire — fastest, ~0.998 overlap).
+    #: IVF wave-kernel dot precision: "auto" = fused split-query bf16 dot
+    #: ("bf16x2f": qhi/qlo ride as two lhs ROWS of ONE MXU issue) on
+    #: reduced-precision slabs (bf16/int8 — per-pass products are exact
+    #: there; 332.9k vs 319.5k QPS for the 2-issue "bf16x2" and ~+29% over
+    #: the 6-pass f32 "highest", top-10 overlap 0.9999;
+    #: bench_results/r3_sweep_fused_dots.json, tools/abl_aux.py) and
+    #: "bf16x3f" on f32 slabs (3-term split of both operands fused to 2
+    #: issues — the dropped qlo*blo term is below f32 rounding; the x3
+    #: baseline measured 219.5k vs 212.4k at identical true-f32 recall
+    #: 1.0, r3_ann_f32_p4_x3.json). Explicit: "highest" (exact 6-pass f32)
+    #: | "bf16x3[f]" | "bf16x2[f]" | "bf16" (1-pass, bf16-rounded query
+    #: wire — fastest, ~0.998 overlap).
     rerank_dots: str = "auto"
     #: IVF probe selection: "auto"/"fast" = 1-pass bf16 centroid score +
     #: bf16 approx top-2P + exact f32 rescore of the survivors (measured

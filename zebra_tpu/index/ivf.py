@@ -409,16 +409,20 @@ def query(
 
         if rerank_dots == "auto":
             # reduced-precision slabs: per-pass bf16 products are exact, so
-            # the 2-pass split-query dot keeps ranking (overlap 0.9999) at
-            # 1/3 the MXU passes — the measured kernel bottleneck
-            # (tools/abl_aux.py). f32 slabs use the 3-pass split of BOTH
-            # operands (qhi*bhi + qhi*blo + qlo*bhi; the dropped qlo*blo
-            # term is below f32 rounding): measured 219.5k vs 212.4k QPS
-            # for the exact 6-pass HIGHEST dot at identical true-f32 recall
-            # 1.0 (bench_results/r3_ann_f32_p4_x3.json). Pass
+            # the split-query dot keeps ranking (overlap 0.9999) while
+            # cutting MXU passes — the measured kernel bottleneck
+            # (tools/abl_aux.py). "bf16x2f" fuses qhi/qlo as two lhs ROWS
+            # of ONE dot issue (row tiles pad to 128 anyway): measured
+            # 332.9k vs 319.5k QPS for the 2-issue bf16x2 at identical
+            # recall 1.0 (bench_results/r3_sweep_fused_dots.json). f32
+            # slabs use the 3-term split of BOTH operands (qhi*bhi +
+            # qhi*blo + qlo*bhi; the dropped qlo*blo term is below f32
+            # rounding), fused to 2 issues ("bf16x3f"): measured 219.5k
+            # (x3) vs 212.4k QPS for the exact 6-pass HIGHEST dot at
+            # identical true-f32 recall 1.0 (r3_ann_f32_p4_x3.json). Pass
             # rerank_dots="highest" for the bitwise-f32 dot.
             reduced = state.vectors.dtype in (jnp.bfloat16, jnp.int8)
-            rerank_dots_r = "bf16x2" if reduced else "bf16x3"
+            rerank_dots_r = "bf16x2f" if reduced else "bf16x3f"
         else:
             rerank_dots_r = rerank_dots
         dk, ik, vk = ivf_rerank(
