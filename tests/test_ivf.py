@@ -435,3 +435,26 @@ def test_two_stage_probe_selection_parity(rng, metric):
                                     metric=metric, num_probes=4,
                                     probe_sel="fast")
     assert np.asarray(dself)[:, 0].max() < 1e-3
+
+
+def test_query_batch_chunked_matches_unchunked(rng):
+    """batch_chunk splits huge query batches inside ONE jitted program
+    (lax.map) to bound the [B, K] centroid transient; results must equal
+    the unchunked path exactly, including a non-divisible tail."""
+    import jax.numpy as jnp
+
+    from zebra_tpu.index import ivf as V
+
+    data = _data(rng, 2000, 32)
+    idx = IVFIndex(dim=32, metric="cosine", options=_opts(num_probes=4))
+    idx.add(data)
+    q = jnp.asarray(
+        data[:300] + 0.02 * rng.standard_normal((300, 32)).astype(np.float32)
+    )
+    base = V.query(idx.state, q, 5, metric="cosine", num_probes=4,
+                   batch_chunk=300)
+    for chunk in (128, 100):  # 300 = 2x128 + 44 pad; 3x100 exact
+        got = V.query(idx.state, q, 5, metric="cosine", num_probes=4,
+                      batch_chunk=chunk)
+        for a, b in zip(base, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -106,6 +106,16 @@ bench("pallas kernel only (bf16x2 dots)",
                                 nrm, val, metric="cosine", k=10,
                                 dots="bf16x2")[0], overhead=oh)
 
+bench("pallas kernel only (bf16x2f fused)",
+      lambda: pallas_ivf_rerank(st.vectors, st.cluster_capacity, q, probes,
+                                nrm, val, metric="cosine", k=10,
+                                dots="bf16x2f")[0], overhead=oh)
+
+bench("pallas kernel only (bf16 1-pass)",
+      lambda: pallas_ivf_rerank(st.vectors, st.cluster_capacity, q, probes,
+                                nrm, val, metric="cosine", k=10,
+                                dots="bf16")[0], overhead=oh)
+
 bench("full ivf.query (pallas, defaults)",
       lambda: V.query(st, q, 10, metric="cosine", num_probes=P_PROBES,
                       rerank="pallas")[0], overhead=oh)

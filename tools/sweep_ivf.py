@@ -36,7 +36,8 @@ ap.add_argument("--dtype", default="float32")
 ap.add_argument("--clusters", type=int, default=0)
 ap.add_argument("--capacity", type=int, default=0)
 ap.add_argument("--spill", type=int, default=8)
-ap.add_argument("--qbatch", type=int, default=1024)
+ap.add_argument("--qbatch", default="1024",
+                help="comma list of query batch sizes (one build, all sizes)")
 ap.add_argument("--probes", default="4,8,16")
 ap.add_argument("--reranks", default="xla,pallas")
 ap.add_argument("--metric", default="cosine")
@@ -71,14 +72,16 @@ device_sync(idx.state.vectors)
 t_build = time.perf_counter() - t0
 print(f"build: {t_build:.1f}s ({n/t_build:,.0f}/s)  stats={idx.stats()}", flush=True)
 
-qsel = rng.permutation(n)[: args.qbatch]
-queries = data[qsel] + 0.05 * rng.standard_normal((args.qbatch, dim)).astype(np.float32)
-qp = np.zeros((args.qbatch, idx._dev_dim), np.float32)
+qbatches = [int(x) for x in str(args.qbatch).split(",")]
+qmax = max(qbatches)
+qsel = rng.permutation(n)[:qmax]
+queries = data[qsel] + 0.05 * rng.standard_normal((qmax, dim)).astype(np.float32)
+qp = np.zeros((qmax, idx._dev_dim), np.float32)
 qp[:, :dim] = queries
 qj = jnp.asarray(qp)
 
 # ground truth on 256 queries
-nrq = min(256, args.qbatch)
+nrq = min(256, qmax)
 t0 = time.perf_counter()
 db_, sb, vb = V.brute_force(idx.state, qj[:nrq], 10, metric=args.metric)
 device_sync(db_)
@@ -91,44 +94,61 @@ for P in [int(x) for x in args.probes.split(",")]:
     for rr in args.reranks.split(","):
         for dots in args.dots.split(","):
             for psel in args.probe_sels.split(","):
-                t0 = time.perf_counter()
-                d, s, v = V.query(
-                    idx.state, qj, 10, metric=args.metric, num_probes=P,
-                    rerank=rr, rerank_dots=dots, probe_sel=psel,
-                )
-                device_sync(d)
-                t_compile = time.perf_counter() - t0
-                iters = 20
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    d, s, v = V.query(
-                        idx.state, qj, 10, metric=args.metric, num_probes=P,
-                        rerank=rr, rerank_dots=dots, probe_sel=psel,
+                for qb in qbatches:
+                    qjb = qj[:qb]
+                    t0 = time.perf_counter()
+                    try:
+                        d, s, v = V.query(
+                            idx.state, qjb, 10, metric=args.metric,
+                            num_probes=P, rerank=rr, rerank_dots=dots,
+                            probe_sel=psel,
+                        )
+                        device_sync(d)
+                    except Exception as e:  # OOM/compile: record, keep going
+                        msg = str(e).splitlines()[0][:160]
+                        print(f"P={P:3d} dots={dots:7s} qb={qb:6d}: "
+                              f"FAILED {msg}", flush=True)
+                        rows.append(dict(probes=P, rerank=rr, dots=dots,
+                                         probe_sel=psel, qbatch=qb,
+                                         error=msg))
+                        continue
+                    t_compile = time.perf_counter() - t0
+                    iters = max(4, (20 * 1024) // qb)
+                    t0 = time.perf_counter()
+                    for _ in range(iters):
+                        d, s, v = V.query(
+                            idx.state, qjb, 10, metric=args.metric,
+                            num_probes=P, rerank=rr, rerank_dots=dots,
+                            probe_sel=psel,
+                        )
+                    device_sync(d)
+                    qps = qb * iters / (time.perf_counter() - t0)
+                    nrb = min(nrq, qb)
+                    sa, va = np.asarray(s[:nrb]), np.asarray(v[:nrb])
+                    hits = sum(
+                        len(set(sa[i][va[i]].tolist()) & truth[i])
+                        for i in range(nrb)
                     )
-                device_sync(d)
-                qps = args.qbatch * iters / (time.perf_counter() - t0)
-                sa, va = np.asarray(s[:nrq]), np.asarray(v[:nrq])
-                hits = sum(
-                    len(set(sa[i][va[i]].tolist()) & truth[i]) for i in range(nrq)
-                )
-                recall = hits / (nrq * 10)
-                print(
-                    f"P={P:3d} rerank={rr:6s} dots={dots:7s} sel={psel:4s}:"
-                    f" {qps:10,.0f} QPS  recall@10={recall:.4f}"
-                    f"  (compile {t_compile:.0f}s)",
-                    flush=True,
-                )
-                rows.append(dict(
-                    probes=P, rerank=rr, dots=dots, probe_sel=psel,
-                    qps=round(qps, 1), recall_at_10=round(recall, 4),
-                ))
+                    recall = hits / (nrb * 10)
+                    print(
+                        f"P={P:3d} rerank={rr:6s} dots={dots:7s} sel={psel:4s}"
+                        f" qb={qb:6d}: {qps:10,.0f} QPS  recall@10={recall:.4f}"
+                        f"  (compile {t_compile:.0f}s)",
+                        flush=True,
+                    )
+                    rows.append(dict(
+                        probes=P, rerank=rr, dots=dots, probe_sel=psel,
+                        qbatch=qb, qps=round(qps, 1),
+                        recall_at_10=round(recall, 4),
+                    ))
 if args.out:
     import json
 
     with open(args.out, "w") as f:
         json.dump(dict(
             n=n, dim=dim, metric=args.metric, dtype=args.dtype,
-            qbatch=args.qbatch, build_seconds=round(t_build, 1), rows=rows,
+            qbatch=str(args.qbatch), build_seconds=round(t_build, 1),
+            rows=rows,
         ), f, indent=1)
     print(f"wrote {args.out}", flush=True)
 print("sweep done", flush=True)

@@ -314,7 +314,7 @@ def delete_slots(state: IVFState, slots: jnp.ndarray) -> IVFState:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "num_probes", "rerank", "qchunk",
-                     "rerank_dots", "probe_sel"),
+                     "rerank_dots", "probe_sel", "batch_chunk"),
 )
 def query(
     state: IVFState,
@@ -327,6 +327,7 @@ def query(
     qchunk: int = 256,
     rerank_dots: str = "auto",
     probe_sel: str = "auto",
+    batch_chunk: int = 0,
 ):
     """Approximate top-k: score centroids -> top-P blocks -> exact re-rank.
 
@@ -349,6 +350,34 @@ def query(
     K = state.num_clusters
     C = state.cluster_capacity
     P = min(num_probes, K)
+
+    # Huge query batches: the centroid stage materialises [B, K] score
+    # transients (measured OOM: B=65536, K=16384 on a 16GB chip with a
+    # 1M x 768 slab). batch_chunk=0 (auto) splits B so the transient stays
+    # ~<=5GB — ONE dispatch, lax.map loops chunks on-device (the whole
+    # point of big batches here is amortising per-dispatch host overhead,
+    # so a host-side loop would defeat it). Explicit batch_chunk forces a
+    # chunk size; batch_chunk >= B disables.
+    if batch_chunk == 0:
+        nch = max(1, -(-(B * K * 8) // 5_000_000_000))
+        batch_chunk = -(-B // nch)
+    if batch_chunk < B:
+        nch = -(-B // batch_chunk)
+        pad = nch * batch_chunk - B
+        qp = jnp.pad(q, ((0, pad), (0, 0)))
+        qc = qp.reshape(nch, batch_chunk, q.shape[1])
+
+        def _one(qi):
+            return query(
+                state, qi, k, metric=metric, num_probes=num_probes,
+                power=power, rerank=rerank, qchunk=qchunk,
+                rerank_dots=rerank_dots, probe_sel=probe_sel,
+                batch_chunk=batch_chunk,
+            )
+
+        dc, sc_, vc = jax.lax.map(_one, qc)
+        flat = lambda a: a.reshape(nch * batch_chunk, *a.shape[2:])[:B]
+        return flat(dc), flat(sc_), flat(vc)
     q32 = q.astype(jnp.float32)
 
     sel_metric = metric if metric in D.MXU_METRICS else "sql2"
