@@ -49,10 +49,20 @@ def test_pallas_ivf_matches_xla(interp_kernel, ivf_state, rng, metric, num_probe
         data[:16] + 0.02 * rng.standard_normal((16, 128)).astype(np.float32)
     )
     d1, s1, v1 = ivf.query(st, q, 10, metric=metric, num_probes=num_probes, rerank="xla")
-    d2, s2, v2 = ivf.query(st, q, 10, metric=metric, num_probes=num_probes, rerank="pallas")
+    # the exact 6-pass f32 dot must reproduce the XLA path bit-for-bit in
+    # ranking; the default (f32 auto -> split bf16x3f dots, ~1e-4 distance
+    # error) may swap near-ties, so it gets an overlap bound instead
+    d2, s2, v2 = ivf.query(st, q, 10, metric=metric, num_probes=num_probes,
+                           rerank="pallas", rerank_dots="highest")
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=2e-3, atol=2e-3)
+    d3, s3, v3 = ivf.query(st, q, 10, metric=metric, num_probes=num_probes,
+                           rerank="pallas")
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v3))
+    overlap = np.mean(np.asarray(s1) == np.asarray(s3))
+    assert overlap >= 0.97, f"auto split dots overlap {overlap}"
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d3), rtol=5e-3, atol=5e-3)
 
 
 def test_pallas_ivf_underfull(interp_kernel, rng):
@@ -361,3 +371,35 @@ def test_wave_dots_bf16x3_f32_slab(rng, interp_kernel):
     np.testing.assert_allclose(
         np.asarray(dp)[:, 0], np.asarray(dx)[:, 0], rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_tiled_fetch_matches_block_fetch(rng, interp_kernel, dtype):
+    """fetch="tiles" DMAs only the occupied 32-row sub-tiles of each probed
+    block (live rows sit in the prefix [0, counts[c])); results must be
+    IDENTICAL to whole-block fetches — under-full clusters, tombstones and
+    the odd-probe pad column included."""
+    centers = rng.standard_normal((8, 128)).astype(np.float32)
+    n = 1500  # ~47 rows/cluster at k=32, C=128: most blocks 2 of 4 sub-tiles
+    data = centers[rng.integers(0, 8, n)] + 0.1 * rng.standard_normal(
+        (n, 128)
+    ).astype(np.float32)
+    cents, _ = kmeans(
+        jax.random.PRNGKey(0), jnp.asarray(data), jnp.int32(n), k=32, iters=4,
+        chunk=1024,
+    )
+    dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+    st = ivf.empty_state(cents, cluster_capacity=128, dtype=dt)
+    st, slots = ivf.insert(st, jnp.asarray(data), jnp.int32(n))
+    st = ivf.delete_slots(st, jnp.asarray(np.asarray(slots)[:60].astype(np.int32)))
+    q = jnp.asarray(
+        data[:24] + 0.02 * rng.standard_normal((24, 128)).astype(np.float32)
+    )
+    for metric in ("cosine", "sql2"):
+        for P in (3, 4):  # 3 exercises the pad column with tiles=0
+            a = ivf.query(st, q, 10, metric=metric, num_probes=P,
+                          rerank="pallas", rerank_fetch="block")
+            b = ivf.query(st, q, 10, metric=metric, num_probes=P,
+                          rerank="pallas", rerank_fetch="tiles")
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

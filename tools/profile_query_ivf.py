@@ -23,8 +23,9 @@ from zebra_tpu.index.ivf_host import IVFIndex
 from zebra_tpu.ops import distances as D
 from zebra_tpu.ops.pallas_ivf import ivf_rerank, pallas_ivf_rerank
 
-P_PROBES = 2
-n, dim, B = 1_000_000, 768, 1024
+P_PROBES = int(sys.argv[sys.argv.index("--probes") + 1]) if "--probes" in sys.argv else 2
+n, dim = 1_000_000, 768
+B = int(sys.argv[sys.argv.index("--qbatch") + 1]) if "--qbatch" in sys.argv else 1024
 print("devices:", jax.devices(), flush=True)
 data = make_data(n, dim, seed=0)
 idx = IVFIndex(dim=dim, metric="cosine",
@@ -73,9 +74,8 @@ def bench(name, fn, iters=30, overhead=0.0):
 
 @jax.jit
 def score_and_probes(st, q):
-    score = D.pairwise(q, st.centroids, metric="cosine", precision="default")
-    _, probes = jax.lax.approx_max_k(-score, P_PROBES)
-    return probes.astype(jnp.int32)
+    """The SHIPPED two-stage selection (probe_sel='auto')."""
+    return V.select_probes(st, q, P_PROBES, "cosine", "auto")
 
 
 oh = _overhead()
@@ -115,6 +115,11 @@ bench("pallas kernel only (bf16 1-pass)",
       lambda: pallas_ivf_rerank(st.vectors, st.cluster_capacity, q, probes,
                                 nrm, val, metric="cosine", k=10,
                                 dots="bf16")[0], overhead=oh)
+
+_rr = jax.jit(lambda st, q, probes: ivf_rerank(
+    st, q, probes, 10, metric="cosine", wave=1, dots="bf16x2f"))
+bench("ivf_rerank (gathers+kernel+slotmap)",
+      lambda: _rr(st, q, probes)[0], overhead=oh)
 
 bench("full ivf.query (pallas, defaults)",
       lambda: V.query(st, q, 10, metric="cosine", num_probes=P_PROBES,

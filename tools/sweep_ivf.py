@@ -45,6 +45,8 @@ ap.add_argument("--dots", default="auto",
                 help="comma list of rerank_dots: auto,highest,bf16,bf16x2,bf16x3")
 ap.add_argument("--probe-sels", default="auto",
                 help="comma list of probe_sel: auto,f32")
+ap.add_argument("--fetches", default="auto",
+                help="comma list of rerank_fetch: auto,tiles,block")
 ap.add_argument("--out", default="", help="write sweep rows as a JSON artifact")
 args = ap.parse_args()
 
@@ -94,6 +96,7 @@ for P in [int(x) for x in args.probes.split(",")]:
     for rr in args.reranks.split(","):
         for dots in args.dots.split(","):
             for psel in args.probe_sels.split(","):
+              for fetch in args.fetches.split(","):
                 for qb in qbatches:
                     qjb = qj[:qb]
                     t0 = time.perf_counter()
@@ -101,7 +104,7 @@ for P in [int(x) for x in args.probes.split(",")]:
                         d, s, v = V.query(
                             idx.state, qjb, 10, metric=args.metric,
                             num_probes=P, rerank=rr, rerank_dots=dots,
-                            probe_sel=psel,
+                            probe_sel=psel, rerank_fetch=fetch,
                         )
                         device_sync(d)
                     except Exception as e:  # OOM/compile: record, keep going
@@ -109,8 +112,8 @@ for P in [int(x) for x in args.probes.split(",")]:
                         print(f"P={P:3d} dots={dots:7s} qb={qb:6d}: "
                               f"FAILED {msg}", flush=True)
                         rows.append(dict(probes=P, rerank=rr, dots=dots,
-                                         probe_sel=psel, qbatch=qb,
-                                         error=msg))
+                                         probe_sel=psel, fetch=fetch,
+                                         qbatch=qb, error=msg))
                         continue
                     t_compile = time.perf_counter() - t0
                     iters = max(4, (20 * 1024) // qb)
@@ -119,7 +122,7 @@ for P in [int(x) for x in args.probes.split(",")]:
                         d, s, v = V.query(
                             idx.state, qjb, 10, metric=args.metric,
                             num_probes=P, rerank=rr, rerank_dots=dots,
-                            probe_sel=psel,
+                            probe_sel=psel, rerank_fetch=fetch,
                         )
                     device_sync(d)
                     qps = qb * iters / (time.perf_counter() - t0)
@@ -132,13 +135,14 @@ for P in [int(x) for x in args.probes.split(",")]:
                     recall = hits / (nrb * 10)
                     print(
                         f"P={P:3d} rerank={rr:6s} dots={dots:7s} sel={psel:4s}"
-                        f" qb={qb:6d}: {qps:10,.0f} QPS  recall@10={recall:.4f}"
+                        f" fetch={fetch:5s} qb={qb:6d}: {qps:10,.0f} QPS"
+                        f"  recall@10={recall:.4f}"
                         f"  (compile {t_compile:.0f}s)",
                         flush=True,
                     )
                     rows.append(dict(
                         probes=P, rerank=rr, dots=dots, probe_sel=psel,
-                        qbatch=qb, qps=round(qps, 1),
+                        fetch=fetch, qbatch=qb, qps=round(qps, 1),
                         recall_at_10=round(recall, 4),
                     ))
 if args.out:

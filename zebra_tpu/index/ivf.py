@@ -311,10 +311,65 @@ def delete_slots(state: IVFState, slots: jnp.ndarray) -> IVFState:
     return state.replace(valid=state.valid.at[s].set(False, mode="drop"))
 
 
+def select_probes(state: IVFState, q32: jnp.ndarray, P: int,
+                  sel_metric: str, probe_sel: str = "auto") -> jnp.ndarray:
+    """Pick the ``P`` nearest clusters per query -> [B, P] int32.
+
+    "auto"/"fast" (K >= 128, 2P < K): two-stage — stage 1 is one bf16 MXU
+    pass over ALL centroids (exact products of bf16-rounded values; f32
+    accumulate) with the scores cast bf16 so the partial top-k reduction
+    runs on half the bytes, keeping a 2P-wide candidate set; stage 2
+    rescores the 2P survivors in exact f32 (a tiny [B, 2P, D] gather +
+    batched dots) and keeps the true top-P. More faithful than a direct
+    f32 approx top-P (0.999 vs 0.988 probe overlap vs exact) and ~3x
+    cheaper (tools/abl_centroid.py). "f32" = single-stage f32 score +
+    approx_max_k (the round-2/3 path). Traced inline by ``query``;
+    exposed for profiling (tools/profile_query_ivf.py).
+    """
+    K = state.num_clusters
+    two_stage = probe_sel in ("auto", "fast") and K >= 128 and 2 * P < K
+    if two_stage:
+        cb = state.centroids.astype(jnp.bfloat16)
+        dot = jnp.dot(
+            q32.astype(jnp.bfloat16), cb.T, preferred_element_type=jnp.float32
+        )
+        cn2 = jnp.sum(state.centroids * state.centroids, axis=-1)
+        if sel_metric == "cosine":
+            s = dot * jax.lax.rsqrt(jnp.maximum(cn2, 1e-30))[None, :]
+        else:  # l2 / sql2: same argmax ordering
+            s = 2.0 * dot - cn2[None, :]
+        _, cand = jax.lax.approx_max_k(s.astype(jnp.bfloat16), 2 * P)
+        cand = cand.astype(jnp.int32)  # [B, 2P]
+        cg = jnp.take(state.centroids, cand, axis=0)
+        dots = jnp.einsum(
+            "bd,bpd->bp", q32, cg, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        cn2c = jnp.take(cn2, cand, axis=0)
+        if sel_metric == "cosine":
+            fs = dots * jax.lax.rsqrt(jnp.maximum(cn2c, 1e-30))
+        else:
+            fs = 2.0 * dots - cn2c
+        _, ix = jax.lax.top_k(fs, P)
+        return jnp.take_along_axis(cand, ix, axis=1)
+    score = D.pairwise(
+        q32, state.centroids, metric=sel_metric, precision="default"
+    )
+    # approx_max_k: TPU-native partial reduction — probe selection
+    # tolerates its ~0.3% miss rate (a missed 4th-nearest cell, not a
+    # missed neighbour)
+    if K >= 128:
+        _, probes = jax.lax.approx_max_k(-score, P)
+        return probes.astype(jnp.int32)
+    _, probes = jax.lax.top_k(-score, P)  # [B, P] cluster ids
+    return probes
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "num_probes", "rerank", "qchunk",
-                     "rerank_dots", "probe_sel", "batch_chunk"),
+                     "rerank_dots", "probe_sel", "batch_chunk",
+                     "rerank_fetch"),
 )
 def query(
     state: IVFState,
@@ -328,6 +383,7 @@ def query(
     rerank_dots: str = "auto",
     probe_sel: str = "auto",
     batch_chunk: int = 0,
+    rerank_fetch: str = "auto",
 ):
     """Approximate top-k: score centroids -> top-P blocks -> exact re-rank.
 
@@ -372,7 +428,7 @@ def query(
                 state, qi, k, metric=metric, num_probes=num_probes,
                 power=power, rerank=rerank, qchunk=qchunk,
                 rerank_dots=rerank_dots, probe_sel=probe_sel,
-                batch_chunk=batch_chunk,
+                batch_chunk=batch_chunk, rerank_fetch=rerank_fetch,
             )
 
         dc, sc_, vc = jax.lax.map(_one, qc)
@@ -381,50 +437,7 @@ def query(
     q32 = q.astype(jnp.float32)
 
     sel_metric = metric if metric in D.MXU_METRICS else "sql2"
-    two_stage = probe_sel in ("auto", "fast") and K >= 128 and 2 * P < K
-    if two_stage:
-        # stage 1: cheap wide selection. One bf16 MXU pass (exact products
-        # of bf16-rounded values; f32 accumulate), scores cast bf16 so the
-        # partial top-k reduction runs on half the bytes.
-        cb = state.centroids.astype(jnp.bfloat16)
-        dot = jnp.dot(
-            q32.astype(jnp.bfloat16), cb.T, preferred_element_type=jnp.float32
-        )
-        cn2 = jnp.sum(state.centroids * state.centroids, axis=-1)
-        if sel_metric == "cosine":
-            s = dot * jax.lax.rsqrt(jnp.maximum(cn2, 1e-30))[None, :]
-        elif sel_metric == "l2":
-            s = 2.0 * dot - cn2[None, :]
-        else:  # sql2
-            s = 2.0 * dot - cn2[None, :]
-        _, cand = jax.lax.approx_max_k(s.astype(jnp.bfloat16), 2 * P)
-        cand = cand.astype(jnp.int32)  # [B, 2P]
-        # stage 2: exact f32 rescore of the 2P survivors, keep the true
-        # top-P. Tiny: a [B, 2P, D] gather + batched dots.
-        cg = jnp.take(state.centroids, cand, axis=0)
-        dots = jnp.einsum(
-            "bd,bpd->bp", q32, cg, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        cn2c = jnp.take(cn2, cand, axis=0)
-        if sel_metric == "cosine":
-            fs = dots * jax.lax.rsqrt(jnp.maximum(cn2c, 1e-30))
-        else:
-            fs = 2.0 * dots - cn2c
-        _, ix = jax.lax.top_k(fs, P)
-        probes = jnp.take_along_axis(cand, ix, axis=1)
-    else:
-        score = D.pairwise(
-            q32, state.centroids, metric=sel_metric, precision="default"
-        )
-        # approx_max_k: TPU-native partial reduction — probe selection
-        # tolerates its ~0.3% miss rate (a missed 4th-nearest cell, not a
-        # missed neighbour)
-        if K >= 128:
-            _, probes = jax.lax.approx_max_k(-score, P)
-            probes = probes.astype(jnp.int32)
-        else:
-            _, probes = jax.lax.top_k(-score, P)  # [B, P] cluster ids
+    probes = select_probes(state, q32, P, sel_metric, probe_sel)
 
     if (
         rerank in ("pallas", "pallas2")
@@ -457,6 +470,7 @@ def query(
         dk, ik, vk = ivf_rerank(
             state, q32, probes.astype(jnp.int32), k, metric=metric,
             wave=2 if rerank == "pallas2" else 1, dots=rerank_dots_r,
+            fetch=rerank_fetch,
         )
         return _merge_spare(state, q32, dk, ik, vk, k, metric, power)
 

@@ -46,13 +46,52 @@ AUG = 128  # augmentation lanes appended to the stored dim (Mosaic lane unit)
 _WAVE_BYTES = 4 << 20
 
 
+def _split_bf16(x32):
+    """Fold-proof f32 -> (hi, lo) bf16 split: ``x ~= hi + lo``.
+
+    The naive split ``lo = (x - f32(bf16(x))).astype(bf16)`` MISCOMPILES to
+    zero under XLA: the algebraic simplifier folds the value-changing
+    ``convert_f32(convert_bf16(x))`` round-trip to ``x`` (reproduced on the
+    CPU backend: every split-dot correction term vanished, caught by
+    test_pallas_ivf_matches_xla once f32 'auto' used split dots; Mosaic on
+    real TPU did NOT fold — the recall gains were real there — but the
+    kernels also run under plain XLA in interpret mode and tests).
+    Masking the low 16 mantissa bits via integer bitcast produces the SAME
+    quality split (hi = bf16-truncated x, exactly representable; lo = the
+    rounded residual, ~16 total mantissa bits) with no convert pair for the
+    simplifier to fold. The masked value keeps x's exponent, so no denormal
+    is created (this TPU flushes f32 denormals).
+    """
+    bits = jax.lax.bitcast_convert_type(x32, jnp.uint32)
+    hi32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    return hi32.astype(jnp.bfloat16), (x32 - hi32).astype(jnp.bfloat16)
+
+
 def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
-                    has_scales: bool = False, dots: str = "highest"):
+                    has_scales: bool = False, dots: str = "highest",
+                    Ct: int = 0):
     assert P % 2 == 0
     assert dots in ("highest", "bf16", "bf16x2", "bf16x3",
                     "bf16x2f", "bf16x3f")
+    # Ct > 0: tiled fetch — clusters allocate rows as a contiguous prefix
+    # [0, counts[c]) of their block (tombstones keep their slot), so the
+    # kernel only DMAs the occupied Ct-row sub-tiles (tiles_ref holds
+    # ceil(count/Ct) per (query, probe)). At the 1M x 768 defaults clusters
+    # average ~48% fill, so whole-block fetches waste ~half the HBM
+    # bandwidth the kernel is bound by at large batches. Sub-tiles left
+    # unfetched hold stale VMEM garbage; `val` masks those rows (unallocated
+    # rows are valid=0), so results are unchanged.
+    n_tiles = C // Ct if Ct else 0
+    assert Ct == 0 or C % Ct == 0
 
-    def kernel(probes_ref, nrm_ref, val_ref, q_ref, *rest):
+    def kernel(probes_ref, *rest):
+        tiles_ref = None
+        if Ct:
+            tiles_ref, rest = rest[0], rest[1:]
+        nrm_ref, val_ref, q_ref = rest[:3]
+        rest = rest[3:]
         if has_scales:
             sc_ref, vec_ref, outd_ref, outp_ref, buf0, buf1, sem0, sem1 = rest
         else:
@@ -70,8 +109,7 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
             # bf16x3 (f32 slabs) additionally splits the BLOCK and adds the
             # qhi*blo + qlo*bhi cross terms — the classic 3-pass f32 dot
             # (the dropped qlo*blo term is below f32 rounding).
-            qhi = qt32.astype(jnp.bfloat16)
-            qlo = (qt32 - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            qhi, qlo = _split_bf16(qt32)
 
         def wave_dma(buf, sem, p, qi):
             c = probes_ref[0, qi, p]
@@ -81,16 +119,38 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
                 sem.at[qi],
             )
 
+        def subtile_dma(buf, sem, p, qi, ti):
+            c = probes_ref[0, qi, p]
+            return pltpu.make_async_copy(
+                vec_ref.at[pl.ds(c * C + ti * Ct, Ct), :],
+                buf.at[qi, pl.ds(ti * Ct, Ct), :],
+                sem.at[qi, ti],
+            )
+
         def start_wave(buf, sem, p):
             def body(qi, _):
-                wave_dma(buf, sem, p, qi).start()
+                if Ct:
+                    def tb(ti, _):
+                        subtile_dma(buf, sem, p, qi, ti).start()
+                        return 0
+
+                    jax.lax.fori_loop(0, tiles_ref[0, qi, p], tb, 0)
+                else:
+                    wave_dma(buf, sem, p, qi).start()
                 return 0
 
             jax.lax.fori_loop(0, Q, body, 0)
 
         def wait_compute(buf, sem, p):
             def body(qi, _):
-                wave_dma(buf, sem, p, qi).wait()
+                if Ct:
+                    def tb(ti, _):
+                        subtile_dma(buf, sem, p, qi, ti).wait()
+                        return 0
+
+                    jax.lax.fori_loop(0, tiles_ref[0, qi, p], tb, 0)
+                else:
+                    wave_dma(buf, sem, p, qi).wait()
                 return 0
 
             jax.lax.fori_loop(0, Q, body, 0)
@@ -155,8 +215,7 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
                     # rhs, so they ride one [2, D] x [D, C] issue; only the
                     # qhi*bl cross term needs a second issue (2 issues vs 3).
                     b32 = buf[qi].astype(jnp.float32)
-                    bh = b32.astype(jnp.bfloat16)
-                    bl = (b32 - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+                    bh, bl = _split_bf16(b32)
                     qs = jnp.concatenate(
                         [qhi[qi : qi + 1], qlo[qi : qi + 1]], axis=0
                     )  # [2, D]
@@ -174,8 +233,7 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
                     )
                 elif dots == "bf16x3":
                     b32 = buf[qi].astype(jnp.float32)
-                    bh = b32.astype(jnp.bfloat16)
-                    bl = (b32 - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+                    bh, bl = _split_bf16(b32)
                     outs.append(
                         jax.lax.dot_general(
                             qhi[qi : qi + 1], bh, dimension_numbers=dd,
@@ -693,7 +751,8 @@ def _query_tile(C: int, D: int, itemsize: int) -> int:
 )
 def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_valid,
                       metric: str = "cosine", k: int = 10, interpret: bool = False,
-                      cand_scales=None, wave: int = 1, dots: str = "highest"):
+                      cand_scales=None, wave: int = 1, dots: str = "highest",
+                      cand_tiles=None):
     """Fused IVF block re-rank.
 
     Args:
@@ -732,7 +791,15 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
         cand_valid = jnp.pad(cand_valid, ((0, padB), (0, 0), (0, 0)))
         if cand_scales is not None:
             cand_scales = jnp.pad(cand_scales, ((0, padB), (0, 0), (0, 0)))
+        if cand_tiles is not None:
+            cand_tiles = jnp.pad(cand_tiles, ((0, padB), (0, 0)))
     Bp = B + padB
+
+    # tiled fetch (see _kernel_factory Ct note): only meaningful for the
+    # wave-1 kernel; 32-row sub-tiles satisfy every dtype's sublane unit
+    # (f32/bf16 8, int8 32). C <= 32 has nothing to skip.
+    Ct = 32 if (cand_tiles is not None and wave == 1
+                and C % 32 == 0 and C > 32) else 0
 
     reduced = vectors.dtype in (jnp.bfloat16, jnp.int8)
     if wave == 2:
@@ -742,7 +809,8 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
         )
     else:
         kernel = _kernel_factory(metric, Q, P, C, D, k,
-                                 has_scales=cand_scales is not None, dots=dots)
+                                 has_scales=cand_scales is not None, dots=dots,
+                                 Ct=Ct)
     probes4 = probes.reshape(Bp // Q, Q, P)
     # flatten the probe axis OUTSIDE the kernel (XLA reshapes are free;
     # in-kernel lane merges are not Mosaic-safe at every width)
@@ -764,6 +832,10 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
         pl.BlockSpec((1, Q, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
     inputs = [probes4, nrm4, val4, q3]
+    if Ct:
+        in_specs.insert(1, pl.BlockSpec((1, Q, P), lambda b: (b, 0, 0),
+                                        memory_space=pltpu.SMEM))
+        inputs.insert(1, cand_tiles.astype(jnp.int32).reshape(Bp // Q, Q, P))
     if cand_scales is not None:
         in_specs.append(
             pl.BlockSpec((1, Q, P * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
@@ -787,8 +859,8 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
         scratch_shapes=[
             pltpu.VMEM((Q, C, D), vectors.dtype),
             pltpu.VMEM((Q, C, D), vectors.dtype),
-            pltpu.SemaphoreType.DMA((Q,)),
-            pltpu.SemaphoreType.DMA((Q,)),
+            pltpu.SemaphoreType.DMA((Q, C // Ct) if Ct else (Q,)),
+            pltpu.SemaphoreType.DMA((Q, C // Ct) if Ct else (Q,)),
         ],
         interpret=interpret,
     )(*inputs)
@@ -801,15 +873,30 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
 
 
 def ivf_rerank(state, q32, probes, k, metric: str = "cosine", wave: int = 1,
-               dots: str = "highest"):
+               dots: str = "highest", fetch: str = "auto"):
     """Adapter used by :func:`zebra_tpu.index.ivf.query`: gathers the probed
     blocks' norms/validity (tiny [B, P, C] f32 arrays), pads the probe axis to
-    an even width, runs the kernel, and maps positions -> slab slots."""
+    an even width, runs the kernel, and maps positions -> slab slots.
+
+    fetch: "auto"/"tiles" = DMA only the occupied 32-row sub-tiles of each
+    probed block (rows live in the prefix [0, counts[c]); at ~48% average
+    fill this halves the HBM traffic the kernel is bound by at large
+    batches). "block" = whole-block DMAs (the r2/r3 path).
+    """
     C = state.cluster_capacity
     B, P = probes.shape
+    cand_tiles = None
+    if fetch in ("auto", "tiles") and wave == 1:
+        Kc = state.num_clusters
+        cnt = jnp.take(
+            jax.lax.slice(state.counts, (0,), (Kc,)), probes, axis=0
+        )  # [B, P] allocated rows per probed block
+        cand_tiles = (cnt + 31) // 32
     pad = P % 2
     if pad:
         probes = jnp.pad(probes, ((0, 0), (0, 1)))
+        if cand_tiles is not None:  # masked pad probe: fetch nothing
+            cand_tiles = jnp.pad(cand_tiles, ((0, 0), (0, 1)))
 
     # row gathers on a [K, C] view (the spare tail is sliced off first):
     # measured 10x cheaper than vmapped per-(query, probe) dynamic slices
@@ -831,6 +918,7 @@ def ivf_rerank(state, q32, probes, k, metric: str = "cosine", wave: int = 1,
     d, pos = pallas_ivf_rerank(
         state.vectors, C, q32, probes.astype(jnp.int32), nrm, val,
         metric=metric, k=k, cand_scales=sc, wave=wave, dots=dots,
+        cand_tiles=cand_tiles,
     )
     valid = pos >= 0
     posc = jnp.clip(pos, 0, probes.shape[1] * C - 1)
