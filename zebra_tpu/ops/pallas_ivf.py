@@ -878,14 +878,21 @@ def ivf_rerank(state, q32, probes, k, metric: str = "cosine", wave: int = 1,
     blocks' norms/validity (tiny [B, P, C] f32 arrays), pads the probe axis to
     an even width, runs the kernel, and maps positions -> slab slots.
 
-    fetch: "auto"/"tiles" = DMA only the occupied 32-row sub-tiles of each
-    probed block (rows live in the prefix [0, counts[c]); at ~48% average
-    fill this halves the HBM traffic the kernel is bound by at large
-    batches). "block" = whole-block DMAs (the r2/r3 path).
+    fetch: "tiles" = DMA only the occupied 32-row sub-tiles of each probed
+    block (rows live in the prefix [0, counts[c]); at ~48% average fill
+    this halves the HBM traffic the kernel is bound by at large batches —
+    measured +14-34% QPS on bf16 at identical recall,
+    bench_results/r3_sweep_tiled_fetch.json). "block" = whole-block DMAs
+    (the r2/r3 path). "auto" = tiles for f32/bf16 slabs, block for int8:
+    int8 sub-tiles are only ~24KB and the extra per-DMA overhead outweighs
+    the traffic saving (measured 1.019M vs 1.073M QPS at P=2/65k batch,
+    r3_sweep_int8_tiles.json — a recorded negative result).
     """
     C = state.cluster_capacity
     B, P = probes.shape
     cand_tiles = None
+    if fetch == "auto" and state.vectors.dtype == jnp.int8:
+        fetch = "block"
     if fetch in ("auto", "tiles") and wave == 1:
         Kc = state.num_clusters
         cnt = jnp.take(
