@@ -883,15 +883,17 @@ def ivf_rerank(state, q32, probes, k, metric: str = "cosine", wave: int = 1,
     this halves the HBM traffic the kernel is bound by at large batches —
     measured +14-34% QPS on bf16 at identical recall,
     bench_results/r3_sweep_tiled_fetch.json). "block" = whole-block DMAs
-    (the r2/r3 path). "auto" = tiles for f32/bf16 slabs, block for int8:
-    int8 sub-tiles are only ~24KB and the extra per-DMA overhead outweighs
-    the traffic saving (measured 1.019M vs 1.073M QPS at P=2/65k batch,
-    r3_sweep_int8_tiles.json — a recorded negative result).
+    (the r2/r3 path). "auto" = tiles only when a 32-row sub-tile is >= 32KB
+    (row bytes >= 1KB: f32 dim >= 256, bf16 dim >= 512): below that, per-DMA
+    overhead outweighs the ~2x traffic saving — measured on int8 x 768
+    (24KB sub-tiles: 1.019M vs 1.073M QPS, r3_sweep_int8_tiles.json) and
+    bf16 x 128 (8KB: 1.325M vs 1.653M at P=2/65k, r3_sweep_sift_tiles.json)
+    vs bf16 x 768 (48KB: tiles +14-34%, r3_sweep_tiled_fetch.json).
     """
     C = state.cluster_capacity
     B, P = probes.shape
     cand_tiles = None
-    if fetch == "auto" and state.vectors.dtype == jnp.int8:
+    if fetch == "auto" and 32 * state.dim * state.vectors.dtype.itemsize < 32768:
         fetch = "block"
     if fetch in ("auto", "tiles") and wave == 1:
         Kc = state.num_clusters
