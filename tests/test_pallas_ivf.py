@@ -399,7 +399,8 @@ def test_tiled_fetch_matches_block_fetch(rng, interp_kernel, dtype):
         for P in (3, 4):  # 3 exercises the pad column with tiles=0
             a = ivf.query(st, q, 10, metric=metric, num_probes=P,
                           rerank="pallas", rerank_fetch="block")
-            b = ivf.query(st, q, 10, metric=metric, num_probes=P,
-                          rerank="pallas", rerank_fetch="tiles")
-            for x, y in zip(a, b):
-                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+            for fetch in ("tiles", "switch"):
+                b = ivf.query(st, q, 10, metric=metric, num_probes=P,
+                              rerank="pallas", rerank_fetch=fetch)
+                for x, y in zip(a, b):
+                    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

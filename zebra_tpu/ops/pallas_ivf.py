@@ -71,18 +71,23 @@ def _split_bf16(x32):
 
 def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
                     has_scales: bool = False, dots: str = "highest",
-                    Ct: int = 0):
+                    Ct: int = 0, switch_fetch: bool = False):
     assert P % 2 == 0
     assert dots in ("highest", "bf16", "bf16x2", "bf16x3",
                     "bf16x2f", "bf16x3f")
-    # Ct > 0: tiled fetch — clusters allocate rows as a contiguous prefix
+    # Ct > 0: partial fetch — clusters allocate rows as a contiguous prefix
     # [0, counts[c]) of their block (tombstones keep their slot), so the
     # kernel only DMAs the occupied Ct-row sub-tiles (tiles_ref holds
     # ceil(count/Ct) per (query, probe)). At the 1M x 768 defaults clusters
     # average ~48% fill, so whole-block fetches waste ~half the HBM
-    # bandwidth the kernel is bound by at large batches. Sub-tiles left
-    # unfetched hold stale VMEM garbage; `val` masks those rows (unallocated
-    # rows are valid=0), so results are unchanged.
+    # bandwidth the kernel is bound by at large batches. Two flavours:
+    #   tiles  (switch_fetch=False): t separate Ct-row DMAs per probe
+    #   switch (switch_fetch=True):  ONE DMA per probe whose STATIC size is
+    #          picked by lax.switch over t — same exact traffic as tiles
+    #          with the per-probe DMA count of block (DMA descriptors are
+    #          scalar-core work that scales with Q*P*t)
+    # Rows left unfetched hold stale VMEM garbage; `val` masks those rows
+    # (unallocated rows are valid=0), so results are unchanged.
     n_tiles = C // Ct if Ct else 0
     assert Ct == 0 or C % Ct == 0
 
@@ -127,9 +132,38 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
                 sem.at[qi, ti],
             )
 
+        def sized_dma(buf, sem, p, qi, rows):
+            c = probes_ref[0, qi, p]
+            return pltpu.make_async_copy(
+                vec_ref.at[pl.ds(c * C, rows), :],
+                buf.at[qi, pl.ds(0, rows), :],
+                sem.at[qi],
+            )
+
+        def switch_on_t(buf, sem, p, qi, op):
+            # ONE static-size DMA chosen by the occupied-tile count; branch
+            # 0 = empty block, no DMA (val masks the whole block).
+            t = tiles_ref[0, qi, p]
+
+            def mk(rows):
+                def br(_):
+                    getattr(sized_dma(buf, sem, p, qi, rows), op)()
+                    return jnp.int32(0)
+
+                return br
+
+            jax.lax.switch(
+                jnp.clip(t, 0, n_tiles),
+                [lambda _: jnp.int32(0)]
+                + [mk(Ct * k) for k in range(1, n_tiles + 1)],
+                0,
+            )
+
         def start_wave(buf, sem, p):
             def body(qi, _):
-                if Ct:
+                if switch_fetch:
+                    switch_on_t(buf, sem, p, qi, "start")
+                elif Ct:
                     def tb(ti, _):
                         subtile_dma(buf, sem, p, qi, ti).start()
                         return 0
@@ -143,7 +177,9 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
 
         def wait_compute(buf, sem, p):
             def body(qi, _):
-                if Ct:
+                if switch_fetch:
+                    switch_on_t(buf, sem, p, qi, "wait")
+                elif Ct:
                     def tb(ti, _):
                         subtile_dma(buf, sem, p, qi, ti).wait()
                         return 0
@@ -747,12 +783,12 @@ def _query_tile(C: int, D: int, itemsize: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("cluster_capacity", "metric", "k", "interpret", "wave",
-                     "dots"),
+                     "dots", "fetch_kind"),
 )
 def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_valid,
                       metric: str = "cosine", k: int = 10, interpret: bool = False,
                       cand_scales=None, wave: int = 1, dots: str = "highest",
-                      cand_tiles=None):
+                      cand_tiles=None, fetch_kind: str = ""):
     """Fused IVF block re-rank.
 
     Args:
@@ -764,6 +800,11 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
       cand_norms: ``[B, P, C]`` f32 squared norms of the probed blocks.
       cand_valid: ``[B, P, C]`` f32 (1.0 live / 0.0 masked).
       k: top-k (<= 128).
+      cand_tiles: optional ``[B, P]`` int32 occupied 32-row sub-tile counts
+        (ceil(counts[c]/32)); enables partial fetch.
+      fetch_kind: "tiles" (t sub-tile DMAs/probe) or "switch" (one
+        static-size DMA/probe via lax.switch); default "tiles" whenever
+        cand_tiles is given.
 
     Returns:
       ``(dists [B, k], pos [B, k])`` — ``pos`` indexes the flattened [P*C]
@@ -795,11 +836,12 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
             cand_tiles = jnp.pad(cand_tiles, ((0, padB), (0, 0)))
     Bp = B + padB
 
-    # tiled fetch (see _kernel_factory Ct note): only meaningful for the
+    # partial fetch (see _kernel_factory Ct note): only meaningful for the
     # wave-1 kernel; 32-row sub-tiles satisfy every dtype's sublane unit
     # (f32/bf16 8, int8 32). C <= 32 has nothing to skip.
     Ct = 32 if (cand_tiles is not None and wave == 1
                 and C % 32 == 0 and C > 32) else 0
+    switch_fetch = bool(Ct) and fetch_kind == "switch"
 
     reduced = vectors.dtype in (jnp.bfloat16, jnp.int8)
     if wave == 2:
@@ -810,7 +852,7 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
     else:
         kernel = _kernel_factory(metric, Q, P, C, D, k,
                                  has_scales=cand_scales is not None, dots=dots,
-                                 Ct=Ct)
+                                 Ct=Ct, switch_fetch=switch_fetch)
     probes4 = probes.reshape(Bp // Q, Q, P)
     # flatten the probe axis OUTSIDE the kernel (XLA reshapes are free;
     # in-kernel lane merges are not Mosaic-safe at every width)
@@ -859,8 +901,12 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
         scratch_shapes=[
             pltpu.VMEM((Q, C, D), vectors.dtype),
             pltpu.VMEM((Q, C, D), vectors.dtype),
-            pltpu.SemaphoreType.DMA((Q, C // Ct) if Ct else (Q,)),
-            pltpu.SemaphoreType.DMA((Q, C // Ct) if Ct else (Q,)),
+            pltpu.SemaphoreType.DMA(
+                (Q, C // Ct) if Ct and not switch_fetch else (Q,)
+            ),
+            pltpu.SemaphoreType.DMA(
+                (Q, C // Ct) if Ct and not switch_fetch else (Q,)
+            ),
         ],
         interpret=interpret,
     )(*inputs)
@@ -895,7 +941,7 @@ def ivf_rerank(state, q32, probes, k, metric: str = "cosine", wave: int = 1,
     cand_tiles = None
     if fetch == "auto" and 32 * state.dim * state.vectors.dtype.itemsize < 32768:
         fetch = "block"
-    if fetch in ("auto", "tiles") and wave == 1:
+    if fetch in ("auto", "tiles", "switch") and wave == 1:
         Kc = state.num_clusters
         cnt = jnp.take(
             jax.lax.slice(state.counts, (0,), (Kc,)), probes, axis=0
@@ -927,7 +973,7 @@ def ivf_rerank(state, q32, probes, k, metric: str = "cosine", wave: int = 1,
     d, pos = pallas_ivf_rerank(
         state.vectors, C, q32, probes.astype(jnp.int32), nrm, val,
         metric=metric, k=k, cand_scales=sc, wave=wave, dots=dots,
-        cand_tiles=cand_tiles,
+        cand_tiles=cand_tiles, fetch_kind=fetch,
     )
     valid = pos >= 0
     posc = jnp.clip(pos, 0, probes.shape[1] * C - 1)
