@@ -203,6 +203,11 @@ def main():
     #: bf16 slab: halves DMA traffic and wire bytes; re-rank math stays f32
     #: (measured 1M x 768: P=4 267.8k QPS @ recall 0.9984; P=2 344k @ 0.9953)
     ap.add_argument("--dtype", choices=["float32", "bfloat16", "int8"], default="bfloat16")
+    #: int8 residual refinement (dtype=int8 only): oversample factor N > 1
+    #: stores the second int8 residual slab and exactly re-ranks N*k
+    #: candidates — int8 scan bandwidth with ~f32-grade TRUE recall
+    #: (plain int8 truth recall is ~0.954 at 1M x 768). 0 = off.
+    ap.add_argument("--refine", type=int, default=0)
     # 10 tables x 8 probes: +40% QPS over the reference-parity 15 tables at
     # recall@10 ~0.98 on 200k clustered (tools/sweep2.py)
     ap.add_argument("--tables", type=int, default=10)
@@ -275,15 +280,21 @@ def main():
             num_clusters=args.clusters,
             cluster_capacity=args.ccap,
             spare_capacity=args.spare,
+            refine=args.refine,
             seed=args.seed,
         ),
     )
 
     if args.index == "ivf":
         def query_fn(qq, k):
+            rk = (
+                int(min(max(args.refine * k, k + 16), 1024))
+                if args.refine > 0 and args.dtype == "int8" else 0
+            )
             return IV.query(
                 idx.state, qq, k, metric=args.metric, num_probes=args.probes,
                 rerank=args.rerank, rerank_dots=args.rerank_dots,
+                refine_k=rk,
             )
         def brute_fn(qq, k):
             return IV.brute_force(idx.state, qq, k, metric=args.metric)

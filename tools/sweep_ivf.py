@@ -47,6 +47,10 @@ ap.add_argument("--probe-sels", default="auto",
                 help="comma list of probe_sel: auto,f32")
 ap.add_argument("--fetches", default="auto",
                 help="comma list of rerank_fetch: auto,tiles,block")
+ap.add_argument("--refine", type=int, default=0,
+                help="int8 residual refinement oversample factor (0 = off)")
+ap.add_argument("--true-recall", action="store_true",
+                help="also score each config vs TRUE f32 neighbours (host oracle)")
 ap.add_argument("--out", default="", help="write sweep rows as a JSON artifact")
 args = ap.parse_args()
 
@@ -65,11 +69,12 @@ idx = IVFIndex(
         cluster_capacity=args.capacity,
         spill=args.spill,
         dtype=args.dtype,
+        refine=args.refine,
         seed=0,
     ),
 )
 t0 = time.perf_counter()
-idx.add(data)
+ids_list = idx.add(data)
 device_sync(idx.state.vectors)
 t_build = time.perf_counter() - t0
 print(f"build: {t_build:.1f}s ({n/t_build:,.0f}/s)  stats={idx.stats()}", flush=True)
@@ -91,6 +96,28 @@ sb, vb = np.asarray(sb), np.asarray(vb)
 truth = [set(sb[i][vb[i]].tolist()) for i in range(nrq)]
 print(f"brute truth: {time.perf_counter()-t0:.1f}s", flush=True)
 
+# optional TRUE f32 oracle (host-side): the in-slab brute force shares the
+# slab's quantisation, so it cannot see quantisation-induced recall loss —
+# this is the number the int8 refine tier exists to move.
+truth_rows = None
+if args.true_recall:
+    t0 = time.perf_counter()
+    qh = queries[:nrq]
+    if args.metric == "cosine":
+        dn = data / np.maximum(np.linalg.norm(data, axis=1, keepdims=True), 1e-30)
+        qn2 = qh / np.maximum(np.linalg.norm(qh, axis=1, keepdims=True), 1e-30)
+        sim = qn2 @ dn.T
+        tr = np.argpartition(-sim, 10, axis=1)[:, :10]
+    else:
+        d2 = (
+            np.sum(qh * qh, 1)[:, None] - 2.0 * (qh @ data.T)
+            + np.sum(data * data, 1)[None, :]
+        )
+        tr = np.argpartition(d2, 10, axis=1)[:, :10]
+    truth_rows = [set(tr[i].tolist()) for i in range(nrq)]
+    row_of_id = {i: r for r, i in enumerate(ids_list)}
+    print(f"f32 truth oracle: {time.perf_counter()-t0:.1f}s", flush=True)
+
 rows = []
 for P in [int(x) for x in args.probes.split(",")]:
     for rr in args.reranks.split(","):
@@ -99,12 +126,16 @@ for P in [int(x) for x in args.probes.split(",")]:
               for fetch in args.fetches.split(","):
                 for qb in qbatches:
                     qjb = qj[:qb]
+                    rk = (
+                        int(min(max(args.refine * 10, 26), 1024))
+                        if args.refine > 0 and args.dtype == "int8" else 0
+                    )
                     t0 = time.perf_counter()
                     try:
                         d, s, v = V.query(
                             idx.state, qjb, 10, metric=args.metric,
                             num_probes=P, rerank=rr, rerank_dots=dots,
-                            probe_sel=psel, rerank_fetch=fetch,
+                            probe_sel=psel, rerank_fetch=fetch, refine_k=rk,
                         )
                         device_sync(d)
                     except Exception as e:  # OOM/compile: record, keep going
@@ -122,7 +153,7 @@ for P in [int(x) for x in args.probes.split(",")]:
                         d, s, v = V.query(
                             idx.state, qjb, 10, metric=args.metric,
                             num_probes=P, rerank=rr, rerank_dots=dots,
-                            probe_sel=psel, rerank_fetch=fetch,
+                            probe_sel=psel, rerank_fetch=fetch, refine_k=rk,
                         )
                     device_sync(d)
                     qps = qb * iters / (time.perf_counter() - t0)
@@ -133,17 +164,32 @@ for P in [int(x) for x in args.probes.split(",")]:
                         for i in range(nrb)
                     )
                     recall = hits / (nrb * 10)
+                    t_rec = None
+                    if truth_rows is not None:
+                        t_hits = 0
+                        for i in range(nrb):
+                            got = idx._slot_ids.take_list(
+                                sa[i][va[i]].astype(np.int64)
+                            )
+                            t_hits += len(
+                                {row_of_id[g] for g in got if g in row_of_id}
+                                & truth_rows[i]
+                            )
+                        t_rec = t_hits / (nrb * 10)
                     print(
                         f"P={P:3d} rerank={rr:6s} dots={dots:7s} sel={psel:4s}"
                         f" fetch={fetch:5s} qb={qb:6d}: {qps:10,.0f} QPS"
                         f"  recall@10={recall:.4f}"
-                        f"  (compile {t_compile:.0f}s)",
+                        + (f"  truth={t_rec:.4f}" if t_rec is not None else "")
+                        + f"  (compile {t_compile:.0f}s)",
                         flush=True,
                     )
                     rows.append(dict(
                         probes=P, rerank=rr, dots=dots, probe_sel=psel,
                         fetch=fetch, qbatch=qb, qps=round(qps, 1),
                         recall_at_10=round(recall, 4),
+                        **({"recall_vs_f32_truth": round(t_rec, 4)}
+                           if t_rec is not None else {}),
                     ))
 if args.out:
     import json
@@ -151,6 +197,7 @@ if args.out:
     with open(args.out, "w") as f:
         json.dump(dict(
             n=n, dim=dim, metric=args.metric, dtype=args.dtype,
+            refine=args.refine,
             qbatch=str(args.qbatch), build_seconds=round(t_build, 1),
             rows=rows,
         ), f, indent=1)

@@ -391,8 +391,13 @@ class BaseVectorIndex:
     def _wire_dtype(self):
         """Host->device staging dtype: bf16 AND int8 slabs ship bf16 (half
         the wire bytes on slow links — int8 quantisation happens on device
-        from the bf16 batch); f32 slabs must ship exact f32."""
-        if self.options.dtype in ("bfloat16", "int8"):
+        from the bf16 batch); f32 slabs must ship exact f32. Refined int8
+        (``options.refine > 0``) also ships f32: the residual slab can only
+        capture precision the wire delivered, and a bf16 wire would cap the
+        reconstruction at bf16 grade."""
+        if self.options.dtype in ("bfloat16", "int8") and not (
+            self.options.dtype == "int8" and getattr(self.options, "refine", 0) > 0
+        ):
             import ml_dtypes
 
             return ml_dtypes.bfloat16
@@ -587,9 +592,16 @@ class BaseVectorIndex:
         padded = next_pow2(max(nq, 8))
         qp = np.zeros((padded, self._dev_dim), np.float32)
         qp[:nq, : q.shape[1]] = q
-        if self.options.query_wire == "auto" and self.options.dtype != "float32":
+        if (
+            self.options.query_wire == "auto"
+            and self.options.dtype != "float32"
+            and not (self.options.dtype == "int8"
+                     and getattr(self.options, "refine", 0) > 0)
+        ):
             # reduced-precision slab: bf16 queries halve the upload bytes
-            # (the wire bounds facade QPS); device scoring still runs f32
+            # (the wire bounds facade QPS); device scoring still runs f32.
+            # Refined int8 ships exact f32 queries — the refine pass re-ranks
+            # at ~15-bit precision, which a bf16-rounded query would waste.
             import ml_dtypes
 
             qp = qp.astype(ml_dtypes.bfloat16)

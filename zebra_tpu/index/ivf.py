@@ -63,6 +63,17 @@ class IVFState:
     #: probe traffic again vs bf16; distances dequantise AFTER the dot
     #: (dot(q, s*v) = s * dot(q, v)) so the MXU pass stays dense.
     scales: jnp.ndarray | None = None
+    #: [K*C + G, D] int8 RESIDUAL slab + [K*C + G] f32 residual scales —
+    #: present only when the index was built with ``IndexOptions.refine > 0``
+    #: on an int8 slab. A stored row then reconstructs to
+    #: ``scale*vectors + rscale*residual`` (~15-bit mantissa — BETTER than
+    #: bf16's 8): the coarse probe scan still touches only the 1-byte int8
+    #: slab (the bandwidth win), and :func:`query` re-ranks an oversampled
+    #: candidate set against the reconstruction — int8 scan speed with
+    #: ~f32-grade true recall. The residual rides cold HBM except for the
+    #: [B, refine_k, D] top-candidate gather.
+    residual: jnp.ndarray | None = None
+    rscales: jnp.ndarray | None = None
     #: per-cluster block width (static metadata, not a traced leaf)
     ccap: int = struct.field(pytree_node=False, default=0)
 
@@ -96,10 +107,16 @@ def empty_state(
     cluster_capacity: int,
     spare_capacity: int = 0,
     dtype=jnp.float32,
+    refine: bool = False,
 ) -> IVFState:
-    """Fresh state for trained centroids, per-cluster and spare capacities."""
+    """Fresh state for trained centroids, per-cluster and spare capacities.
+
+    ``refine=True`` (int8 slabs only) additionally allocates the int8
+    residual slab used by :func:`query`'s exact re-rank pass.
+    """
     K, dim = centroids.shape
     S = K * cluster_capacity + spare_capacity
+    with_res = refine and dtype == jnp.int8
     return IVFState(
         centroids=centroids.astype(jnp.float32),
         counts=jnp.zeros((K + 1,), dtype=jnp.int32),
@@ -108,6 +125,8 @@ def empty_state(
         valid=jnp.zeros((S,), dtype=jnp.bool_),
         overflow=jnp.zeros((), dtype=jnp.int32),
         scales=jnp.ones((S,), dtype=jnp.float32) if dtype == jnp.int8 else None,
+        residual=jnp.zeros((S, dim), dtype=jnp.int8) if with_res else None,
+        rscales=jnp.ones((S,), dtype=jnp.float32) if with_res else None,
         ccap=cluster_capacity,
     )
 
@@ -257,6 +276,7 @@ def insert(
 
     dropped = jnp.sum((real & (slots < 0)).astype(jnp.int32))
     widx = jnp.where(slots >= 0, slots, OOB)
+    residual, rscales = state.residual, state.rscales
     if state.vectors.dtype == jnp.int8:
         # symmetric per-row quantisation; norms/scales describe the STORED
         # (dequantised) values so re-rank math is exact w.r.t. the slab
@@ -265,6 +285,20 @@ def insert(
         xd = jnp.clip(jnp.round(x32 / scale[:, None]), -127, 127).astype(jnp.int8)
         xs32 = xd.astype(jnp.float32) * scale[:, None]
         scales = state.scales.at[widx].set(scale, mode="drop")
+        if residual is not None:
+            # second-stage int8 of the quantisation error: the reconstruction
+            # scale*v8 + rscale*r8 carries ~15 mantissa bits. norms then
+            # describe the RECONSTRUCTED value, so the refine re-rank is
+            # exact w.r.t. what the slab pair stores.
+            res = x32 - xs32
+            rabs = jnp.max(jnp.abs(res), axis=-1)
+            rscale = jnp.where(rabs > 0, rabs / 127.0, 1.0)
+            rd = jnp.clip(
+                jnp.round(res / rscale[:, None]), -127, 127
+            ).astype(jnp.int8)
+            xs32 = xs32 + rd.astype(jnp.float32) * rscale[:, None]
+            residual = residual.at[widx].set(rd, mode="drop")
+            rscales = rscales.at[widx].set(rscale, mode="drop")
     else:
         xd = x.astype(state.vectors.dtype)
         xs32 = xd.astype(jnp.float32)  # norms of the STORED (rounded) vector
@@ -277,6 +311,8 @@ def insert(
             valid=state.valid.at[widx].set(slots >= 0, mode="drop"),
             overflow=state.overflow + dropped,
             scales=scales,
+            residual=residual,
+            rscales=rscales,
         ),
         slots,
     )
@@ -297,6 +333,10 @@ def grow_spare(state: IVFState) -> IVFState:
         valid=jnp.pad(state.valid, (0, g)),
         scales=None if state.scales is None
         else jnp.pad(state.scales, (0, g), constant_values=1.0),
+        residual=None if state.residual is None
+        else jnp.pad(state.residual, ((0, g), (0, 0))),
+        rscales=None if state.rscales is None
+        else jnp.pad(state.rscales, (0, g), constant_values=1.0),
     )
 
 
@@ -369,7 +409,7 @@ def select_probes(state: IVFState, q32: jnp.ndarray, P: int,
     jax.jit,
     static_argnames=("k", "metric", "num_probes", "rerank", "qchunk",
                      "rerank_dots", "probe_sel", "batch_chunk",
-                     "rerank_fetch"),
+                     "rerank_fetch", "refine_k"),
 )
 def query(
     state: IVFState,
@@ -384,6 +424,7 @@ def query(
     probe_sel: str = "auto",
     batch_chunk: int = 0,
     rerank_fetch: str = "auto",
+    refine_k: int = 0,
 ):
     """Approximate top-k: score centroids -> top-P blocks -> exact re-rank.
 
@@ -399,6 +440,11 @@ def query(
     top-P-of-2P refinement is MORE faithful than a direct f32 approx top-P).
     "f32" = the round-2/3 single-stage path.
 
+    refine_k (> k, residual-bearing int8 slabs only): the probe scan keeps
+    ``refine_k`` candidates on the 1-byte slab, then a final pass re-ranks
+    them exactly against the int8+residual reconstruction (~15-bit values)
+    and returns the true top-``k`` — int8 scan bandwidth, ~f32 recall.
+
     Returns:
       ``(dists [B, k], slots [B, k], valid [B, k])``.
     """
@@ -406,6 +452,7 @@ def query(
     K = state.num_clusters
     C = state.cluster_capacity
     P = min(num_probes, K)
+    kk = refine_k if (state.residual is not None and refine_k > k) else k
 
     # Huge query batches: the centroid stage materialises [B, K] score
     # transients (measured OOM: B=65536, K=16384 on a 16GB chip with a
@@ -415,7 +462,12 @@ def query(
     # so a host-side loop would defeat it). Explicit batch_chunk forces a
     # chunk size; batch_chunk >= B disables.
     if batch_chunk == 0:
-        nch = max(1, -(-(B * K * 8) // 5_000_000_000))
+        Dd_ = state.dim
+        # per-row transient bytes: the [B, K] score pair (8) plus, under
+        # refine, the [B, kk, D] int8 candidate/residual gathers (x3 slack
+        # for the fused-convert dot operands)
+        per_row = K * 8 + (3 * kk * Dd_ if kk != k else 0)
+        nch = max(1, -(-(B * per_row) // 5_000_000_000))
         batch_chunk = -(-B // nch)
     if batch_chunk < B:
         nch = -(-B // batch_chunk)
@@ -429,6 +481,7 @@ def query(
                 power=power, rerank=rerank, qchunk=qchunk,
                 rerank_dots=rerank_dots, probe_sel=probe_sel,
                 batch_chunk=batch_chunk, rerank_fetch=rerank_fetch,
+                refine_k=refine_k,
             )
 
         dc, sc_, vc = jax.lax.map(_one, qc)
@@ -442,7 +495,7 @@ def query(
     if (
         rerank in ("pallas", "pallas2")
         and metric in D.MXU_METRICS
-        and k <= 128
+        and kk <= 128
     ):
         # the wave kernel's top-k output is OUT_K=128 wide; larger k falls
         # back to the XLA path below (same results). "pallas2" selects the
@@ -468,11 +521,12 @@ def query(
         else:
             rerank_dots_r = rerank_dots
         dk, ik, vk = ivf_rerank(
-            state, q32, probes.astype(jnp.int32), k, metric=metric,
+            state, q32, probes.astype(jnp.int32), kk, metric=metric,
             wave=2 if rerank == "pallas2" else 1, dots=rerank_dots_r,
             fetch=rerank_fetch,
         )
-        return _merge_spare(state, q32, dk, ik, vk, k, metric, power)
+        dk, ik, vk = _merge_spare(state, q32, dk, ik, vk, kk, metric, power)
+        return _refine_topk(state, q32, dk, ik, vk, k, metric, power)
 
     # contiguous block reads off the full slab (the spare tail forbids a
     # [K, C, D] reshape; vmapped dynamic_slice lowers to the same block gather)
@@ -490,9 +544,9 @@ def query(
     col = jnp.arange(C, dtype=jnp.int32)[None, :]
 
     init = (
-        jnp.full((B, k), jnp.inf, jnp.float32),
-        jnp.full((B, k), -1, jnp.int32),
-        jnp.zeros((B, k), jnp.bool_),
+        jnp.full((B, kk), jnp.inf, jnp.float32),
+        jnp.full((B, kk), -1, jnp.int32),
+        jnp.zeros((B, kk), jnp.bool_),
     )
 
     def body(carry, p):
@@ -520,11 +574,54 @@ def query(
             d = D.rowwise(q32, vf, metric=metric, power=power)
         # k may exceed the C-wide block (lax.top_k rejects k > width): select
         # min(k, C) per probe — merge_topk reselects k from unequal widths
-        td, ti, tv = TK.masked_topk(d, vl, sl, min(k, C))
-        return TK.merge_topk(carry[0], carry[1], carry[2], td, ti, tv, k), None
+        td, ti, tv = TK.masked_topk(d, vl, sl, min(kk, C))
+        return TK.merge_topk(carry[0], carry[1], carry[2], td, ti, tv, kk), None
 
     (dk, ik, vk), _ = jax.lax.scan(body, init, jnp.arange(P))
-    return _merge_spare(state, q32, dk, ik, vk, k, metric, power)
+    dk, ik, vk = _merge_spare(state, q32, dk, ik, vk, kk, metric, power)
+    return _refine_topk(state, q32, dk, ik, vk, k, metric, power)
+
+
+def _refine_topk(state: IVFState, q32, dk, ik, vk, k: int, metric: str,
+                 power: float):
+    """Exact re-rank of an oversampled candidate set on the residual pair.
+
+    Reconstruction math never materialises f32 rows for MXU metrics: with
+    value = s*v8 + r*r8, ``dot(q, value) = s*dot(q, v8) + r*dot(q, r8)``
+    (int8 -> f32 casts are exact and fuse into the dot operands), and
+    ``norms`` already stores |value|^2 from insert time — so the pass is two
+    skinny [B, kk, D] int8 gathers + two batched dots. No-op when the state
+    carries no residual or the candidate set is already k-wide.
+    """
+    if state.residual is None or dk.shape[1] <= k:
+        return dk, ik, vk
+    idx = jnp.where(vk, ik, 0)
+    v8 = jnp.take(state.vectors, idx, axis=0)  # [B, kk, D] int8
+    r8 = jnp.take(state.residual, idx, axis=0)
+    sc = jnp.take(state.scales, idx)  # [B, kk]
+    rs = jnp.take(state.rscales, idx)
+    if metric in D.MXU_METRICS:
+        hi = jnp.einsum(
+            "bd,bkd->bk", q32, v8.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        lo = jnp.einsum(
+            "bd,bkd->bk", q32, r8.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dots = hi * sc + lo * rs
+        qn2 = jnp.sum(q32 * q32, axis=-1)[:, None]
+        n2 = jnp.take(state.norms, idx)  # refined |value|^2 (insert contract)
+        d = D.mxu_from_parts(metric, dots, qn2, n2)
+    else:
+        vf = (
+            v8.astype(jnp.float32) * sc[..., None]
+            + r8.astype(jnp.float32) * rs[..., None]
+        )
+        d = D.rowwise(q32, vf, metric=metric, power=power)
+    return TK.masked_topk(jnp.where(vk, d, jnp.inf), vk, ik, k)
 
 
 def _merge_spare(state: IVFState, q32, dk, ik, vk, k: int, metric: str, power: float):
@@ -579,13 +676,22 @@ def brute_force(
     precision: str = "highest",
     approx: bool = False,
 ):
-    """Exact top-k over the whole slab (shared scan op)."""
+    """Exact top-k over the whole slab (shared scan op).
+
+    Residual-bearing int8 slabs scan the coarse 1-byte slab for an
+    oversampled candidate set, then re-rank it on the reconstruction —
+    near-exact w.r.t. the stored (refined) values at int8 scan bandwidth.
+    """
     from zebra_tpu.ops.scan import exact_scan
 
-    return exact_scan(
-        state.vectors, state.valid, q, k, metric=metric, power=power,
+    kk = k
+    if state.residual is not None:
+        kk = int(min(max(4 * k, k + 32), state.slab_capacity))
+    dk, ik, vk = exact_scan(
+        state.vectors, state.valid, q, kk, metric=metric, power=power,
         chunk=chunk, precision=precision, approx=approx, scales=state.scales,
     )
+    return _refine_topk(state, q.astype(jnp.float32), dk, ik, vk, k, metric, power)
 
 
 @jax.jit

@@ -86,6 +86,11 @@ class IVFIndex(BaseVectorIndex):
         metric_power: float = 3.0,
     ):
         super().__init__(dim, metric, options, metric_power)
+        if self.options.refine > 0 and self.options.dtype != "int8":
+            raise ValueError(
+                "refine > 0 stores an int8 quantisation residual and needs "
+                "dtype='int8' (f32/bf16 slabs have no residual to refine)"
+            )
         # Pallas block re-rank DMAs 2-D [C, D] tiles: last dim must be a
         # multiple of 128 lanes (any float dtype) — a far lighter constraint
         # than the LSH kernel's 1024-element flat-slab alignment.
@@ -163,7 +168,10 @@ class IVFIndex(BaseVectorIndex):
         cap = self._resolved_capacity(n_hint, k)
         spare = self._resolved_spare(n_hint)
         cents = self._train_centroids(k, data)
-        return V.empty_state(cents, cap, spare, dtype=self.dtype)
+        return V.empty_state(
+            cents, cap, spare, dtype=self.dtype,
+            refine=self.options.refine > 0,
+        )
 
     def _cold_build(self, vectors, ids) -> bool:
         """First build: queue an HBM-budgeted window of insert-batch
@@ -193,6 +201,8 @@ class IVFIndex(BaseVectorIndex):
         slots = k * self._resolved_capacity(n, k) + self._resolved_spare(n)
         slab_bytes = slots * self._dev_dim * np.dtype(self.dtype).itemsize
         slab_bytes += slots * 9 + k * self._dev_dim * 4  # norms/valid/scales + cents
+        if self.options.refine > 0 and self.options.dtype == "int8":
+            slab_bytes += slots * (self._dev_dim + 4)  # residual + rscales
         batch_bytes = (
             next_pow2(max(spans[0][1], 1))
             * self._dev_dim
@@ -230,7 +240,10 @@ class IVFIndex(BaseVectorIndex):
         cents = self._train_centroids(k, sample)
         device_sync(cents)  # training done -> sample/temporaries freeable
         del sample, train
-        self.state = V.empty_state(cents, cap, spare, dtype=self.dtype)
+        self.state = V.empty_state(
+            cents, cap, spare, dtype=self.dtype,
+            refine=self.options.refine > 0,
+        )
         self._insert_batches(vectors, ids, prestaged=staged)
         return True
 
@@ -310,7 +323,9 @@ class IVFIndex(BaseVectorIndex):
         """
         d = self._dev_dim
         item = np.dtype(self.dtype).itemsize
-        copy_item = 2 if self.dtype == np.int8 else item
+        refined = self.state is not None and self.state.residual is not None
+        # int8 copies dequantise to bf16; REFINED int8 reconstructs in f32
+        copy_item = (4 if refined else 2) if self.dtype == np.int8 else item
         live_copy = n_live * d * copy_item
         k = self._resolved_clusters(max(n_live, 1))
         slots = (
@@ -318,7 +333,11 @@ class IVFIndex(BaseVectorIndex):
             + self._resolved_spare(max(n_live, 1))
         )
         new_slab = slots * (d * item + 9) + k * d * 4
+        if refined:
+            new_slab += slots * (d + 4)
         old_slab = self.state.vectors.nbytes + self.state.norms.nbytes
+        if refined:
+            old_slab += self.state.residual.nbytes + self.state.rscales.nbytes
         return max(old_slab + live_copy, live_copy + new_slab)
 
     def _maybe_rebuild(self) -> None:
@@ -416,14 +435,32 @@ class IVFIndex(BaseVectorIndex):
             rerank=rerank,
             rerank_dots=self.options.rerank_dots,
             probe_sel=self.options.probe_sel,
+            refine_k=self._refine_k(k),
         )
+
+    def _refine_k(self, k: int) -> int:
+        """Oversampled candidate width of the residual refine pass (0 = off)."""
+        if self.options.refine <= 0 or self.state is None or self.state.residual is None:
+            return 0
+        return int(min(max(self.options.refine * k, k + 16), 1024))
 
     # -- persistence -----------------------------------------------------------------
 
     def _take_rows(self, flat_idx):
-        rows = jnp.take(self._slab2d(), jnp.asarray(flat_idx), axis=0)
+        fi = jnp.asarray(flat_idx)
+        rows = jnp.take(self._slab2d(), fi, axis=0)
+        if self.state.residual is not None:
+            # refined int8: reconstruct in f32 — a bf16 copy would round the
+            # ~15-bit values back to 8 mantissa bits and defeat the refine
+            sc = jnp.take(self.state.scales, fi)
+            r8 = jnp.take(self.state.residual, fi, axis=0)
+            rs = jnp.take(self.state.rscales, fi)
+            return (
+                rows.astype(jnp.float32) * sc[:, None]
+                + r8.astype(jnp.float32) * rs[:, None]
+            )
         if self.state.scales is not None:  # int8: dequantise (bf16 transient)
-            sc = jnp.take(self.state.scales, jnp.asarray(flat_idx))
+            sc = jnp.take(self.state.scales, fi)
             rows = rows.astype(jnp.bfloat16) * sc[:, None].astype(jnp.bfloat16)
         return rows
 
@@ -443,6 +480,9 @@ class IVFIndex(BaseVectorIndex):
         }
         if st.scales is not None:
             out["scales"] = st.scales
+        if st.residual is not None:
+            out["residual"] = st.residual
+            out["rscales"] = st.rscales
         return out
 
     def _restore_arrays(self, z) -> None:
@@ -457,6 +497,8 @@ class IVFIndex(BaseVectorIndex):
             valid=jnp.asarray(z["valid"]),
             overflow=jnp.asarray(z["overflow"]),
             scales=jnp.asarray(z["scales"]) if "scales" in z else None,
+            residual=jnp.asarray(z["residual"]) if "residual" in z else None,
+            rscales=jnp.asarray(z["rscales"]) if "rscales" in z else None,
             ccap=int(z["ccap"]),
         )
 

@@ -78,6 +78,10 @@ def _grow_spare_sharded(state: "V.IVFState") -> "V.IVFState":
         valid=jnp.pad(state.valid, ((0, 0), (0, g))),
         scales=None if state.scales is None
         else jnp.pad(state.scales, ((0, 0), (0, g)), constant_values=1.0),
+        residual=None if state.residual is None
+        else jnp.pad(state.residual, ((0, 0), (0, g), (0, 0))),
+        rscales=None if state.rscales is None
+        else jnp.pad(state.rscales, ((0, 0), (0, g)), constant_values=1.0),
     )
 
 
@@ -189,10 +193,11 @@ def _sharded_query_lsh(mesh, state, q, k, metric, num_probes, power, chunk,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "k", "metric", "num_probes", "rerank",
-                     "rerank_dots", "probe_sel"),
+                     "rerank_dots", "probe_sel", "refine_k"),
 )
 def _sharded_query_ivf(mesh, state, q, k, metric, num_probes, power,
-                       rerank="xla", rerank_dots="auto", probe_sel="auto"):
+                       rerank="xla", rerank_dots="auto", probe_sel="auto",
+                       refine_k=0):
     """IVF variant: per-shard probe + re-rank, ICI all-gather top-k merge."""
     S = mesh.shape[SHARD_AXIS]
 
@@ -201,6 +206,7 @@ def _sharded_query_ivf(mesh, state, q, k, metric, num_probes, power,
         d, s, v = V.query(
             st, q, k, metric=metric, num_probes=num_probes, power=power,
             rerank=rerank, rerank_dots=rerank_dots, probe_sel=probe_sel,
+            refine_k=refine_k,
         )
         shard = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
         gid = jnp.where(v, s * S + shard, -1)
@@ -229,8 +235,12 @@ def _sharded_brute_force(mesh, state, q, k, metric, power, chunk,
 
     def inner(state, q):
         st = _unstack(state)
-        d, s, v = B.brute_force(st, q, k, metric=metric, power=power, chunk=chunk,
-                                precision=precision, approx=approx)
+        # IVF states must take V.brute_force: it folds int8 dequant scales
+        # (B's scan omits them — scale-invariant for cosine but WRONG for
+        # sql2/l2) and the residual refine pass.
+        bf = V.brute_force if isinstance(st, V.IVFState) else B.brute_force
+        d, s, v = bf(st, q, k, metric=metric, power=power, chunk=chunk,
+                     precision=precision, approx=approx)
         shard = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
         gid = jnp.where(v, s * S + shard, -1)
         return _merge_gathered(
@@ -293,6 +303,11 @@ class ShardedIndex(BaseVectorIndex):
         super().__init__(dim, metric, options, metric_power)
         if self.options.dtype == "int8" and self.options.index_type != "ivf":
             raise ValueError("dtype='int8' is supported by the ivf backend only")
+        if self.options.refine > 0 and self.options.dtype != "int8":
+            raise ValueError(
+                "refine > 0 stores an int8 quantisation residual and needs "
+                "dtype='int8' (f32/bf16 slabs have no residual to refine)"
+            )
         if self.options.rerank in ("pallas", "pallas2"):
             # the pallas kernels need aligned stored dims (IVF block kernel:
             # 128 lanes; LSH flat-slab kernel: 1024 f32 / 2048 bf16) and the
@@ -342,9 +357,22 @@ class ShardedIndex(BaseVectorIndex):
         return np.asarray(self.state.valid).T.reshape(-1)
 
     def _take_rows(self, flat_idx):
-        rows = jnp.take(self._slab2d(), jnp.asarray(flat_idx), axis=0)
+        fi = jnp.asarray(flat_idx)
+        rows = jnp.take(self._slab2d(), fi, axis=0)
+        if self._ivf and self.state.residual is not None:
+            # refined int8: f32 reconstruction (bf16 would round it away)
+            sc = jnp.take(self.state.scales.reshape(-1), fi)
+            r8 = jnp.take(
+                self.state.residual.reshape(-1, self.state.residual.shape[-1]),
+                fi, axis=0,
+            )
+            rs = jnp.take(self.state.rscales.reshape(-1), fi)
+            return (
+                rows.astype(jnp.float32) * sc[:, None]
+                + r8.astype(jnp.float32) * rs[:, None]
+            )
         if self._ivf and self.state.scales is not None:  # int8: dequantise
-            sc = jnp.take(self.state.scales.reshape(-1), jnp.asarray(flat_idx))
+            sc = jnp.take(self.state.scales.reshape(-1), fi)
             rows = rows.astype(jnp.bfloat16) * sc[:, None].astype(jnp.bfloat16)
         return rows
 
@@ -439,7 +467,9 @@ class ShardedIndex(BaseVectorIndex):
                 iters=self.options.kmeans_iters,
                 balance_rounds=self.options.kmeans_balance_rounds,
             )
-        return V.empty_state(cents, C, G, dtype=self.dtype)
+        return V.empty_state(
+            cents, C, G, dtype=self.dtype, refine=self.options.refine > 0
+        )
 
     def _fresh_shard_lsh(self, per: int, data) -> "B.IndexState":
         bits = self.options.resolved_bits(per)
@@ -678,11 +708,14 @@ class ShardedIndex(BaseVectorIndex):
                 approx=self.options.approx_topk,
             )
         if self._ivf:
+            refine_k = 0
+            if self.options.refine > 0 and self.state.residual is not None:
+                refine_k = int(min(max(self.options.refine * k, k + 16), 1024))
             return _sharded_query_ivf(
                 self.mesh, self.state, qj, k, self.metric,
                 self.options.resolved_probes(), self.metric_power,
                 rerank=rerank, rerank_dots=self.options.rerank_dots,
-                probe_sel=self.options.probe_sel,
+                probe_sel=self.options.probe_sel, refine_k=refine_k,
             )
         return _sharded_query_lsh(
             self.mesh, self.state, qj, k, self.metric,
@@ -709,6 +742,9 @@ class ShardedIndex(BaseVectorIndex):
             }
             if st.scales is not None:
                 out["scales"] = st.scales
+            if st.residual is not None:
+                out["residual"] = st.residual
+                out["rscales"] = st.rscales
             return out
         return {
             "planes": st.planes,
@@ -735,6 +771,8 @@ class ShardedIndex(BaseVectorIndex):
                 valid=jnp.asarray(z["valid"]),
                 overflow=jnp.asarray(z["overflow"]),
                 scales=jnp.asarray(z["scales"]) if "scales" in z else None,
+                residual=jnp.asarray(z["residual"]) if "residual" in z else None,
+                rscales=jnp.asarray(z["rscales"]) if "rscales" in z else None,
                 ccap=int(z["ccap"]),
             )
             self._kc = stacked.centroids.shape[1] * int(z["ccap"])
@@ -798,6 +836,8 @@ class ShardedIndex(BaseVectorIndex):
             valid = np.asarray(z["valid"])
             ids_arr = np.ascontiguousarray(z["slot_ids"])
             saved_scales = np.asarray(z["scales"]) if "scales" in z else None
+            saved_residual = np.asarray(z["residual"]) if "residual" in z else None
+            saved_rscales = np.asarray(z["rscales"]) if "rscales" in z else None
         cap = vectors.shape[1]
         arena = SlotIdArena.from_array(ids_arr)
         live = arena.live_slots()  # global interleaved slots (old S)
@@ -815,6 +855,10 @@ class ShardedIndex(BaseVectorIndex):
         elif rows.dtype == np.int8:  # dequantise with the saved scales
             sc = saved_scales[live % S_old, live // S_old]
             rows = rows.astype(np.float32) * sc[:, None]
+            if saved_residual is not None:  # refined: add the residual term
+                r8 = saved_residual[live % S_old, live // S_old]
+                rs = saved_rscales[live % S_old, live // S_old]
+                rows = rows + r8.astype(np.float32) * rs[:, None]
         idx.add(np.ascontiguousarray(rows, dtype=np.float32),
                 ids=arena.take_list(live))
         return idx
