@@ -182,3 +182,41 @@ def test_bf16_database_crash_replay(tmp_path, rng):
     res = db2.query(v[:5], number_of_results=1)
     for i, row in enumerate(res):
         assert row[0][0] == ids[i]
+
+
+def test_log_dtype_follows_index_wire(tmp_path, rng):
+    """int8 slabs log bf16 records (their insert wire IS bf16 — lossless,
+    half the fsync'd bytes); refined int8 ships f32 wire so it logs f32."""
+    from zebra_tpu.storage.deltalog import INSERT, INSERT_BF16, _HDR, _MAGIC
+    import struct
+
+    def first_rtype(path):
+        with open(path, "rb") as f:
+            magic, rtype, _, _ = _HDR.unpack(f.read(_HDR.size))
+        assert magic == _MAGIC
+        return rtype
+
+    v = _vecs(rng, 12)
+    for dtype, refine, want in (
+        ("int8", 0, INSERT_BF16),
+        ("int8", 4, INSERT),
+        ("float32", 0, INSERT),
+        ("bfloat16", 0, INSERT_BF16),
+    ):
+        path = str(tmp_path / f"{dtype}{refine}.zebra")
+        cfg = DatabaseConfig(
+            dim=16, metric="sql2",
+            index=IndexOptions(seed=0, index_type="ivf", dtype=dtype,
+                               refine=refine),
+            durability="full",
+        )
+        db = Database.create(path, cfg)
+        ids = db.insert_vectors(v)
+        assert first_rtype(db._delta.path) == want, (dtype, refine)
+        db2 = Database.open(path)  # crash-reopen replays losslessly
+        assert len(db2) == 12
+        res = db2.query(v[:4], number_of_results=1)
+        for i, row in enumerate(res):
+            assert row[0][0] == ids[i]
+        db2._delta.close()
+        db._delta.close()

@@ -181,8 +181,14 @@ class Database:
         BEFORE the index mutation: a crash at any later stage replays the
         logged record onto the last snapshot (replay is idempotent)."""
         if self.config.durability == "full" and len(ids):
+            # log in the index's WIRE dtype: bf16 records (half the log
+            # bytes + fsync'd write volume) are lossless whenever the insert
+            # wire itself is bf16 — bf16 slabs AND plain int8 slabs (whose
+            # stored values quantise from the bf16-staged batch); f32 slabs
+            # and refined int8 (f32 wire) keep exact f32 records.
             self._delta.append_insert(
-                ids, vectors, bf16=self.config.index.dtype == "bfloat16"
+                ids, vectors,
+                bf16=np.dtype(self.index._wire_dtype).itemsize == 2,
             )
 
     def _log_remove(self, ids: list[bytes]) -> None:
