@@ -187,6 +187,38 @@ def test_refine_through_database(tmp_path, rng):
         assert hit / 100 >= 0.95
 
 
+@pytest.mark.parametrize("metric", ["sql2", "l2", "cosine"])
+def test_refine_dot_inversion_matches_reconstruction(metric, rng):
+    """The refine pass recovers the hi dot by INVERTING the coarse distance
+    (distances.mxu_invert_parts) instead of re-gathering v8 — the reported
+    distances must still match an exact host-side computation against the
+    reconstructed values, for every invertible metric (l2 exercises the
+    square/unsquare roundtrip). Covers both the probe path and the
+    brute-force path (exact_scan with norms=)."""
+    pts = rng.standard_normal((800, 64)).astype(np.float32)
+    qs = rng.standard_normal((16, 64)).astype(np.float32)
+    idx = IVFIndex(dim=64, metric=metric, options=_opts(dtype="int8", refine=4))
+    ids = idx.add(pts)
+    slots = idx._slot_ids.live_slots()
+    recon = np.asarray(idx._take_rows(slots.astype(np.int32)))  # [N, 64] f32
+    slot_row = {int(s): r for r, s in enumerate(slots)}
+    id_slot = {i: int(s) for i, s in zip(idx.ids(), slots)}
+
+    def true_dist(qv, row):
+        if metric == "cosine":
+            den = np.linalg.norm(qv) * np.linalg.norm(row)
+            return 1.0 - float(qv @ row) / den
+        d2 = float(np.sum((qv - row) ** 2))
+        return d2 if metric == "sql2" else float(np.sqrt(d2))
+
+    for res in (idx.search(qs, k=5), idx.search(qs, k=5, exact=True)):
+        for b, rows in enumerate(res):
+            for i, d in rows:
+                want = true_dist(qs[b], recon[slot_row[id_slot[i]]])
+                assert abs(d - want) <= 2e-4 * (1.0 + abs(want)), (
+                    metric, b, d, want)
+
+
 def test_refine_rejected_outside_int8():
     with pytest.raises(ValueError, match="refine"):
         IVFIndex(dim=16, options=_opts(dtype="bfloat16", refine=4))

@@ -104,6 +104,72 @@ def vpu_fused(vectors, residual, scales, rscales, q, idx):
 
 
 @jax.jit
+def residual_only_invert(residual, rscales, norms, q, idx, dk):
+    """The dot-inversion refine: coarse distance -> coarse dot (pure
+    elementwise math on [B,KK]), ONE residual gather, ONE dot. No v8
+    gather, no hi dot — candidate-set cost halves if gathers dominate."""
+    qn2 = jnp.sum(q * q, axis=-1)[:, None]
+    n2 = jnp.take(norms, idx)
+    dot_c = (1.0 - dk) * jnp.sqrt(jnp.maximum(qn2 * n2, 0.0))  # cosine inverse
+    r8 = jnp.take(residual, idx, axis=0)
+    lo = jnp.einsum("bd,bkd->bk", q, r8.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    dots = dot_c + lo * jnp.take(rscales, idx)
+    den = jax.lax.rsqrt(jnp.maximum(qn2 * n2, 1e-30))
+    return 1.0 - dots * den
+
+
+@jax.jit
+def residual_invert_bf16dot(residual, rscales, norms, q, idx, dk):
+    """Inversion + ONE-PASS bf16 lo dot: the residual term is ~2^-8 of the
+    total dot, so bf16 rounding on it lands ~4e-6 relative — far below the
+    refine target. Should cut the 6-pass HIGHEST matvec ~6x."""
+    qn2 = jnp.sum(q * q, axis=-1)[:, None]
+    n2 = jnp.take(norms, idx)
+    dot_c = (1.0 - dk) * jnp.sqrt(jnp.maximum(qn2 * n2, 0.0))
+    r8 = jnp.take(residual, idx, axis=0)
+    lo = jnp.einsum("bd,bkd->bk", q.astype(jnp.bfloat16),
+                    r8.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    dots = dot_c + lo * jnp.take(rscales, idx)
+    den = jax.lax.rsqrt(jnp.maximum(qn2 * n2, 1e-30))
+    return 1.0 - dots * den
+
+
+@jax.jit
+def single_gather_only(residual, idx):
+    r8 = jnp.take(residual, idx, axis=0)
+    return jnp.sum(r8.astype(jnp.int32), axis=-1)
+
+
+@jax.jit
+def residual_invert_blockdiag(residual, rscales, norms, q, idx, dk):
+    """Inversion + GROUPED lo dot: stack Qg queries' candidate rows as one
+    [Qg*KK, D] rhs and run a real [Qg, D] x [D, Qg*KK] MXU matmul per
+    group, then keep the diagonal blocks. 8x wasted FLOPs (free — the
+    matvec was issue-bound, not FLOP-bound); passes drop ~Qg x."""
+    QG = 8
+    qn2 = jnp.sum(q * q, axis=-1)[:, None]
+    n2 = jnp.take(norms, idx)
+    dot_c = (1.0 - dk) * jnp.sqrt(jnp.maximum(qn2 * n2, 0.0))
+    r8 = jnp.take(residual, idx, axis=0)  # [B, KK, D] int8
+    G = B // QG
+    qg = q.astype(jnp.bfloat16).reshape(G, QG, D)
+    rg = r8.astype(jnp.bfloat16).reshape(G, QG * KK, D)
+    big = jax.lax.dot_general(
+        qg, rg, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [G, QG, QG*KK]
+    big = big.reshape(G, QG, QG, KK)
+    ii = jnp.arange(QG)
+    lo = big[:, ii, ii, :].reshape(B, KK)
+    dots = dot_c + lo * jnp.take(rscales, idx)
+    den = jax.lax.rsqrt(jnp.maximum(qn2 * n2, 1e-30))
+    return 1.0 - dots * den
+
+
+@jax.jit
 def coarse_probe_equiv(vectors, q):
     """Reference cost: a [B,D]x[D,2048] int8 matmul ~ what P=2 block fetch
     + dots cost per batch (scale context, not apples-to-apples)."""
@@ -112,6 +178,14 @@ def coarse_probe_equiv(vectors, q):
                    preferred_element_type=jnp.float32)
 
 
+dk_fake = jax.random.uniform(k5, (B, KK), jnp.float32)
+timeit("residual_only_invert", residual_only_invert,
+       residual, rscales, norms, q, idx, dk_fake)
+timeit("residual_invert_bf16dot", residual_invert_bf16dot,
+       residual, rscales, norms, q, idx, dk_fake)
+timeit("residual_invert_blockdiag", residual_invert_blockdiag,
+       residual, rscales, norms, q, idx, dk_fake)
+timeit("single_gather_only", single_gather_only, residual, idx)
 timeit("gather_only", gather_only, vectors, residual, idx)
 timeit("einsum_matvec (shipped)", einsum_matvec, vectors, residual, scales, rscales, q, idx)
 timeit("vpu_mulsum", vpu_mulsum, vectors, residual, scales, rscales, q, idx)

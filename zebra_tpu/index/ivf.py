@@ -588,34 +588,41 @@ def _refine_topk(state: IVFState, q32, dk, ik, vk, k: int, metric: str,
 
     Reconstruction math never materialises f32 rows for MXU metrics: with
     value = s*v8 + r*r8, ``dot(q, value) = s*dot(q, v8) + r*dot(q, r8)``
-    (int8 -> f32 casts are exact and fuse into the dot operands), and
-    ``norms`` already stores |value|^2 from insert time — so the pass is two
-    skinny [B, kk, D] int8 gathers + two batched dots. No-op when the state
-    carries no residual or the candidate set is already k-wide.
+    (int8 -> f32 casts are exact and fuse into the dot operands), and the
+    hi term ``s*dot(q, v8)`` is recovered from the coarse distance itself
+    (dot inversion, below) — so the whole pass is ONE skinny [B, kk, D]
+    residual gather + one batched dot. No-op when the state carries no
+    residual or the candidate set is already k-wide.
     """
     if state.residual is None or dk.shape[1] <= k:
         return dk, ik, vk
     idx = jnp.where(vk, ik, 0)
-    v8 = jnp.take(state.vectors, idx, axis=0)  # [B, kk, D] int8
-    r8 = jnp.take(state.residual, idx, axis=0)
-    sc = jnp.take(state.scales, idx)  # [B, kk]
-    rs = jnp.take(state.rscales, idx)
     if metric in D.MXU_METRICS:
-        hi = jnp.einsum(
-            "bd,bkd->bk", q32, v8.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # Dot inversion: every MXU metric is invertible given (qn2, n2), and
+        # EVERY producer of dk (wave kernel, XLA block re-rank, spare/brute
+        # exact_scan with norms=) computes it from the refined state.norms —
+        # so dk already encodes the coarse dot ``s*dot(q, v8)`` exactly
+        # (coarse dots ride split-query passes, f32-grade). Recovering it
+        # elementwise removes HALF the refine pass: no [B, kk, D] v8
+        # re-gather, no hi dot — the measured bottleneck was those gathers
+        # (tools/abl_refine.py: 24.6ms of 34.1ms per 16k batch). Only the
+        # residual gather + one dot remain.
+        qn2 = jnp.sum(q32 * q32, axis=-1)[:, None]
+        n2 = jnp.take(state.norms, idx)  # refined |value|^2 (insert contract)
+        hi = D.mxu_invert_parts(metric, dk, qn2, n2)
+        r8 = jnp.take(state.residual, idx, axis=0)  # [B, kk, D] int8
+        rs = jnp.take(state.rscales, idx)
         lo = jnp.einsum(
             "bd,bkd->bk", q32, r8.astype(jnp.float32),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        dots = hi * sc + lo * rs
-        qn2 = jnp.sum(q32 * q32, axis=-1)[:, None]
-        n2 = jnp.take(state.norms, idx)  # refined |value|^2 (insert contract)
-        d = D.mxu_from_parts(metric, dots, qn2, n2)
+        d = D.mxu_from_parts(metric, hi + lo * rs, qn2, n2)
     else:
+        v8 = jnp.take(state.vectors, idx, axis=0)  # [B, kk, D] int8
+        r8 = jnp.take(state.residual, idx, axis=0)
+        sc = jnp.take(state.scales, idx)  # [B, kk]
+        rs = jnp.take(state.rscales, idx)
         vf = (
             v8.astype(jnp.float32) * sc[..., None]
             + r8.astype(jnp.float32) * rs[..., None]
@@ -654,9 +661,17 @@ def _merge_spare(state: IVFState, q32, dk, ik, vk, k: int, metric: str, power: f
             if state.scales is not None
             else None
         )
+        nm = (
+            # residual slabs: spare distances must use the refined norms so
+            # they honour the reconstructed-value contract and stay
+            # invertible in _refine_topk (see exact_scan's norms doc)
+            jax.lax.dynamic_slice_in_dim(state.norms, start, G, axis=0)
+            if state.residual is not None
+            else None
+        )
         td, ti, tv = exact_scan(
             vecs, vl, q32, min(k, G), metric=metric, power=power,
-            chunk=65536, scales=sc,
+            chunk=65536, scales=sc, norms=nm,
         )
         ti = jnp.where(tv, ti + start, -1)
         return TK.merge_topk(dk, ik, vk, td, ti, tv, k)
@@ -685,11 +700,14 @@ def brute_force(
     from zebra_tpu.ops.scan import exact_scan
 
     kk = k
+    norms = None
     if state.residual is not None:
         kk = int(min(max(4 * k, k + 32), state.slab_capacity))
+        norms = state.norms  # reconstructed-value contract (see exact_scan)
     dk, ik, vk = exact_scan(
         state.vectors, state.valid, q, kk, metric=metric, power=power,
         chunk=chunk, precision=precision, approx=approx, scales=state.scales,
+        norms=norms,
     )
     return _refine_topk(state, q.astype(jnp.float32), dk, ik, vk, k, metric, power)
 

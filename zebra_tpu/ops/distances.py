@@ -200,6 +200,26 @@ def mxu_from_parts(metric: str, dot, qn2, xn2):
     return d2 if metric == "sql2" else jnp.sqrt(d2)
 
 
+def mxu_invert_parts(metric: str, d, qn2, xn2):
+    """Inverse of :func:`mxu_from_parts`: recover the dot from a distance.
+
+    Every MXU metric is an invertible function of (dot, qn2, xn2):
+    cosine ``d = 1 - dot/(|q||x|)``, sql2 ``d = qn2 + xn2 - 2 dot``,
+    l2 the sqrt of sql2. This lets a *refinement* pass reuse the coarse
+    scan's distances instead of re-gathering the coarse rows and re-issuing
+    the hi dot: ``dot_full = invert(d_coarse) + correction`` (the int8
+    residual path — see index/ivf._refine_topk). Round-trip noise is the
+    rsqrt/sqrt rounding (~1e-6 relative), far below the ~1e-4 rank-gap
+    scale the refinement targets.
+
+    Zero-norm rows: the forward map pins ``d`` (cosine 1.0), and the
+    inverse returns dot 0 — consistent."""
+    if metric == "cosine":
+        return (1.0 - d) * jnp.sqrt(jnp.maximum(qn2 * xn2, 0.0))
+    d2 = d * d if metric == "l2" else d
+    return 0.5 * (qn2 + xn2 - d2)
+
+
 _POWERED = ("minkowski", "p_norm")
 
 #: All supported metric names.

@@ -32,6 +32,7 @@ def exact_scan(
     precision: str = "highest",
     approx: bool = False,
     scales: jnp.ndarray | None = None,
+    norms: jnp.ndarray | None = None,
 ):
     """Exact (or approx-top-k) scan of the whole slab.
 
@@ -45,6 +46,13 @@ def exact_scan(
       precision: MXU precision for the distance matmul ("highest"/"default").
       approx: use ``lax.approx_max_k`` (~3-8x faster on wide chunks at ~0.997
         top-10 agreement).
+      norms: optional ``[S]`` squared candidate norms. When given (MXU
+        metrics only), distances use these instead of norms recomputed from
+        the streamed rows — required by residual-bearing int8 slabs, whose
+        contract is "distances always describe the RECONSTRUCTED value"
+        (``state.norms`` stores the refined |value|^2; the coarse rows
+        alone would disagree with the probe kernel and break the refine
+        pass's dot inversion, see distances.mxu_invert_parts).
 
     Returns:
       ``(dists [B, k], slots [B, k], valid [B, k])``.
@@ -72,7 +80,19 @@ def exact_scan(
         if scales is not None:  # int8 slab: dequantise the streamed chunk
             sc = jax.lax.dynamic_slice_in_dim(scales, start, chunk, axis=0)
             vecs = vecs.astype(jnp.float32) * sc[:, None]
-        d = D.pairwise(q, vecs, metric=metric, power=power, precision=precision)
+        if norms is not None and metric in D.MXU_METRICS:
+            xn2 = jax.lax.dynamic_slice_in_dim(norms, start, chunk, axis=0)
+            dots = jnp.dot(
+                q.astype(jnp.float32), vecs.astype(jnp.float32).T,
+                preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST if precision == "highest"
+                           else jax.lax.Precision.DEFAULT),
+            )
+            qn2 = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)[:, None]
+            d = D.mxu_from_parts(metric, dots, qn2, xn2[None, :])
+        else:
+            d = D.pairwise(q, vecs, metric=metric, power=power,
+                           precision=precision)
         if approx:
             d = jnp.where(vl[None, :], d, jnp.inf)
             neg, idxs = jax.lax.approx_max_k(-d, kb)
