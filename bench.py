@@ -185,6 +185,10 @@ def pipeline(args):
         }, args.out)
 
 
+def _refine_arg(v):
+    return v if v == "scan" else int(v)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["ann", "churn", "pipeline"], default="ann")
@@ -206,8 +210,10 @@ def main():
     #: int8 residual refinement (dtype=int8 only): oversample factor N > 1
     #: stores the second int8 residual slab and exactly re-ranks N*k
     #: candidates — int8 scan bandwidth with ~f32-grade TRUE recall
-    #: (plain int8 truth recall is ~0.954 at 1M x 768). 0 = off.
-    ap.add_argument("--refine", type=int, default=0)
+    #: (plain int8 truth recall is ~0.954 at 1M x 768). 0 = off;
+    #: "scan" streams the residual slab through the probe kernel instead
+    #: (2 B/elem probe traffic, no oversample, no gather pass).
+    ap.add_argument("--refine", type=_refine_arg, default=0)
     # 10 tables x 8 probes: +40% QPS over the reference-parity 15 tables at
     # recall@10 ~0.98 on 200k clustered (tools/sweep2.py)
     ap.add_argument("--tables", type=int, default=10)
@@ -287,14 +293,14 @@ def main():
 
     if args.index == "ivf":
         def query_fn(qq, k):
-            rk = (
-                int(min(max(args.refine * k, k + 16), 1024))
-                if args.refine > 0 and args.dtype == "int8" else 0
-            )
+            rk = rscan = 0
+            if args.dtype == "int8":
+                rk = idx.options.refine_k(k)
+                rscan = idx.options.refine_is_scan()
             return IV.query(
                 idx.state, qq, k, metric=args.metric, num_probes=args.probes,
                 rerank=args.rerank, rerank_dots=args.rerank_dots,
-                refine_k=rk,
+                refine_k=rk, refine_scan=rscan,
             )
         def brute_fn(qq, k):
             return IV.brute_force(idx.state, qq, k, metric=args.metric)

@@ -129,6 +129,61 @@ def test_pallas_int8_scales_parity(rng, interp_kernel):
     np.testing.assert_allclose(np.asarray(dp)[:, 0], np.asarray(dx)[:, 0], atol=1e-5)
 
 
+@pytest.mark.parametrize("metric", ["cosine", "sql2"])
+def test_pallas_residual_scan_parity(rng, interp_kernel, metric):
+    """refine="scan": the residual-streaming wave kernel (both slabs DMA
+    through the same waves, dot = s*dot(q,v8) + r*dot(q,r8)) must match the
+    XLA reconstruction path — dots="highest" is exact f32 on both sides."""
+    centers = rng.standard_normal((8, 128)).astype(np.float32)
+    n = 1024
+    data = centers[rng.integers(0, 8, n)] + 0.1 * rng.standard_normal(
+        (n, 128)
+    ).astype(np.float32)
+    cents, _ = kmeans(
+        jax.random.PRNGKey(0), jnp.asarray(data), jnp.int32(n), k=16, iters=4,
+        chunk=1024,
+    )
+    st = ivf.empty_state(cents, cluster_capacity=160, dtype=jnp.int8,
+                         refine=True)
+    st, _ = ivf.insert(st, jnp.asarray(data), jnp.int32(n))
+    assert st.residual is not None
+    q = jnp.asarray(
+        data[:32] + 0.02 * rng.standard_normal((32, 128)).astype(np.float32)
+    )
+    dx, sx, vx = ivf.query(st, q, 10, metric=metric, num_probes=4,
+                           rerank="xla", refine_scan=True)
+    dp, sp, vp = ivf.query(st, q, 10, metric=metric, num_probes=4,
+                           rerank="pallas", rerank_dots="highest",
+                           refine_scan=True)
+    np.testing.assert_array_equal(np.asarray(vx), np.asarray(vp))
+    np.testing.assert_array_equal(np.asarray(sx), np.asarray(sp))
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dp),
+                               rtol=2e-3, atol=2e-3)
+    # the default recon dot (split-query bf16 hi + qhi lo) may swap
+    # near-ties only
+    d3, s3, v3 = ivf.query(st, q, 10, metric=metric, num_probes=4,
+                           rerank="pallas", refine_scan=True)
+    np.testing.assert_array_equal(np.asarray(vx), np.asarray(v3))
+    overlap = np.mean(np.asarray(sx) == np.asarray(s3))
+    assert overlap >= 0.97, f"recon split dots overlap {overlap}"
+    # the scanned distances describe the reconstruction: spot-check row 0
+    # against a host-side reconstruction of the selected slot
+    recon = (
+        np.asarray(st.vectors).astype(np.float32)
+        * np.asarray(st.scales)[:, None]
+        + np.asarray(st.residual).astype(np.float32)
+        * np.asarray(st.rscales)[:, None]
+    )
+    q0 = np.asarray(q)[0]
+    s0 = int(np.asarray(sp)[0, 0])
+    r = recon[s0]
+    if metric == "cosine":
+        want = 1.0 - float(q0 @ r) / (np.linalg.norm(q0) * np.linalg.norm(r))
+    else:
+        want = float(np.sum((q0 - r) ** 2))
+    assert abs(float(np.asarray(dp)[0, 0]) - want) <= 2e-4 * (1 + abs(want))
+
+
 @pytest.mark.parametrize("dots", ["bf16", "bf16x2"])
 @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
 def test_wave_dots_precision_matches_xla(rng, interp_kernel, dots, dtype):

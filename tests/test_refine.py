@@ -91,12 +91,13 @@ def test_refine_state_and_reconstruction(rng):
     assert (err <= absmax / (127 * 127) + 1e-7).all()
 
 
-def test_refine_true_recall_beats_plain_int8(rng):
+@pytest.mark.parametrize("refine", [4, "scan"])
+def test_refine_true_recall_beats_plain_int8(rng, refine):
     qs, pts, truth = _adversarial(rng)
     plain = IVFIndex(dim=64, metric="sql2", options=_opts(dtype="int8"))
     ids_p = plain.add(pts)
     refined = IVFIndex(
-        dim=64, metric="sql2", options=_opts(dtype="int8", refine=4)
+        dim=64, metric="sql2", options=_opts(dtype="int8", refine=refine)
     )
     ids_r = refined.add(pts)
     r_plain = _recall(plain, qs, truth, ids_p)
@@ -111,9 +112,11 @@ def test_refine_true_recall_beats_plain_int8(rng):
         assert abs(row[0][1] - d_true) < 5e-4
 
 
-def test_refine_cosine_and_exact_path(rng):
+@pytest.mark.parametrize("refine", [4, "scan"])
+def test_refine_cosine_and_exact_path(rng, refine):
     qs, pts, truth = _adversarial_cos(rng, nq=20)
-    idx = IVFIndex(dim=64, metric="cosine", options=_opts(dtype="int8", refine=4))
+    idx = IVFIndex(dim=64, metric="cosine",
+                   options=_opts(dtype="int8", refine=refine))
     ids = idx.add(pts)
     assert _recall(idx, qs, truth, ids) >= 0.95
     # exact (brute-force) search also refines: oversampled coarse scan +
@@ -150,11 +153,12 @@ def test_refine_wire_is_f32(rng):
     assert np.dtype(plain._wire_dtype).itemsize == 2  # bf16 wire
 
 
-def test_refine_sharded(tmp_path, rng):
+@pytest.mark.parametrize("refine", [4, "scan"])
+def test_refine_sharded(tmp_path, rng, refine):
     qs, pts, truth = _adversarial(rng, nq=20)
     ix = ShardedLSHIndex(
         dim=64, metric="sql2",
-        options=_opts(dtype="int8", refine=4), shards=8,
+        options=_opts(dtype="int8", refine=refine), shards=8,
     )
     ids = ix.add(pts)
     assert ix.state.residual is not None
@@ -187,8 +191,9 @@ def test_refine_through_database(tmp_path, rng):
         assert hit / 100 >= 0.95
 
 
+@pytest.mark.parametrize("refine", [4, "scan"])
 @pytest.mark.parametrize("metric", ["sql2", "l2", "cosine"])
-def test_refine_dot_inversion_matches_reconstruction(metric, rng):
+def test_refine_dot_inversion_matches_reconstruction(metric, refine, rng):
     """The refine pass recovers the hi dot by INVERTING the coarse distance
     (distances.mxu_invert_parts) instead of re-gathering v8 — the reported
     distances must still match an exact host-side computation against the
@@ -197,7 +202,8 @@ def test_refine_dot_inversion_matches_reconstruction(metric, rng):
     brute-force path (exact_scan with norms=)."""
     pts = rng.standard_normal((800, 64)).astype(np.float32)
     qs = rng.standard_normal((16, 64)).astype(np.float32)
-    idx = IVFIndex(dim=64, metric=metric, options=_opts(dtype="int8", refine=4))
+    idx = IVFIndex(dim=64, metric=metric,
+                   options=_opts(dtype="int8", refine=refine))
     ids = idx.add(pts)
     slots = idx._slot_ids.live_slots()
     recon = np.asarray(idx._take_rows(slots.astype(np.int32)))  # [N, 64] f32

@@ -170,6 +170,37 @@ def residual_invert_blockdiag(residual, rscales, norms, q, idx, dk):
 
 
 @jax.jit
+def gather_width(slab, idx):
+    """Width-scaling probe: same ROW COUNT, varying row bytes. If the
+    gather is HBM-bandwidth-bound, time scales with width; if it is
+    row-issue-bound (one DMA per row), time is flat and int4 packing
+    would buy nothing."""
+    g = jnp.take(slab, idx, axis=0)
+    return jnp.sum(g.astype(jnp.int32), axis=-1)
+
+
+@jax.jit
+def gather_int4_unpack(packed, rscales, norms, q, idx, dk):
+    """The int4-residual candidate end-to-end: gather [B,KK,D//2] uint8,
+    unpack two nibbles per byte (VPU shifts), one bf16 dot. Compare vs
+    residual_invert_bf16dot — the delta is (half gather bytes) - (unpack
+    cost)."""
+    qn2 = jnp.sum(q * q, axis=-1)[:, None]
+    n2 = jnp.take(norms, idx)
+    dot_c = (1.0 - dk) * jnp.sqrt(jnp.maximum(qn2 * n2, 0.0))
+    p = jnp.take(packed, idx, axis=0)  # [B, KK, D//2] uint8
+    lonib = jnp.bitwise_and(p, jnp.uint8(0x0F)).astype(jnp.int8) - 8
+    hinib = jnp.right_shift(p, jnp.uint8(4)).astype(jnp.int8) - 8
+    r4 = jnp.concatenate([lonib, hinib], axis=-1)  # [B, KK, D] int8
+    lo = jnp.einsum("bd,bkd->bk", q.astype(jnp.bfloat16),
+                    r4.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    dots = dot_c + lo * jnp.take(rscales, idx)
+    den = jax.lax.rsqrt(jnp.maximum(qn2 * n2, 1e-30))
+    return 1.0 - dots * den
+
+
+@jax.jit
 def coarse_probe_equiv(vectors, q):
     """Reference cost: a [B,D]x[D,2048] int8 matmul ~ what P=2 block fetch
     + dots cost per batch (scale context, not apples-to-apples)."""
@@ -186,6 +217,17 @@ timeit("residual_invert_bf16dot", residual_invert_bf16dot,
 timeit("residual_invert_blockdiag", residual_invert_blockdiag,
        residual, rscales, norms, q, idx, dk_fake)
 timeit("single_gather_only", single_gather_only, residual, idx)
+slab_384 = jax.random.randint(k2, (S, 384), -127, 128, dtype=jnp.int8)
+slab_192 = jax.random.randint(k2, (S, 192), -127, 128, dtype=jnp.int8)
+packed = jax.random.randint(k2, (S, D // 2), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+device_sync(packed)
+timeit("gather_width D=768", gather_width, residual, idx)
+timeit("gather_width D=384", gather_width, slab_384, idx)
+timeit("gather_width D=192", gather_width, slab_192, idx)
+timeit("gather_int4_unpack e2e", gather_int4_unpack,
+       packed, rscales, norms, q, idx, dk_fake)
+idx_half = idx[:, :KK // 2]
+timeit("gather rows KK=20", gather_width, residual, idx_half)
 timeit("gather_only", gather_only, vectors, residual, idx)
 timeit("einsum_matvec (shipped)", einsum_matvec, vectors, residual, scales, rscales, q, idx)
 timeit("vpu_mulsum", vpu_mulsum, vectors, residual, scales, rscales, q, idx)

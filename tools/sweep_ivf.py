@@ -47,8 +47,10 @@ ap.add_argument("--probe-sels", default="auto",
                 help="comma list of probe_sel: auto,f32")
 ap.add_argument("--fetches", default="auto",
                 help="comma list of rerank_fetch: auto,tiles,block")
-ap.add_argument("--refine", type=int, default=0,
-                help="int8 residual refinement oversample factor (0 = off)")
+ap.add_argument("--refine", type=lambda v: v if v == "scan" else int(v),
+                default=0,
+                help="int8 residual refine: oversample factor, 'scan' "
+                     "(stream the residual through the probe kernel), 0=off")
 ap.add_argument("--true-recall", action="store_true",
                 help="also score each config vs TRUE f32 neighbours (host oracle)")
 ap.add_argument("--out", default="", help="write sweep rows as a JSON artifact")
@@ -126,16 +128,17 @@ for P in [int(x) for x in args.probes.split(",")]:
               for fetch in args.fetches.split(","):
                 for qb in qbatches:
                     qjb = qj[:qb]
-                    rk = (
-                        int(min(max(args.refine * 10, 26), 1024))
-                        if args.refine > 0 and args.dtype == "int8" else 0
-                    )
+                    rk = rscan = 0
+                    if args.dtype == "int8":
+                        rk = idx.options.refine_k(10)
+                        rscan = idx.options.refine_is_scan()
                     t0 = time.perf_counter()
                     try:
                         d, s, v = V.query(
                             idx.state, qjb, 10, metric=args.metric,
                             num_probes=P, rerank=rr, rerank_dots=dots,
                             probe_sel=psel, rerank_fetch=fetch, refine_k=rk,
+                            refine_scan=rscan,
                         )
                         device_sync(d)
                     except Exception as e:  # OOM/compile: record, keep going
@@ -154,6 +157,7 @@ for P in [int(x) for x in args.probes.split(",")]:
                             idx.state, qjb, 10, metric=args.metric,
                             num_probes=P, rerank=rr, rerank_dots=dots,
                             probe_sel=psel, rerank_fetch=fetch, refine_k=rk,
+                            refine_scan=rscan,
                         )
                     device_sync(d)
                     qps = qb * iters / (time.perf_counter() - t0)

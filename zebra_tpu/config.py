@@ -130,9 +130,17 @@ class IndexOptions:
     #: measure ~0.954 true-f32 recall at 1M x 768; the known limitation this
     #: closes). Costs 1 byte/element extra HBM (total 2B/elem — the same as
     #: bf16) plus a [B, N*k, D] int8 gather + two skinny dots per query.
+    #: ``refine="scan"`` instead STREAMS the residual slab through the probe
+    #: kernel alongside the coarse slab — every scanned row scores against
+    #: the full ~15-bit reconstruction (int8 -> bf16 casts are exact), so
+    #: there is no oversample cutoff and no per-candidate gather pass at
+    #: all; probe traffic is 2 bytes/element (= a bf16 slab's) with BETTER
+    #: than bf16 precision. Prefer "scan" when probes dominate query time
+    #: (large batches), an integer oversample when gathers are cheaper than
+    #: doubling probe bytes (small k, few probes).
     #: Refine-built indexes also ship f32 on the wire (insert AND query):
     #: the residual can only capture precision the wire delivered.
-    refine: int = 0
+    refine: int | str = 0
     #: "data" samples hyperplanes as bisectors of random stored-vector pairs
     #: (the reference's scheme, ``lsh.rs:221-230``); "random" uses Gaussian
     #: projections. "data" generally matches reference recall on clustered data.
@@ -156,6 +164,22 @@ class IndexOptions:
         target = max(1, self.max_node_size)
         b = math.ceil(math.log2(max(n, 2) / target)) if n > target else 1
         return int(min(max(b, 1), 16))
+
+    def refine_enabled(self) -> bool:
+        """True when any residual-refine flavour is on (int factor or "scan")."""
+        if self.refine == "scan":
+            return True
+        return isinstance(self.refine, int) and self.refine > 0
+
+    def refine_is_scan(self) -> bool:
+        return self.refine == "scan"
+
+    def refine_k(self, k: int) -> int:
+        """Oversampled candidate width of the gather-refine pass (0 = off /
+        scan mode, which needs no oversample)."""
+        if not self.refine_enabled() or self.refine_is_scan():
+            return 0
+        return int(min(max(self.refine * k, k + 16), 1024))
 
     def resolved_probes(self) -> int:
         if self.num_probes > 0:

@@ -396,7 +396,7 @@ class BaseVectorIndex:
         capture precision the wire delivered, and a bf16 wire would cap the
         reconstruction at bf16 grade."""
         if self.options.dtype in ("bfloat16", "int8") and not (
-            self.options.dtype == "int8" and getattr(self.options, "refine", 0) > 0
+            self.options.dtype == "int8" and self.options.refine_enabled()
         ):
             import ml_dtypes
 
@@ -596,7 +596,7 @@ class BaseVectorIndex:
             self.options.query_wire == "auto"
             and self.options.dtype != "float32"
             and not (self.options.dtype == "int8"
-                     and getattr(self.options, "refine", 0) > 0)
+                     and self.options.refine_enabled())
         ):
             # reduced-precision slab: bf16 queries halve the upload bytes
             # (the wire bounds facade QPS); device scoring still runs f32.

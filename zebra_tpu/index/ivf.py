@@ -409,7 +409,7 @@ def select_probes(state: IVFState, q32: jnp.ndarray, P: int,
     jax.jit,
     static_argnames=("k", "metric", "num_probes", "rerank", "qchunk",
                      "rerank_dots", "probe_sel", "batch_chunk",
-                     "rerank_fetch", "refine_k"),
+                     "rerank_fetch", "refine_k", "refine_scan"),
 )
 def query(
     state: IVFState,
@@ -425,6 +425,7 @@ def query(
     batch_chunk: int = 0,
     rerank_fetch: str = "auto",
     refine_k: int = 0,
+    refine_scan: bool = False,
 ):
     """Approximate top-k: score centroids -> top-P blocks -> exact re-rank.
 
@@ -445,6 +446,12 @@ def query(
     them exactly against the int8+residual reconstruction (~15-bit values)
     and returns the true top-``k`` — int8 scan bandwidth, ~f32 recall.
 
+    refine_scan (residual-bearing int8 slabs only; overrides refine_k):
+    stream the RESIDUAL slab through the probe scan itself — every scanned
+    row scores against the full reconstruction (2 bytes/element of probe
+    traffic, a bf16 slab's bandwidth at better-than-bf16 precision), no
+    oversample cutoff, no candidate gather pass.
+
     Returns:
       ``(dists [B, k], slots [B, k], valid [B, k])``.
     """
@@ -452,6 +459,9 @@ def query(
     K = state.num_clusters
     C = state.cluster_capacity
     P = min(num_probes, K)
+    scan_res = refine_scan and state.residual is not None
+    if scan_res:
+        refine_k = 0
     kk = refine_k if (state.residual is not None and refine_k > k) else k
 
     # Huge query batches: the centroid stage materialises [B, K] score
@@ -481,7 +491,7 @@ def query(
                 power=power, rerank=rerank, qchunk=qchunk,
                 rerank_dots=rerank_dots, probe_sel=probe_sel,
                 batch_chunk=batch_chunk, rerank_fetch=rerank_fetch,
-                refine_k=refine_k,
+                refine_k=refine_k, refine_scan=refine_scan,
             )
 
         dc, sc_, vc = jax.lax.map(_one, qc)
@@ -522,10 +532,13 @@ def query(
             rerank_dots_r = rerank_dots
         dk, ik, vk = ivf_rerank(
             state, q32, probes.astype(jnp.int32), kk, metric=metric,
-            wave=2 if rerank == "pallas2" else 1, dots=rerank_dots_r,
-            fetch=rerank_fetch,
+            # the residual-streaming kernel is v1-only (v2's one-matmul wave
+            # has no second-slab path; scan mode forces v1 — same results)
+            wave=2 if rerank == "pallas2" and not scan_res else 1,
+            dots=rerank_dots_r, fetch=rerank_fetch, scan_residual=scan_res,
         )
-        dk, ik, vk = _merge_spare(state, q32, dk, ik, vk, kk, metric, power)
+        dk, ik, vk = _merge_spare(state, q32, dk, ik, vk, kk, metric, power,
+                                  scan_res=scan_res)
         return _refine_topk(state, q32, dk, ik, vk, k, metric, power)
 
     # contiguous block reads off the full slab (the spare tail forbids a
@@ -566,11 +579,27 @@ def query(
             )
             if sc is not None:  # dequant after the dot: dot(q, s*v) = s*dot
                 dots = dots * sc
+            if scan_res:
+                # refine="scan": score the full reconstruction — add the
+                # residual term (nrm already holds the refined |value|^2)
+                r8 = take_block(state.residual, Dd)(cl)
+                rs = take_block(state.rscales, 1)(cl)
+                dots = dots + rs * jnp.einsum(
+                    "bd,bcd->bc",
+                    q32,
+                    r8.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             d = D.mxu_from_parts(metric, dots, qn2, nrm)
         else:
             vf = vecs.astype(jnp.float32)
             if sc is not None:
                 vf = vf * sc[..., None]
+            if scan_res:
+                r8 = take_block(state.residual, Dd)(cl)
+                rs = take_block(state.rscales, 1)(cl)
+                vf = vf + r8.astype(jnp.float32) * rs[..., None]
             d = D.rowwise(q32, vf, metric=metric, power=power)
         # k may exceed the C-wide block (lax.top_k rejects k > width): select
         # min(k, C) per probe — merge_topk reselects k from unequal widths
@@ -578,7 +607,8 @@ def query(
         return TK.merge_topk(carry[0], carry[1], carry[2], td, ti, tv, kk), None
 
     (dk, ik, vk), _ = jax.lax.scan(body, init, jnp.arange(P))
-    dk, ik, vk = _merge_spare(state, q32, dk, ik, vk, kk, metric, power)
+    dk, ik, vk = _merge_spare(state, q32, dk, ik, vk, kk, metric, power,
+                              scan_res=scan_res)
     return _refine_topk(state, q32, dk, ik, vk, k, metric, power)
 
 
@@ -631,7 +661,8 @@ def _refine_topk(state: IVFState, q32, dk, ik, vk, k: int, metric: str,
     return TK.masked_topk(jnp.where(vk, d, jnp.inf), vk, ik, k)
 
 
-def _merge_spare(state: IVFState, q32, dk, ik, vk, k: int, metric: str, power: float):
+def _merge_spare(state: IVFState, q32, dk, ik, vk, k: int, metric: str,
+                 power: float, scan_res: bool = False):
     """Fold the shared spare region into partial top-k results.
 
     ``[B, D] x [D, G]`` matmuls streamed once for the whole batch — the
@@ -669,9 +700,15 @@ def _merge_spare(state: IVFState, q32, dk, ik, vk, k: int, metric: str, power: f
             if state.residual is not None
             else None
         )
+        rsd = rsc = None
+        if scan_res:
+            # refine="scan": spare rows score against the reconstruction
+            # too (the probe path has no refine pass to fix them up later)
+            rsd = jax.lax.dynamic_slice_in_dim(state.residual, start, G, axis=0)
+            rsc = jax.lax.dynamic_slice_in_dim(state.rscales, start, G, axis=0)
         td, ti, tv = exact_scan(
             vecs, vl, q32, min(k, G), metric=metric, power=power,
-            chunk=65536, scales=sc, norms=nm,
+            chunk=65536, scales=sc, norms=nm, residual=rsd, rscales=rsc,
         )
         ti = jnp.where(tv, ti + start, -1)
         return TK.merge_topk(dk, ik, vk, td, ti, tv, k)
@@ -693,23 +730,22 @@ def brute_force(
 ):
     """Exact top-k over the whole slab (shared scan op).
 
-    Residual-bearing int8 slabs scan the coarse 1-byte slab for an
-    oversampled candidate set, then re-rank it on the reconstruction —
-    near-exact w.r.t. the stored (refined) values at int8 scan bandwidth.
+    Residual-bearing int8 slabs stream BOTH slabs and score every row
+    against the full reconstruction (exact w.r.t. the stored ~15-bit
+    values; no oversample cutoff) — this is the exactness oracle, so it
+    takes the 2-byte scan over the cheaper coarse-scan-then-refine shape.
     """
     from zebra_tpu.ops.scan import exact_scan
 
-    kk = k
-    norms = None
+    norms = residual = rscales = None
     if state.residual is not None:
-        kk = int(min(max(4 * k, k + 32), state.slab_capacity))
         norms = state.norms  # reconstructed-value contract (see exact_scan)
-    dk, ik, vk = exact_scan(
-        state.vectors, state.valid, q, kk, metric=metric, power=power,
+        residual, rscales = state.residual, state.rscales
+    return exact_scan(
+        state.vectors, state.valid, q, k, metric=metric, power=power,
         chunk=chunk, precision=precision, approx=approx, scales=state.scales,
-        norms=norms,
+        norms=norms, residual=residual, rscales=rscales,
     )
-    return _refine_topk(state, q.astype(jnp.float32), dk, ik, vk, k, metric, power)
 
 
 @jax.jit

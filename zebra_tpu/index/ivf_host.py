@@ -86,9 +86,14 @@ class IVFIndex(BaseVectorIndex):
         metric_power: float = 3.0,
     ):
         super().__init__(dim, metric, options, metric_power)
-        if self.options.refine > 0 and self.options.dtype != "int8":
+        r = self.options.refine
+        if not (r == "scan" or (isinstance(r, int) and r >= 0)):
             raise ValueError(
-                "refine > 0 stores an int8 quantisation residual and needs "
+                f"refine must be a non-negative int or 'scan', got {r!r}"
+            )
+        if self.options.refine_enabled() and self.options.dtype != "int8":
+            raise ValueError(
+                "refine stores an int8 quantisation residual and needs "
                 "dtype='int8' (f32/bf16 slabs have no residual to refine)"
             )
         # Pallas block re-rank DMAs 2-D [C, D] tiles: last dim must be a
@@ -170,7 +175,7 @@ class IVFIndex(BaseVectorIndex):
         cents = self._train_centroids(k, data)
         return V.empty_state(
             cents, cap, spare, dtype=self.dtype,
-            refine=self.options.refine > 0,
+            refine=self.options.refine_enabled(),
         )
 
     def _cold_build(self, vectors, ids) -> bool:
@@ -201,7 +206,7 @@ class IVFIndex(BaseVectorIndex):
         slots = k * self._resolved_capacity(n, k) + self._resolved_spare(n)
         slab_bytes = slots * self._dev_dim * np.dtype(self.dtype).itemsize
         slab_bytes += slots * 9 + k * self._dev_dim * 4  # norms/valid/scales + cents
-        if self.options.refine > 0 and self.options.dtype == "int8":
+        if self.options.refine_enabled() and self.options.dtype == "int8":
             slab_bytes += slots * (self._dev_dim + 4)  # residual + rscales
         batch_bytes = (
             next_pow2(max(spans[0][1], 1))
@@ -242,7 +247,7 @@ class IVFIndex(BaseVectorIndex):
         del sample, train
         self.state = V.empty_state(
             cents, cap, spare, dtype=self.dtype,
-            refine=self.options.refine > 0,
+            refine=self.options.refine_enabled(),
         )
         self._insert_batches(vectors, ids, prestaged=staged)
         return True
@@ -436,13 +441,22 @@ class IVFIndex(BaseVectorIndex):
             rerank_dots=self.options.rerank_dots,
             probe_sel=self.options.probe_sel,
             refine_k=self._refine_k(k),
+            refine_scan=self._refine_scan(),
         )
 
     def _refine_k(self, k: int) -> int:
-        """Oversampled candidate width of the residual refine pass (0 = off)."""
-        if self.options.refine <= 0 or self.state is None or self.state.residual is None:
+        """Oversampled candidate width of the residual refine pass (0 = off /
+        scan mode)."""
+        if self.state is None or self.state.residual is None:
             return 0
-        return int(min(max(self.options.refine * k, k + 16), 1024))
+        return self.options.refine_k(k)
+
+    def _refine_scan(self) -> bool:
+        return (
+            self.options.refine_is_scan()
+            and self.state is not None
+            and self.state.residual is not None
+        )
 
     # -- persistence -----------------------------------------------------------------
 

@@ -71,10 +71,25 @@ def _split_bf16(x32):
 
 def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
                     has_scales: bool = False, dots: str = "highest",
-                    Ct: int = 0, switch_fetch: bool = False):
+                    Ct: int = 0, switch_fetch: bool = False,
+                    has_residual: bool = False):
     assert P % 2 == 0
     assert dots in ("highest", "bf16", "bf16x2", "bf16x3",
                     "bf16x2f", "bf16x3f")
+    assert not (has_residual and switch_fetch)
+    assert not has_residual or has_scales
+    # has_residual ("scan" refine): the int8 RESIDUAL slab streams through
+    # the same DMA waves as the coarse slab (same probes, same sub-tiles),
+    # and every scanned row scores against the full ~15-bit reconstruction
+    #   dot(q, s*v8 + r*r8) = s*dot(q, v8) + r*dot(q, r8)
+    # int8 codes are exactly representable in bf16, so the hi dot rides the
+    # fused split-query issue ([qhi; qlo] x v8 — ~16 query mantissa bits)
+    # and the lo dot needs only qhi (the residual term is ~2^-8 of the
+    # total; the dropped qlo*r8 term is ~2^-16 relative). 3 MXU passes in
+    # 2 issues at 2 bytes/element of probe traffic — a bf16 slab's
+    # bandwidth with better-than-bf16 stored precision, and no
+    # per-candidate gather pass afterwards. dots="highest" instead runs
+    # both dots as exact 6-pass f32 (the bitwise-parity path).
     # Ct > 0: partial fetch — clusters allocate rows as a contiguous prefix
     # [0, counts[c]) of their block (tombstones keep their slot), so the
     # kernel only DMAs the occupied Ct-row sub-tiles (tiles_ref holds
@@ -97,7 +112,11 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
             tiles_ref, rest = rest[0], rest[1:]
         nrm_ref, val_ref, q_ref = rest[:3]
         rest = rest[3:]
-        if has_scales:
+        rsc_ref = res_ref = rbuf0 = rbuf1 = rsem0 = rsem1 = None
+        if has_residual:
+            (sc_ref, rsc_ref, vec_ref, res_ref, outd_ref, outp_ref,
+             buf0, buf1, rbuf0, rbuf1, sem0, sem1, rsem0, rsem1) = rest
+        elif has_scales:
             sc_ref, vec_ref, outd_ref, outp_ref, buf0, buf1, sem0, sem1 = rest
         else:
             vec_ref, outd_ref, outp_ref, buf0, buf1, sem0, sem1 = rest
@@ -105,7 +124,9 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
         qt = q_ref[0]  # [Q, D] (f32; bf16 when dots == "bf16")
         qt32 = qt.astype(jnp.float32)
         qn2 = jnp.sum(qt32 * qt32, axis=1)[:, None]  # [Q, 1]
-        if dots in ("bf16x2", "bf16x3", "bf16x2f", "bf16x3f"):
+        if (has_residual and dots != "highest") or dots in (
+            "bf16x2", "bf16x3", "bf16x2f", "bf16x3f"
+        ):
             # split-precision one-pass dots: q = q_hi + q_lo with both halves
             # bf16. Two bf16 MXU passes recover ~16 mantissa bits of the f32
             # query — vs SIX passes for a full f32 HIGHEST dot (the measured
@@ -116,18 +137,18 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
             # (the dropped qlo*blo term is below f32 rounding).
             qhi, qlo = _split_bf16(qt32)
 
-        def wave_dma(buf, sem, p, qi):
+        def wave_dma(src, buf, sem, p, qi):
             c = probes_ref[0, qi, p]
             return pltpu.make_async_copy(
-                vec_ref.at[pl.ds(c * C, C), :],
+                src.at[pl.ds(c * C, C), :],
                 buf.at[qi],
                 sem.at[qi],
             )
 
-        def subtile_dma(buf, sem, p, qi, ti):
+        def subtile_dma(src, buf, sem, p, qi, ti):
             c = probes_ref[0, qi, p]
             return pltpu.make_async_copy(
-                vec_ref.at[pl.ds(c * C + ti * Ct, Ct), :],
+                src.at[pl.ds(c * C + ti * Ct, Ct), :],
                 buf.at[qi, pl.ds(ti * Ct, Ct), :],
                 sem.at[qi, ti],
             )
@@ -159,37 +180,80 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
                 0,
             )
 
-        def start_wave(buf, sem, p):
+        def start_wave(buf, sem, p, src=None):
+            src = vec_ref if src is None else src
+
             def body(qi, _):
                 if switch_fetch:
                     switch_on_t(buf, sem, p, qi, "start")
                 elif Ct:
                     def tb(ti, _):
-                        subtile_dma(buf, sem, p, qi, ti).start()
+                        subtile_dma(src, buf, sem, p, qi, ti).start()
                         return 0
 
                     jax.lax.fori_loop(0, tiles_ref[0, qi, p], tb, 0)
                 else:
-                    wave_dma(buf, sem, p, qi).start()
+                    wave_dma(src, buf, sem, p, qi).start()
                 return 0
 
             jax.lax.fori_loop(0, Q, body, 0)
 
-        def wait_compute(buf, sem, p):
+        def wait_wave(buf, sem, p, src=None):
+            src = vec_ref if src is None else src
+
             def body(qi, _):
                 if switch_fetch:
                     switch_on_t(buf, sem, p, qi, "wait")
                 elif Ct:
                     def tb(ti, _):
-                        subtile_dma(buf, sem, p, qi, ti).wait()
+                        subtile_dma(src, buf, sem, p, qi, ti).wait()
                         return 0
 
                     jax.lax.fori_loop(0, tiles_ref[0, qi, p], tb, 0)
                 else:
-                    wave_dma(buf, sem, p, qi).wait()
+                    wave_dma(src, buf, sem, p, qi).wait()
                 return 0
 
             jax.lax.fori_loop(0, Q, body, 0)
+
+        def compute_residual(bufv, bufr):
+            # (hi, lo) dot tiles of the reconstruction — see factory note
+            dd = (((1,), (1,)), ((), ()))
+            his, los = [], []
+            for qi in range(Q):
+                if dots == "highest":
+                    his.append(jax.lax.dot_general(
+                        qt32[qi : qi + 1], bufv[qi].astype(jnp.float32),
+                        dimension_numbers=dd,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ))
+                    los.append(jax.lax.dot_general(
+                        qt32[qi : qi + 1], bufr[qi].astype(jnp.float32),
+                        dimension_numbers=dd,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ))
+                else:
+                    qs = jnp.concatenate(
+                        [qhi[qi : qi + 1], qlo[qi : qi + 1]], axis=0
+                    )  # [2, D]
+                    r = jax.lax.dot_general(
+                        qs, bufv[qi].astype(jnp.bfloat16),
+                        dimension_numbers=dd,
+                        preferred_element_type=jnp.float32,
+                    )  # [2, C]
+                    his.append(r[0:1] + r[1:2])
+                    los.append(jax.lax.dot_general(
+                        qhi[qi : qi + 1], bufr[qi].astype(jnp.bfloat16),
+                        dimension_numbers=dd,
+                        preferred_element_type=jnp.float32,
+                    ))
+            return (jnp.concatenate(his, axis=0),
+                    jnp.concatenate(los, axis=0))  # [Q, C] each
+
+        def wait_compute(buf, sem, p):
+            wait_wave(buf, sem, p)
             # Q unrolled small dots — query qi against ITS block only.
             # (A batched-matvec dot_general has no lhs non-contracting dims
             # and Mosaic's TPU_DotDimensionNumbersAttr rejects it; a
@@ -301,19 +365,45 @@ def _kernel_factory(metric: str, Q: int, P: int, C: int, D: int, k: int,
         # Mosaic layout-inference failures at some widths (the reshape:
         # "unsupported shape cast" at P=8, C=128; the reduce: a layout.h
         # CHECK crash).
-        tiles: list = [None] * P
-        start_wave(buf0, sem0, 0)
-        for a in range(0, P, 2):
-            b = a + 1
-            start_wave(buf1, sem1, b)
-            tiles[a] = wait_compute(buf0, sem0, a)  # [Q, C]
-            if a + 2 < P:
-                start_wave(buf0, sem0, a + 2)
-            tiles[b] = wait_compute(buf1, sem1, b)
-        dot = jnp.concatenate(tiles, axis=1)  # [Q, P*C]
-        if sc_ref is not None:
-            # int8 slab: dequantise AFTER the dot (dot(q, s*v) = s*dot(q, v))
-            dot = dot * sc_ref[0]
+        if has_residual:
+            tiles_hi: list = [None] * P
+            tiles_lo: list = [None] * P
+            start_wave(buf0, sem0, 0)
+            start_wave(rbuf0, rsem0, 0, res_ref)
+            for a in range(0, P, 2):
+                b = a + 1
+                start_wave(buf1, sem1, b)
+                start_wave(rbuf1, rsem1, b, res_ref)
+                wait_wave(buf0, sem0, a)
+                wait_wave(rbuf0, rsem0, a, res_ref)
+                tiles_hi[a], tiles_lo[a] = compute_residual(buf0, rbuf0)
+                if a + 2 < P:
+                    start_wave(buf0, sem0, a + 2)
+                    start_wave(rbuf0, rsem0, a + 2, res_ref)
+                wait_wave(buf1, sem1, b)
+                wait_wave(rbuf1, rsem1, b, res_ref)
+                tiles_hi[b], tiles_lo[b] = compute_residual(buf1, rbuf1)
+            # dequantise AFTER the dots: dot(q, s*v8 + r*r8) =
+            # s*dot(q, v8) + r*dot(q, r8); norms hold the refined |value|^2
+            dot = (
+                jnp.concatenate(tiles_hi, axis=1) * sc_ref[0]
+                + jnp.concatenate(tiles_lo, axis=1) * rsc_ref[0]
+            )  # [Q, P*C]
+        else:
+            tiles: list = [None] * P
+            start_wave(buf0, sem0, 0)
+            for a in range(0, P, 2):
+                b = a + 1
+                start_wave(buf1, sem1, b)
+                tiles[a] = wait_compute(buf0, sem0, a)  # [Q, C]
+                if a + 2 < P:
+                    start_wave(buf0, sem0, a + 2)
+                tiles[b] = wait_compute(buf1, sem1, b)
+            dot = jnp.concatenate(tiles, axis=1)  # [Q, P*C]
+            if sc_ref is not None:
+                # int8 slab: dequantise AFTER the dot
+                # (dot(q, s*v) = s*dot(q, v))
+                dot = dot * sc_ref[0]
 
         n2 = nrm_ref[0]  # [Q, P*C] (pre-flattened by the wrapper)
         vmask = val_ref[0] > 0
@@ -788,7 +878,8 @@ def _query_tile(C: int, D: int, itemsize: int) -> int:
 def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_valid,
                       metric: str = "cosine", k: int = 10, interpret: bool = False,
                       cand_scales=None, wave: int = 1, dots: str = "highest",
-                      cand_tiles=None, fetch_kind: str = ""):
+                      cand_tiles=None, fetch_kind: str = "",
+                      residual=None, cand_rscales=None):
     """Fused IVF block re-rank.
 
     Args:
@@ -824,6 +915,12 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
         )
 
     Q = _query_tile(C, D, vectors.dtype.itemsize)
+    has_residual = residual is not None
+    if has_residual:
+        assert wave == 1 and cand_scales is not None and cand_rscales is not None
+        # two slabs stream per wave: halve the per-buffer query depth so the
+        # four wave buffers stay within the same VMEM budget
+        Q = _query_tile(C, D, 2 * vectors.dtype.itemsize)
     padB = (-B) % Q
     if padB:
         q = jnp.pad(q, ((0, padB), (0, 0)))
@@ -832,6 +929,8 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
         cand_valid = jnp.pad(cand_valid, ((0, padB), (0, 0), (0, 0)))
         if cand_scales is not None:
             cand_scales = jnp.pad(cand_scales, ((0, padB), (0, 0), (0, 0)))
+        if cand_rscales is not None:
+            cand_rscales = jnp.pad(cand_rscales, ((0, padB), (0, 0), (0, 0)))
         if cand_tiles is not None:
             cand_tiles = jnp.pad(cand_tiles, ((0, padB), (0, 0)))
     Bp = B + padB
@@ -841,7 +940,7 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
     # (f32/bf16 8, int8 32). C <= 32 has nothing to skip.
     Ct = 32 if (cand_tiles is not None and wave == 1
                 and C % 32 == 0 and C > 32) else 0
-    switch_fetch = bool(Ct) and fetch_kind == "switch"
+    switch_fetch = bool(Ct) and fetch_kind == "switch" and not has_residual
 
     reduced = vectors.dtype in (jnp.bfloat16, jnp.int8)
     if wave == 2:
@@ -852,7 +951,8 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
     else:
         kernel = _kernel_factory(metric, Q, P, C, D, k,
                                  has_scales=cand_scales is not None, dots=dots,
-                                 Ct=Ct, switch_fetch=switch_fetch)
+                                 Ct=Ct, switch_fetch=switch_fetch,
+                                 has_residual=has_residual)
     probes4 = probes.reshape(Bp // Q, Q, P)
     # flatten the probe axis OUTSIDE the kernel (XLA reshapes are free;
     # in-kernel lane merges are not Mosaic-safe at every width)
@@ -883,8 +983,16 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
             pl.BlockSpec((1, Q, P * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         )
         inputs.append(cand_scales.reshape(Bp // Q, Q, P * C))
+    if has_residual:
+        in_specs.append(
+            pl.BlockSpec((1, Q, P * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(cand_rscales.reshape(Bp // Q, Q, P * C))
     in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # slab stays in HBM
     inputs.append(vectors)
+    if has_residual:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        inputs.append(residual)
 
     out_d, out_p = pl.pallas_call(
         kernel,
@@ -898,16 +1006,14 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
             jax.ShapeDtypeStruct((Bp // Q, Q, OUT_K), jnp.float32),
             jax.ShapeDtypeStruct((Bp // Q, Q, OUT_K), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((Q, C, D), vectors.dtype),
-            pltpu.VMEM((Q, C, D), vectors.dtype),
-            pltpu.SemaphoreType.DMA(
-                (Q, C // Ct) if Ct and not switch_fetch else (Q,)
-            ),
-            pltpu.SemaphoreType.DMA(
-                (Q, C // Ct) if Ct and not switch_fetch else (Q,)
-            ),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((Q, C, D), vectors.dtype)] * (4 if has_residual else 2)
+            + [
+                pltpu.SemaphoreType.DMA(
+                    (Q, C // Ct) if Ct and not switch_fetch else (Q,)
+                )
+            ] * (4 if has_residual else 2)
+        ),
         interpret=interpret,
     )(*inputs)
 
@@ -919,7 +1025,8 @@ def pallas_ivf_rerank(vectors, cluster_capacity, q, probes, cand_norms, cand_val
 
 
 def ivf_rerank(state, q32, probes, k, metric: str = "cosine", wave: int = 1,
-               dots: str = "highest", fetch: str = "auto"):
+               dots: str = "highest", fetch: str = "auto",
+               scan_residual: bool = False):
     """Adapter used by :func:`zebra_tpu.index.ivf.query`: gathers the probed
     blocks' norms/validity (tiny [B, P, C] f32 arrays), pads the probe axis to
     an even width, runs the kernel, and maps positions -> slab slots.
@@ -970,10 +1077,17 @@ def ivf_rerank(state, q32, probes, k, metric: str = "cosine", wave: int = 1,
     if state.scales is not None:  # int8 slab: per-row dequant scales
         sc2d = jax.lax.slice(state.scales, (0,), (K * C,)).reshape(K, C)
         sc = jnp.take(sc2d, probes, axis=0)
+    res = rsc = None
+    if scan_residual and state.residual is not None:
+        # refine="scan": stream the residual slab through the same waves
+        rsc2d = jax.lax.slice(state.rscales, (0,), (K * C,)).reshape(K, C)
+        rsc = jnp.take(rsc2d, probes, axis=0)
+        res = state.residual
     d, pos = pallas_ivf_rerank(
         state.vectors, C, q32, probes.astype(jnp.int32), nrm, val,
         metric=metric, k=k, cand_scales=sc, wave=wave, dots=dots,
         cand_tiles=cand_tiles, fetch_kind=fetch,
+        residual=res, cand_rscales=rsc,
     )
     valid = pos >= 0
     posc = jnp.clip(pos, 0, probes.shape[1] * C - 1)

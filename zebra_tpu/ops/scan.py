@@ -33,6 +33,8 @@ def exact_scan(
     approx: bool = False,
     scales: jnp.ndarray | None = None,
     norms: jnp.ndarray | None = None,
+    residual: jnp.ndarray | None = None,
+    rscales: jnp.ndarray | None = None,
 ):
     """Exact (or approx-top-k) scan of the whole slab.
 
@@ -53,6 +55,10 @@ def exact_scan(
         (``state.norms`` stores the refined |value|^2; the coarse rows
         alone would disagree with the probe kernel and break the refine
         pass's dot inversion, see distances.mxu_invert_parts).
+      residual, rscales: optional ``[S, D]`` int8 residual slab + ``[S]``
+        scales (refine="scan"): each streamed chunk scores against the full
+        reconstruction ``scales*vectors + rscales*residual`` (~15-bit
+        values; norms must also be given for MXU metrics).
 
     Returns:
       ``(dists [B, k], slots [B, k], valid [B, k])``.
@@ -80,6 +86,10 @@ def exact_scan(
         if scales is not None:  # int8 slab: dequantise the streamed chunk
             sc = jax.lax.dynamic_slice_in_dim(scales, start, chunk, axis=0)
             vecs = vecs.astype(jnp.float32) * sc[:, None]
+            if residual is not None:  # refine="scan": full reconstruction
+                r8 = jax.lax.dynamic_slice_in_dim(residual, start, chunk, axis=0)
+                rs = jax.lax.dynamic_slice_in_dim(rscales, start, chunk, axis=0)
+                vecs = vecs + r8.astype(jnp.float32) * rs[:, None]
         if norms is not None and metric in D.MXU_METRICS:
             xn2 = jax.lax.dynamic_slice_in_dim(norms, start, chunk, axis=0)
             dots = jnp.dot(

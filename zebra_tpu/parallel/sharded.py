@@ -193,11 +193,11 @@ def _sharded_query_lsh(mesh, state, q, k, metric, num_probes, power, chunk,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "k", "metric", "num_probes", "rerank",
-                     "rerank_dots", "probe_sel", "refine_k"),
+                     "rerank_dots", "probe_sel", "refine_k", "refine_scan"),
 )
 def _sharded_query_ivf(mesh, state, q, k, metric, num_probes, power,
                        rerank="xla", rerank_dots="auto", probe_sel="auto",
-                       refine_k=0):
+                       refine_k=0, refine_scan=False):
     """IVF variant: per-shard probe + re-rank, ICI all-gather top-k merge."""
     S = mesh.shape[SHARD_AXIS]
 
@@ -206,7 +206,7 @@ def _sharded_query_ivf(mesh, state, q, k, metric, num_probes, power,
         d, s, v = V.query(
             st, q, k, metric=metric, num_probes=num_probes, power=power,
             rerank=rerank, rerank_dots=rerank_dots, probe_sel=probe_sel,
-            refine_k=refine_k,
+            refine_k=refine_k, refine_scan=refine_scan,
         )
         shard = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
         gid = jnp.where(v, s * S + shard, -1)
@@ -303,9 +303,9 @@ class ShardedIndex(BaseVectorIndex):
         super().__init__(dim, metric, options, metric_power)
         if self.options.dtype == "int8" and self.options.index_type != "ivf":
             raise ValueError("dtype='int8' is supported by the ivf backend only")
-        if self.options.refine > 0 and self.options.dtype != "int8":
+        if self.options.refine_enabled() and self.options.dtype != "int8":
             raise ValueError(
-                "refine > 0 stores an int8 quantisation residual and needs "
+                "refine stores an int8 quantisation residual and needs "
                 "dtype='int8' (f32/bf16 slabs have no residual to refine)"
             )
         if self.options.rerank in ("pallas", "pallas2"):
@@ -468,7 +468,8 @@ class ShardedIndex(BaseVectorIndex):
                 balance_rounds=self.options.kmeans_balance_rounds,
             )
         return V.empty_state(
-            cents, C, G, dtype=self.dtype, refine=self.options.refine > 0
+            cents, C, G, dtype=self.dtype,
+            refine=self.options.refine_enabled(),
         )
 
     def _fresh_shard_lsh(self, per: int, data) -> "B.IndexState":
@@ -708,14 +709,16 @@ class ShardedIndex(BaseVectorIndex):
                 approx=self.options.approx_topk,
             )
         if self._ivf:
-            refine_k = 0
-            if self.options.refine > 0 and self.state.residual is not None:
-                refine_k = int(min(max(self.options.refine * k, k + 16), 1024))
+            refine_k = refine_scan = 0
+            if self.state.residual is not None:
+                refine_k = self.options.refine_k(k)
+                refine_scan = self.options.refine_is_scan()
             return _sharded_query_ivf(
                 self.mesh, self.state, qj, k, self.metric,
                 self.options.resolved_probes(), self.metric_power,
                 rerank=rerank, rerank_dots=self.options.rerank_dots,
                 probe_sel=self.options.probe_sel, refine_k=refine_k,
+                refine_scan=refine_scan,
             )
         return _sharded_query_lsh(
             self.mesh, self.state, qj, k, self.metric,
