@@ -44,9 +44,12 @@ class VitImageModel(BaseModel):
     dim = DIM_VIT_BASE_PATCH16_224
     name = "vit-base-patch16-224"
 
-    def __init__(self, mode: str = "embeddings_mean", batch_size: int = 32):
+    def __init__(self, mode: str = "embeddings_mean", batch_size: int = 32,
+                 mesh=None):
         self.mode = mode
         self.batch_size = batch_size
+        #: optional ("data", "model") Mesh for a tensor-parallel tower
+        self.mesh = mesh
 
     def embed_documents(self, documents: list[bytes]) -> np.ndarray:
         out = np.empty((len(documents), self.dim), dtype=np.float32)
@@ -56,7 +59,9 @@ class VitImageModel(BaseModel):
             pixels = np.zeros((self.batch_size, IMAGE_SIZE, IMAGE_SIZE, 3), np.float32)
             for i, d in enumerate(batch):
                 pixels[i] = load_image224(d)
-            out[start : start + len(batch)] = embed_pixels(pixels, mode=self.mode)[: len(batch)]
+            out[start : start + len(batch)] = embed_pixels(
+                pixels, mode=self.mode, mesh=self.mesh
+            )[: len(batch)]
         return out
 
     def status(self) -> dict:

@@ -236,14 +236,29 @@ class BGESmallEn15(BaseModel):
     dim = DIM_BGESMALL_EN_1_5
     name = "bge-small-en-v1.5"
 
-    def __init__(self, batch_size: int = 64, seed: int = 0):
+    def __init__(self, batch_size: int = 64, seed: int = 0, mesh=None):
         self.batch_size = batch_size
         self.seed = seed
+        #: optional ("data", "model") Mesh — tensor-parallel tower (SURVEY
+        #: §2(c); see parallel/towers.py). None = single-device jit.
+        self.mesh = mesh
+        self._tp = None
+
+    def _forward(self):
+        """(apply_fn, params) — tensor-parallel over ``self.mesh`` if set."""
+        apply_fn, params = _encoder(self.seed)
+        if self.mesh is None:
+            return apply_fn, params
+        if self._tp is None:
+            from zebra_tpu.parallel.towers import shard_tower
+
+            self._tp = shard_tower(apply_fn, params, self.mesh)
+        return self._tp
 
     def embed_documents(self, documents: list[bytes]) -> np.ndarray:
         texts = [d.decode("utf-8", errors="replace") for d in documents]
         tokenize = _tokenizer()
-        apply_fn, params = _encoder(self.seed)
+        apply_fn, params = self._forward()
         out = np.empty((len(texts), self.dim), dtype=np.float32)
         for start in range(0, len(texts), self.batch_size):
             chunk = texts[start : start + self.batch_size]

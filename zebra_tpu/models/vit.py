@@ -202,7 +202,24 @@ def load_vit_weights(path: str, params, mode: str = "encoder_cls"):
     return params, m.report(ignored)
 
 
-def embed_pixels(pixels: np.ndarray, mode: str = "embeddings_mean", seed: int = 0):
-    """``[n, 224, 224, 3]`` float32 (ImageNet-normalised) -> ``[n, 768]``."""
+#: tensor-parallel tower cache: (mode, seed, mesh id) -> (apply, params)
+_TP_CACHE: dict = {}
+
+
+def embed_pixels(pixels: np.ndarray, mode: str = "embeddings_mean", seed: int = 0,
+                 mesh=None):
+    """``[n, 224, 224, 3]`` float32 (ImageNet-normalised) -> ``[n, 768]``.
+
+    ``mesh``: optional ("data", "model") Mesh — runs the tower tensor-
+    parallel (SURVEY §2(c), parallel/towers.py); batch must divide the
+    data axis. None = single-device jit.
+    """
     apply_fn, params = _tower_and_params(mode, seed)
+    if mesh is not None:
+        key = (mode, seed, id(mesh))
+        if key not in _TP_CACHE:
+            from zebra_tpu.parallel.towers import shard_tower
+
+            _TP_CACHE[key] = shard_tower(apply_fn, params, mesh)
+        apply_fn, params = _TP_CACHE[key]
     return np.asarray(apply_fn(params, jnp.asarray(pixels)))

@@ -1,0 +1,121 @@
+"""Tensor-parallel embedding towers: GSPMD-sharded BERT/ViT inference.
+
+The reference has no model parallelism at all — its towers run single-device
+through ONNX/candle (``src/model/text.rs:15-24``, ``src/model/image.rs:60-72``)
+and SURVEY §2(c) records the gap. This module closes it the TPU way: instead
+of hand-written collective code, the tower's parameters are annotated with
+``PartitionSpec``s over a 2-D ``("data", "model")`` mesh and the SAME flax
+module is jitted under those shardings — XLA's SPMD partitioner inserts the
+all-reduces (one per attention block + one per MLP, riding ICI).
+
+Sharding layout (Megatron-style, the standard TP decomposition):
+
+  - attention q/k/v kernels ``[H, heads, hd]`` split on the *heads* axis;
+    the output projection ``[heads, hd, H]`` splits its *input* heads axis,
+    so each device computes a partial output summed by one psum.
+  - MLP ``fc1 [H, FFN]`` splits the FFN (output) axis, ``fc2 [FFN, H]``
+    splits the FFN (input) axis — again one psum per block.
+  - embeddings / layernorms / biases into replicated space stay replicated
+    (tiny next to the matmuls).
+  - activations shard on batch over ``"data"`` — DP and TP compose in one
+    ``jit``.
+
+Both towers (``models.text.BertEncoder``, ``models.vit.VitTower``) use the
+same layer naming (``attn.{query,key,value,out}``, ``fc1``/``fc2``), so one
+rule table serves both.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_tower_mesh(n_model: int, n_data: int = 0, devices=None) -> Mesh:
+    """2-D ``("data", "model")`` mesh: TP within a replica, DP across them.
+
+    ``n_data=0`` uses every remaining device (``len(devices) // n_model``).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_model < 1 or n_model > len(devices):
+        raise ValueError(f"n_model={n_model} with {len(devices)} devices")
+    if not n_data:
+        n_data = len(devices) // n_model
+    need = n_data * n_model
+    if need > len(devices):
+        raise ValueError(f"{n_data}x{n_model} mesh needs {need} devices, "
+                         f"have {len(devices)}")
+    grid = np.array(devices[:need]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def _leaf_spec(path: tuple[str, ...], ndim: int) -> P:
+    """PartitionSpec for one parameter leaf, by flax module path.
+
+    Rules follow the Megatron decomposition documented in the module
+    docstring; anything unmatched is replicated (embeddings, layernorms,
+    biases landing in replicated space, conv patch kernels).
+    """
+    if "attn" in path:
+        name = path[-2] if len(path) >= 2 else ""
+        leaf = path[-1]
+        if name in ("query", "key", "value"):
+            if leaf == "kernel" and ndim == 3:  # [H, heads, hd]
+                return P(None, MODEL_AXIS, None)
+            if leaf == "bias" and ndim == 2:  # [heads, hd]
+                return P(MODEL_AXIS, None)
+        if name == "out" and leaf == "kernel" and ndim == 3:  # [heads, hd, H]
+            return P(MODEL_AXIS, None, None)
+        return P()
+    if len(path) >= 2 and path[-2] == "fc1":
+        if path[-1] == "kernel":  # [H, FFN]
+            return P(None, MODEL_AXIS)
+        return P(MODEL_AXIS)  # bias [FFN]
+    if len(path) >= 2 and path[-2] == "fc2" and path[-1] == "kernel":
+        return P(MODEL_AXIS, None)  # [FFN, H]
+    return P()
+
+
+def tower_param_shardings(params, mesh: Mesh):
+    """Pytree of ``NamedSharding`` matching ``params``' structure."""
+
+    def one(path, leaf):
+        names = tuple(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in path
+        )
+        return NamedSharding(mesh, _leaf_spec(names, jnp.ndim(leaf)))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_tower(apply_fn, params, mesh: Mesh):
+    """Return ``(tp_apply, tp_params)``: the tower jitted over ``mesh``.
+
+    ``apply_fn(params, *inputs)`` must be the tower's forward (first input's
+    leading axis is batch). Parameters are placed under the TP layout;
+    inputs/outputs shard on batch over ``"data"``. The batch must be a
+    multiple of the data-axis size (callers pad — ``embed_documents`` already
+    pads to ``batch_size``).
+    """
+    pshard = tower_param_shardings(params, mesh)
+    tp_params = jax.device_put(params, pshard)
+    dsh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def put_inputs(args):
+        return tuple(jax.device_put(a, dsh) for a in args)
+
+    # in_shardings are inferred from the placed arrays; only the output
+    # placement (batch-sharded embeddings) needs pinning.
+    jfn = jax.jit(
+        apply_fn, out_shardings=NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+
+    def tp_apply(p, *inputs):
+        return jfn(p, *put_inputs(inputs))
+
+    return tp_apply, tp_params
