@@ -227,9 +227,12 @@ class VitAudioModel(BaseModel):
     dim = DIM_VIT_BASE_PATCH16_224
     name = "vit-audio"
 
-    def __init__(self, mode: str = "embeddings_mean", batch_size: int = 16):
+    def __init__(self, mode: str = "embeddings_mean", batch_size: int = 16,
+                 mesh=None):
         self.mode = mode
         self.batch_size = batch_size
+        #: optional ("data", "model") Mesh for a tensor-parallel tower
+        self.mesh = mesh
 
     def embed_documents(self, documents: list[bytes]) -> np.ndarray:
         out = np.empty((len(documents), self.dim), dtype=np.float32)
@@ -238,7 +241,9 @@ class VitAudioModel(BaseModel):
             pixels = np.zeros((self.batch_size, IMAGE_SIZE, IMAGE_SIZE, 3), np.float32)
             for i, d in enumerate(batch):
                 pixels[i] = audio_to_image_tensor224(d)
-            out[start : start + len(batch)] = embed_pixels(pixels, mode=self.mode)[: len(batch)]
+            out[start : start + len(batch)] = embed_pixels(
+                pixels, mode=self.mode, mesh=self.mesh
+            )[: len(batch)]
         return out
 
     def status(self) -> dict:
