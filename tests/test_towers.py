@@ -104,6 +104,28 @@ def test_image_model_with_mesh(mesh):
     np.testing.assert_allclose(got[0], got[1], atol=1e-6)
 
 
+def test_audio_model_with_mesh(mesh):
+    """VitAudioModel end-to-end (decode -> spectrogram -> TP tower)."""
+    import io
+    import wave
+
+    from zebra_tpu.models.audio import VitAudioModel
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(16000)
+    t = np.arange(16000)
+    w.writeframes((np.sin(2 * np.pi * 440 * t / 16000) * 20000)
+                  .astype(np.int16).tobytes())
+    w.close()
+    data = buf.getvalue()
+    ref = VitAudioModel(batch_size=2).embed_documents([data])
+    got = VitAudioModel(batch_size=2, mesh=mesh).embed_documents([data])
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=5e-4)
+
+
 def test_shardings_cover_every_leaf(mesh):
     """tower_param_shardings returns a sharding for every param leaf and
     never invents axes a leaf cannot carry."""
