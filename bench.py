@@ -204,16 +204,21 @@ def main():
     #: TPU-fast path) or "lsh" (reference-parity bucket tables)
     ap.add_argument("--index", choices=["ivf", "lsh"], default="ivf")
     ap.add_argument("--rerank", choices=["pallas", "pallas2", "xla"], default="pallas")
-    #: bf16 slab: halves DMA traffic and wire bytes; re-rank math stays f32
-    #: (measured 1M x 768: P=4 267.8k QPS @ recall 0.9984; P=2 344k @ 0.9953)
-    ap.add_argument("--dtype", choices=["float32", "bfloat16", "int8"], default="bfloat16")
+    #: slab dtype; unset resolves per mode below. The ann headline tier is
+    #: int8 + refine="scan" (coarse int8 + int8 residual slab streamed
+    #: through the probe kernel: ~15-bit effective precision at 2 B/elem —
+    #: bf16's bandwidth, better-than-bf16 stored precision, measured
+    #: r3_sweep_int8_scan.json); other modes keep bf16.
+    ap.add_argument("--dtype", choices=["float32", "bfloat16", "int8"], default=None)
     #: int8 residual refinement (dtype=int8 only): oversample factor N > 1
     #: stores the second int8 residual slab and exactly re-ranks N*k
     #: candidates — int8 scan bandwidth with ~f32-grade TRUE recall
     #: (plain int8 truth recall is ~0.954 at 1M x 768). 0 = off;
     #: "scan" streams the residual slab through the probe kernel instead
-    #: (2 B/elem probe traffic, no oversample, no gather pass).
-    ap.add_argument("--refine", type=_refine_arg, default=0)
+    #: (2 B/elem probe traffic, no oversample, no gather pass; strictly
+    #: dominates the gather pass: 505.4k vs 338.9k QPS at identical truth
+    #: 0.9988, P=4/65k). Unset resolves to "scan" for the int8 ann tier.
+    ap.add_argument("--refine", type=_refine_arg, default=None)
     # 10 tables x 8 probes: +40% QPS over the reference-parity 15 tables at
     # recall@10 ~0.98 on 200k clustered (tools/sweep2.py)
     ap.add_argument("--tables", type=int, default=10)
@@ -237,15 +242,28 @@ def main():
     #: also measure recall against TRUE f32 neighbours (host oracle, ~1min)
     ap.add_argument("--true-recall", action="store_true")
     args = ap.parse_args()
+    if args.dtype is None:
+        # ann headline tier: int8 coarse + int8 residual, refine="scan".
+        # Truth recall 0.9922 at P=2 BEATS the previous bf16-P=4 headline's
+        # 0.9891 while posting more QPS (598.8k vs 540.9k @ qbatch 16384,
+        # r3_sweep_int8_scan.json vs r3_ann_bf16_p4_tiles.json) — better on
+        # both axes, at bf16's memory footprint. Other modes keep bf16.
+        args.dtype = "int8" if (args.mode == "ann" and args.index == "ivf") \
+            else "bfloat16"
+    if args.refine is None:
+        args.refine = "scan" if (
+            args.mode == "ann" and args.index == "ivf" and args.dtype == "int8"
+        ) else 0
     if args.probes <= 0:
         # the headline measures the LIBRARY defaults (round-2 verdict weak
-        # #1: a headline users don't get by default isn't a headline). IVF
-        # ann resolves to P=4 — the recall-first shipped default: measured
-        # 1M x 768 bf16 (bf16x2 dots + 2-stage probe_sel) 308.3k QPS @
-        # in-slab recall 1.0 / true-f32 0.9891 (r3_ann_bf16_p4_x2ps.json).
-        # The P=2 throughput point (334.5k @ 0.9977, r3_ann_bf16_p2_x2ps
-        # .json) stays one recorded `--probes 2` away. CRUD churn keeps P=8.
-        args.probes = (4 if args.mode == "ann" else 8) if args.index == "ivf" else 10
+        # #1: a headline users don't get by default isn't a headline) —
+        # IndexOptions.resolved_probes returns 2 for the refine="scan" tier
+        # (its truth recall at P=2 exceeds the old P=4 bf16 headline's) and
+        # 4 otherwise. CRUD churn keeps P=8.
+        if args.mode == "ann" and args.index == "ivf":
+            args.probes = 2 if args.refine == "scan" else 4
+        else:
+            args.probes = 8 if args.index == "ivf" else 10
 
     import jax
     import jax.numpy as jnp

@@ -184,7 +184,14 @@ class IndexOptions:
     def resolved_probes(self) -> int:
         if self.num_probes > 0:
             return self.num_probes
-        return 4 if self.index_type == "ivf" else 10
+        if self.index_type == "ivf":
+            # refine="scan" scores every probed row at ~15-bit effective
+            # precision, so its truth recall at P=2 (0.9922 at 1M x 768)
+            # already exceeds the bf16 P=4 tier's (0.9891) — the auto
+            # default spends the saved bandwidth on throughput
+            # (r3_sweep_int8_scan.json).
+            return 2 if self.refine_is_scan() else 4
+        return 10
 
     def resolved_bucket_capacity(self) -> int:
         if self.index_type == "flat":
