@@ -257,11 +257,15 @@ def main():
     if args.probes <= 0:
         # the headline measures the LIBRARY defaults (round-2 verdict weak
         # #1: a headline users don't get by default isn't a headline) —
-        # IndexOptions.resolved_probes returns 2 for the refine="scan" tier
-        # (its truth recall at P=2 exceeds the old P=4 bf16 headline's) and
-        # 4 otherwise. CRUD churn keeps P=8.
-        if args.mode == "ann" and args.index == "ivf":
-            args.probes = 2 if args.refine == "scan" else 4
+        # ask IndexOptions.resolved_probes directly so the bench can never
+        # silently diverge from the library's policy (round-3 advisor #4).
+        # CRUD churn keeps P=8.
+        if args.mode == "ann":
+            from zebra_tpu.config import IndexOptions as _IO
+
+            args.probes = _IO(
+                index_type=args.index, dtype=args.dtype, refine=args.refine
+            ).resolved_probes()
         else:
             args.probes = 8 if args.index == "ivf" else 10
 

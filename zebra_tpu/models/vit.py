@@ -202,8 +202,13 @@ def load_vit_weights(path: str, params, mode: str = "encoder_cls"):
     return params, m.report(ignored)
 
 
-#: tensor-parallel tower cache: (mode, seed, mesh id) -> (apply, params)
+#: tensor-parallel tower cache: (mode, seed, mesh) -> (apply, params).
+#: Keyed on the Mesh VALUE (hashable), not id(): an id can be recycled by a
+#: new Mesh with a different layout after GC, returning params placed under
+#: the wrong sharding (round-3 advisor finding #3); the key also keeps the
+#: mesh alive while cached. Bounded — a layout change evicts the oldest.
 _TP_CACHE: dict = {}
+_TP_CACHE_MAX = 8
 
 
 def embed_pixels(pixels: np.ndarray, mode: str = "embeddings_mean", seed: int = 0,
@@ -216,10 +221,12 @@ def embed_pixels(pixels: np.ndarray, mode: str = "embeddings_mean", seed: int = 
     """
     apply_fn, params = _tower_and_params(mode, seed)
     if mesh is not None:
-        key = (mode, seed, id(mesh))
+        key = (mode, seed, mesh)
         if key not in _TP_CACHE:
             from zebra_tpu.parallel.towers import shard_tower
 
+            while len(_TP_CACHE) >= _TP_CACHE_MAX:
+                _TP_CACHE.pop(next(iter(_TP_CACHE)))
             _TP_CACHE[key] = shard_tower(apply_fn, params, mesh)
         apply_fn, params = _TP_CACHE[key]
     return np.asarray(apply_fn(params, jnp.asarray(pixels)))

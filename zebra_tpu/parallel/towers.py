@@ -98,16 +98,25 @@ def shard_tower(apply_fn, params, mesh: Mesh):
 
     ``apply_fn(params, *inputs)`` must be the tower's forward (first input's
     leading axis is batch). Parameters are placed under the TP layout;
-    inputs/outputs shard on batch over ``"data"``. The batch must be a
-    multiple of the data-axis size (callers pad — ``embed_documents`` already
-    pads to ``batch_size``).
+    inputs/outputs shard on batch over ``"data"``. Batches that don't divide
+    the data-axis size are padded here (edge-replicated rows, numerically
+    benign) and the output is trimmed back — callers never see the
+    divisibility constraint (round-3 advisor findings #1/#2).
     """
     pshard = tower_param_shardings(params, mesh)
     tp_params = jax.device_put(params, pshard)
     dsh = NamedSharding(mesh, P(DATA_AXIS))
+    n_data = mesh.shape[DATA_AXIS]
 
     def put_inputs(args):
-        return tuple(jax.device_put(a, dsh) for a in args)
+        b = args[0].shape[0]
+        pad = (-b) % n_data
+        if pad:
+            args = tuple(
+                jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+                for a in args
+            )
+        return b, tuple(jax.device_put(a, dsh) for a in args)
 
     # in_shardings are inferred from the placed arrays; only the output
     # placement (batch-sharded embeddings) needs pinning.
@@ -116,6 +125,8 @@ def shard_tower(apply_fn, params, mesh: Mesh):
     )
 
     def tp_apply(p, *inputs):
-        return jfn(p, *put_inputs(inputs))
+        b, placed = put_inputs(inputs)
+        out = jfn(p, *placed)
+        return out[:b] if out.shape[0] != b else out
 
     return tp_apply, tp_params
