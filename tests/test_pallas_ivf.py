@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import pytest
 
 import zebra_tpu.ops.pallas_ivf as PI
+import zebra_tpu.ops.experimental_ivf as PX
 from zebra_tpu.index import ivf
 from zebra_tpu.ops.kmeans import kmeans
 
@@ -292,8 +293,8 @@ def test_wave_v3_aug_matches_xla(rng, metric, dtype):
     score = DD.pairwise(q32, st.centroids, metric=sel, precision="default")
     _, probes = jax.lax.top_k(-score, 4)
 
-    vec_aug = PI.augment_slab(st.vectors, st.norms, st.valid, metric)
-    d3, s3, v3 = PI.ivf_rerank_aug(
+    vec_aug = PX.augment_slab(st.vectors, st.norms, st.valid, metric)
+    d3, s3, v3 = PX.ivf_rerank_aug(
         vec_aug, st.cluster_capacity, q32, probes.astype(jnp.int32), 10,
         metric=metric, interpret=True,
     )
@@ -304,7 +305,7 @@ def test_wave_v3_aug_matches_xla(rng, metric, dtype):
     # is the adapter's documented property, not a kernel bug)
     C = st.cluster_capacity
     va = np.asarray(vec_aug, dtype=np.float32)
-    w = np.asarray(PI.aug_query(q32, metric))
+    w = np.asarray(PX.aug_query(q32, metric))
     pr = np.asarray(probes)
     for b in range(32):
         cand_slots = np.concatenate([np.arange(c * C, (c + 1) * C) for c in pr[b]])
@@ -347,8 +348,8 @@ def test_wave_v3_underfull(rng):
 
     score = DD.pairwise(q32, st.centroids, metric="cosine", precision="default")
     _, probes = jax.lax.top_k(-score, 8)
-    vec_aug = PI.augment_slab(st.vectors, st.norms, st.valid, "cosine")
-    d, s, v = PI.ivf_rerank_aug(
+    vec_aug = PX.augment_slab(st.vectors, st.norms, st.valid, "cosine")
+    d, s, v = PX.ivf_rerank_aug(
         vec_aug, st.cluster_capacity, q32, probes.astype(jnp.int32), 10,
         metric="cosine", interpret=True,
     )

@@ -24,6 +24,7 @@ import numpy as np
 from zebra_tpu.index import ivf
 from zebra_tpu.ops import distances as D
 from zebra_tpu.ops import pallas_ivf as PI
+from zebra_tpu.ops import experimental_ivf as PX
 
 K, C, Ddim, B, P, k = 16384, 128, 768, 1024, 4, 10
 DT = jnp.bfloat16
@@ -53,7 +54,7 @@ def make_state(kv):
 
 st = make_state(kv)
 q = jax.random.normal(kq, (B, Ddim), dtype=jnp.float32)
-vec_aug = PI.augment_slab(st.vectors, st.norms, st.valid, "cosine")
+vec_aug = PX.augment_slab(st.vectors, st.norms, st.valid, "cosine")
 device_sync(vec_aug)
 print(
     f"state ready: slab {st.vectors.shape} {st.vectors.dtype}, "
@@ -102,13 +103,13 @@ def full_v1_nogather(st, q):
 @jax.jit
 def full_v3(st_vec_aug, st, q):
     probes = centroid_topP(st, q)
-    return PI.ivf_rerank_aug(st_vec_aug, C, q, probes, k, metric="cosine")
+    return PX.ivf_rerank_aug(st_vec_aug, C, q, probes, k, metric="cosine")
 
 
 @jax.jit
 def full_v3_bf16(st_vec_aug, st, q):
     probes = centroid_topP(st, q)
-    return PI.ivf_rerank_aug(
+    return PX.ivf_rerank_aug(
         st_vec_aug, C, q, probes, k, metric="cosine", exact=False
     )
 
