@@ -92,3 +92,42 @@ def test_uuid7_batch_format_and_uniqueness():
     one = uuid7_bytes()
     assert one[6] >> 4 == 0x7 and one[8] >> 6 == 0b10
     assert uuid7_batch(0) == []
+
+
+def test_auto_tier_resolution():
+    """The bare defaults ARE the measured headline tier (round-3 verdict
+    #2): "auto" knobs resolve at index construction, keyed on the ACTUAL
+    backend class, and the manifest keeps the user's "auto" so each process
+    re-resolves (rerank is platform-dependent by design)."""
+    from zebra_tpu.index import make_index
+    from zebra_tpu.index.lsh import LSHIndex
+
+    opts = IndexOptions()
+    assert (opts.dtype, opts.refine, opts.rerank) == ("auto", "auto", "auto")
+    # ivf (the default index_type): the headline tier
+    idx = make_index(dim=256, options=opts)
+    assert idx.options.dtype == "int8"
+    assert idx.options.refine == "scan"
+    assert idx.options.rerank == "xla"  # CPU backend in tests -> xla
+    assert idx.options.resolved_probes() == 2
+    # a DIRECTLY constructed LSHIndex resolves for what it IS, even though
+    # the options field still says "ivf"
+    lsh = LSHIndex(dim=16, options=IndexOptions(num_tables=4))
+    assert lsh.options.dtype == "float32" and lsh.options.refine == 0
+    # manifest round-trip persists the user's "auto"
+    cfg = DatabaseConfig(dim=768)
+    assert DatabaseConfig.loads(cfg.dumps()).index.dtype == "auto"
+    # explicit knobs pass through untouched
+    ex = IndexOptions(dtype="bfloat16", refine=0, rerank="xla")
+    assert ex.concrete(768) is ex
+
+
+def test_tier_presets():
+    fast = IndexOptions.tier("fast")
+    assert (fast.dtype, fast.refine) == ("int8", "scan")
+    bal = IndexOptions.tier("balanced", num_probes=8)
+    assert bal.dtype == "bfloat16" and bal.num_probes == 8
+    exact = IndexOptions.tier("exact")
+    assert exact.index_type == "flat" and exact.dtype == "float32"
+    with pytest.raises(ValueError, match="unknown tier"):
+        IndexOptions.tier("warp")

@@ -88,8 +88,11 @@ def test_ivf_spare_growth_never_drops(rng):
     ).astype(np.float32)
     idx = IVFIndex(
         dim=16,
+        # exact f32 slab: the assert below wants exact self-match among
+        # near-identical rows, which the default quantised tier can't
+        # promise under near-ties (this test is about spare growth)
         options=_opts(num_clusters=4, cluster_capacity=8, spill=1,
-                      spare_capacity=64),
+                      spare_capacity=64, dtype="float32"),
     )
     ids = idx.add(data)
     assert len(idx) == 300

@@ -76,12 +76,17 @@ def test_crud_sequences_match_model(tmp_path_factory, index_type, ops, seed):
         for i in model:
             assert i in idx
         if model:
-            # exact search: the stored vector itself must come back first
+            # exact search: the stored vector itself must come back first.
+            # Self-distance bound: the DEFAULT ivf tier stores ~15-bit
+            # reconstructions (int8 + int8 residual), whose self sql2
+            # distance measures ~2e-6 at DIM=12 — 1e-4 keeps the property
+            # meaningful (inter-point distances are O(2*DIM)) without
+            # pinning the tier to f32.
             probe_ids = sorted(model)[:3]
             queries = np.stack([_vec(rng, model[i]) for i in probe_ids])
             res = idx.search(queries, k=1, exact=True)
             for want, row in zip(probe_ids, res):
-                assert row and row[0][0] == want and row[0][1] < 1e-6
+                assert row and row[0][0] == want and row[0][1] < 1e-4
 
 
 @settings(max_examples=8, deadline=None)

@@ -94,7 +94,10 @@ def test_refine_state_and_reconstruction(rng):
 @pytest.mark.parametrize("refine", [4, "scan"])
 def test_refine_true_recall_beats_plain_int8(rng, refine):
     qs, pts, truth = _adversarial(rng)
-    plain = IVFIndex(dim=64, metric="sql2", options=_opts(dtype="int8"))
+    # refine=0 spells out "plain": with refine left at "auto" an int8 ivf
+    # index resolves to the refined scan tier (the shipped default)
+    plain = IVFIndex(dim=64, metric="sql2",
+                     options=_opts(dtype="int8", refine=0))
     ids_p = plain.add(pts)
     refined = IVFIndex(
         dim=64, metric="sql2", options=_opts(dtype="int8", refine=refine)
@@ -146,11 +149,95 @@ def test_refine_roundtrip_and_rebuild(tmp_path, rng):
     assert r >= 0.95
 
 
-def test_refine_wire_is_f32(rng):
+def test_refine_wire_is_quantised(rng):
     refined = IVFIndex(dim=16, options=_opts(dtype="int8", refine=4))
-    plain = IVFIndex(dim=16, options=_opts(dtype="int8"))
+    plain = IVFIndex(dim=16, options=_opts(dtype="int8", refine=0))
+    # refined tier: host-quantised tuple wire (~2B/elem), q8 WAL codec; the
+    # f32 _wire_dtype is only the fallback array path (rebuild slices)
+    assert refined._quant_wire and refined._wal_codec == "q8"
+    assert refined._wire_row_bytes == 2 * refined._dev_dim + 8
     assert np.dtype(refined._wire_dtype) == np.float32
+    assert not plain._quant_wire
     assert np.dtype(plain._wire_dtype).itemsize == 2  # bf16 wire
+
+
+def test_host_quant_matches_device(rng):
+    """quantise_pair_host must be BITWISE the device quantisation of
+    ivf.insert (round-4 item #1's identity contract): same codes, same
+    scales, same norms — whatever wire carried a vector, the slab is the
+    same."""
+    import jax.numpy as jnp
+
+    from zebra_tpu.index import ivf as V
+    from zebra_tpu.ops.kmeans import kmeans
+    import jax
+
+    n, dim, K = 256, 32, 8
+    x = (rng.standard_normal((n, dim)) * rng.gamma(1.5, size=(n, 1))).astype(
+        np.float32
+    )
+    cents, _ = kmeans(jax.random.PRNGKey(0), jnp.asarray(x), jnp.int32(n),
+                      k=K, iters=3, chunk=256)
+    # insert donates the whole state (centroids included) — each state needs
+    # its own centroid buffer
+    mk = lambda: V.empty_state(jnp.array(cents, copy=True), cluster_capacity=64,
+                               spare_capacity=64, dtype=jnp.int8, refine=True)
+    st_dev, sl_dev = V.insert(mk(), jnp.asarray(x), jnp.int32(n))
+    v8, r8, sc, rs = V.quantise_pair_host(x)
+    st_q, sl_q = V.insert_quant(
+        mk(), jnp.asarray(v8), jnp.asarray(r8),
+        jnp.asarray(np.stack([sc, rs], axis=1)), jnp.int32(n),
+    )
+    sl_dev, sl_q = np.asarray(sl_dev), np.asarray(sl_q)
+    assert (sl_dev >= 0).all() and (sl_q >= 0).all()
+    dv, ds, dr, drs, dn = (
+        np.asarray(a) for a in
+        (st_dev.vectors, st_dev.scales, st_dev.residual, st_dev.rscales,
+         st_dev.norms)
+    )
+    qv, qs_, qr, qrs, qn = (
+        np.asarray(a) for a in
+        (st_q.vectors, st_q.scales, st_q.residual, st_q.rscales, st_q.norms)
+    )
+    for i in range(n):
+        a, b = sl_dev[i], sl_q[i]
+        assert np.array_equal(dv[a], v8[i]), i  # device quant == host quant
+        assert np.array_equal(dr[a], r8[i]), i
+        assert ds[a] == sc[i] and drs[a] == rs[i], i
+        assert np.array_equal(dv[a], qv[b]) and np.array_equal(dr[a], qr[b])
+        assert ds[a] == qs_[b] and drs[a] == qrs[b], i
+        # norms are reductions — two different jitted graphs may reassociate
+        # the sum (measured 1-ulp drift), so the contract is codes + scales
+        # bitwise, norms to f32 grade
+        assert np.isclose(dn[a], qn[b], rtol=1e-6), i
+
+
+def test_quant_wire_end_to_end(rng):
+    """IVFIndex.add ships the host-quantised pair: every stored row is
+    bitwise quantise_pair_host of the original input."""
+    from zebra_tpu.index import ivf as V
+
+    pts = rng.standard_normal((500, 48)).astype(np.float32)
+    idx = IVFIndex(dim=48, metric="sql2",
+                   options=_opts(dtype="int8", refine="scan"))
+    ids = idx.add(pts)
+    v8, r8, sc, rs = V.quantise_pair_host(pts)
+    vecs = np.asarray(idx.state.vectors)
+    res = np.asarray(idx.state.residual)
+    scs = np.asarray(idx.state.scales)
+    rss = np.asarray(idx.state.rscales)
+    for i, doc_id in enumerate(ids):
+        s = idx._id_to_slot.get(doc_id)
+        assert np.array_equal(vecs[s], v8[i]), i
+        assert np.array_equal(res[s], r8[i]), i
+        assert scs[s] == sc[i] and rss[s] == rs[i], i
+    # staged batches are (v8, r8, scales) tuples; the k-means sampling hook
+    # reconstructs bf16 rows from them (cold-build path)
+    staged = idx._stage_span(pts, (0, 500))
+    assert isinstance(staged, tuple) and staged[0].dtype == np.int8
+    rows = np.asarray(idx._staged_rows(staged, 5), dtype=np.float32)
+    assert rows.shape == (5, 48)
+    assert np.allclose(rows, pts[:5], atol=np.abs(pts[:5]).max() / 100)
 
 
 @pytest.mark.parametrize("refine", [4, "scan"])

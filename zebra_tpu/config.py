@@ -57,11 +57,14 @@ class IndexOptions:
     #: re-rank width after dedup-compaction; <= 0 = no compaction (gather
     #: every probed bucket entry — measured faster on v5e unless memory-bound).
     max_candidates: int = 0
-    #: re-rank backend: "xla" (any metric) or "pallas" (fused kernel,
-    #: cosine/l2/sql2 on TPU; results verified identical). Pallas is ~1.27x
-    #: faster at equal stored dims but pads dims to 1024-f32 multiples for
-    #: its DMAs — prefer it when dim is already 1024/2048, else "xla".
-    rerank: str = "xla"
+    #: re-rank backend: "auto" (the default — resolves to "pallas" for IVF
+    #: indexes on a TPU backend whose dim is already a 128-lane multiple, so
+    #: the kernel never pads; "xla" everywhere else — the rule under which
+    #: every measured headline was recorded), "xla" (any metric) or "pallas"
+    #: (fused kernel, cosine/l2/sql2 on TPU; results verified identical).
+    #: Explicit "pallas" pads stored dims up to the next 128 multiple for
+    #: its DMAs (LSH's flat-slab kernel pads to 1024-f32 multiples).
+    rerank: str = "auto"
     #: matmul precision for EXACT (flat / brute-force) scans: "highest" =
     #: full f32 (6 MXU passes), "default" = bf16-grade passes (~6x faster,
     #: ~0.5% distance error — usually fine for ranking).
@@ -116,11 +119,16 @@ class IndexOptions:
     #: scoring still runs in f32 from the shipped values. "float32" ships
     #: exact queries regardless.
     query_wire: str = "auto"
-    #: slab / compute dtype: "float32", "bfloat16" (hash & re-rank in f32),
-    #: or "int8" (ivf only: symmetric per-row quantised slab + f32 scales —
-    #: halves HBM probe traffic again vs bf16; distances dequantise after
-    #: the MXU dot, norms/scales describe the stored values exactly).
-    dtype: str = "float32"
+    #: slab / compute dtype: "auto" (the default — "int8" for the IVF
+    #: flagship, whose residual-refine tier [see ``refine``] stores ~15-bit
+    #: reconstructions at 2 B/elem and IS the measured headline:
+    #: 602.6k QPS @ true-f32 recall 0.9922 at 1M x 768 on one v5e,
+    #: r3_ann_int8_scan_p2.json; "float32" for lsh/flat, whose parity/exact
+    #: contracts want exact slabs), "float32", "bfloat16" (hash & re-rank in
+    #: f32), or "int8" (ivf only: symmetric per-row quantised slab + f32
+    #: scales — halves HBM probe traffic again vs bf16; distances dequantise
+    #: after the MXU dot, norms/scales describe the stored values exactly).
+    dtype: str = "auto"
     #: int8 residual refinement (ivf + dtype="int8" only): 0 = off; N > 1
     #: stores a SECOND int8 slab holding each row's quantisation residual
     #: (reconstruction scale*v8 + rscale*r8 ~ 15 mantissa bits, better than
@@ -138,9 +146,13 @@ class IndexOptions:
     #: than bf16 precision. Prefer "scan" when probes dominate query time
     #: (large batches), an integer oversample when gathers are cheaper than
     #: doubling probe bytes (small k, few probes).
-    #: Refine-built indexes also ship f32 on the wire (insert AND query):
-    #: the residual can only capture precision the wire delivered.
-    refine: int | str = 0
+    #: Refine-built indexes quantise on the HOST and ship the int8 pair +
+    #: scales (~2 B/elem — bf16-tier wire bytes at full stored precision);
+    #: their queries still ship f32 (the refine re-rank deserves exact
+    #: queries and query wire bytes are negligible).
+    #: "auto" (the default) resolves to "scan" whenever the slab dtype
+    #: resolves to int8 (the measured headline tier), else 0.
+    refine: int | str = "auto"
     #: "data" samples hyperplanes as bisectors of random stored-vector pairs
     #: (the reference's scheme, ``lsh.rs:221-230``); "random" uses Gaussian
     #: projections. "data" generally matches reference recall on clustered data.
@@ -154,6 +166,37 @@ class IndexOptions:
     snapshot_format: str = "npz"
     seed: int = 0
 
+    @classmethod
+    def tier(cls, name: str, **overrides) -> "IndexOptions":
+        """First-class named presets (round-3 verdict #2).
+
+        - "fast": the measured TPU headline — IVF, int8 coarse + int8
+          residual streamed through the probe kernel (2 B/elem probe
+          traffic, ~15-bit stored precision; 602.6k QPS @ true-f32 recall
+          0.9922 at 1M x 768 on one v5e chip, r3_ann_int8_scan_p2.json).
+          Identical to the bare defaults — spelled out for code that wants
+          to SAY which tier it means.
+        - "balanced": IVF bf16 slab at P=4 — in-slab recall 1.0 / truth
+          0.9891 (r3_ann_bf16_p4_tiles.json, 540.9k QPS), for users who
+          want no quantisation below bf16 anywhere.
+        - "exact": flat f32 brute-force scan on the MXU — recall 1.0 by
+          construction, full-precision distances ("highest" 6-pass f32).
+
+        ``overrides`` are applied on top (e.g. ``tier("fast", num_probes=4)``).
+        """
+        presets = {
+            "fast": dict(index_type="ivf", dtype="int8", refine="scan"),
+            "balanced": dict(index_type="ivf", dtype="bfloat16", refine=0,
+                             num_probes=4),
+            "exact": dict(index_type="flat", dtype="float32", refine=0,
+                          exact_precision="highest"),
+        }
+        if name not in presets:
+            raise ValueError(
+                f"unknown tier {name!r}: pick from {sorted(presets)}"
+            )
+        return cls(**{**presets[name], **overrides})
+
     def resolved_bits(self, n: int) -> int:
         if self.index_type == "flat":
             return 1  # vestigial tiny tables; flat queries scan the slab
@@ -165,21 +208,77 @@ class IndexOptions:
         b = math.ceil(math.log2(max(n, 2) / target)) if n > target else 1
         return int(min(max(b, 1), 16))
 
+    def resolved_dtype(self, index_type: str | None = None) -> str:
+        """Concrete slab dtype ("auto" resolves per backend — deterministic,
+        no platform dependence, so snapshots stay portable): the IVF
+        flagship gets the measured headline tier's int8 (+ residual — see
+        :meth:`resolved_refine`); lsh keeps the reference-parity f32 slab
+        and flat keeps exact f32. ``index_type`` overrides the options
+        field — a backend constructed DIRECTLY (not via ``make_index``)
+        resolves for what it actually is."""
+        if self.dtype != "auto":
+            return self.dtype
+        t = index_type or self.index_type
+        return "int8" if t == "ivf" else "float32"
+
+    def resolved_refine(self, index_type: str | None = None) -> int | str:
+        """Concrete refine flavour: "auto" = "scan" whenever the slab
+        resolves to int8 on IVF (the headline tier: the residual slab
+        streams through the probe kernel — 2 B/elem probe traffic at ~15-bit
+        effective precision), else off."""
+        if self.refine != "auto":
+            return self.refine
+        t = index_type or self.index_type
+        if t == "ivf" and self.resolved_dtype(t) == "int8":
+            return "scan"
+        return 0
+
+    def resolved_rerank(self, dim: int, index_type: str | None = None) -> str:
+        """Concrete re-rank backend for a ``dim``-wide index on THIS
+        process's JAX backend. "auto" = "pallas" only where it measured
+        fastest AND pads nothing: IVF, TPU, dim already a 128-lane multiple.
+        Platform-dependent by design — the manifest persists "auto" and each
+        opening process re-resolves (the choice never changes the stored
+        slab because the no-padding rule keeps ``_dev_dim == dim``)."""
+        if self.rerank != "auto":
+            return self.rerank
+        if (index_type or self.index_type) == "ivf" and dim % 128 == 0:
+            import jax
+
+            if jax.default_backend() == "tpu":
+                return "pallas"
+        return "xla"
+
+    def concrete(self, dim: int, index_type: str | None = None) -> "IndexOptions":
+        """This options set with every "auto" tier knob resolved for one
+        index instance (called once at index construction — everything
+        downstream reads concrete values). ``index_type`` names the actual
+        backend class doing the resolving (see :meth:`resolved_dtype`)."""
+        import dataclasses as _dc
+
+        dtype = self.resolved_dtype(index_type)
+        refine = self.resolved_refine(index_type)
+        rerank = self.resolved_rerank(dim, index_type)
+        if (dtype, refine, rerank) == (self.dtype, self.refine, self.rerank):
+            return self
+        return _dc.replace(self, dtype=dtype, refine=refine, rerank=rerank)
+
     def refine_enabled(self) -> bool:
         """True when any residual-refine flavour is on (int factor or "scan")."""
-        if self.refine == "scan":
+        r = self.resolved_refine()
+        if r == "scan":
             return True
-        return isinstance(self.refine, int) and self.refine > 0
+        return isinstance(r, int) and r > 0
 
     def refine_is_scan(self) -> bool:
-        return self.refine == "scan"
+        return self.resolved_refine() == "scan"
 
     def refine_k(self, k: int) -> int:
         """Oversampled candidate width of the gather-refine pass (0 = off /
         scan mode, which needs no oversample)."""
         if not self.refine_enabled() or self.refine_is_scan():
             return 0
-        return int(min(max(self.refine * k, k + 16), 1024))
+        return int(min(max(self.resolved_refine() * k, k + 16), 1024))
 
     def resolved_probes(self) -> int:
         if self.num_probes > 0:

@@ -219,6 +219,10 @@ class BaseVectorIndex:
     clear(:506-529), is_empty/no_vectors/no_trees(:389-409), save(:170-172).
     """
 
+    #: backend name for "auto" option resolution (None = trust
+    #: ``options.index_type`` — the sharded wrapper, which serves several)
+    _BACKEND: str | None = None
+
     def __init__(
         self,
         dim: int,
@@ -229,7 +233,14 @@ class BaseVectorIndex:
         self.dim = int(dim)
         self.metric = metric
         self.metric_power = float(metric_power)
-        self.options = options or IndexOptions()
+        # resolve the "auto" tier knobs (dtype/refine/rerank) ONCE — every
+        # downstream consumer reads concrete values; the manifest still
+        # persists what the user wrote, so "auto" re-resolves per process.
+        # _BACKEND names what this class actually is (direct construction
+        # may carry a mismatched options.index_type).
+        self.options = (options or IndexOptions()).concrete(
+            self.dim, index_type=self._BACKEND
+        )
         #: stored (device) dimension — subclasses may pad for kernel alignment
         self._dev_dim = self.dim
         self.state = None
@@ -239,6 +250,9 @@ class BaseVectorIndex:
         self._id_to_slot = IdSlotMap()
         self._built_n = 0
         self._rng = np.random.default_rng(self.options.seed)
+        #: host-quantised parts aligned with the batch being added (set by
+        #: :meth:`add`; consumed by quantised-wire ``_stage_span`` overrides)
+        self._prequant = None
 
     # -- introspection (reference lsh.rs:389-409) ---------------------------
 
@@ -340,10 +354,22 @@ class BaseVectorIndex:
 
     # -- insert ----------------------------------------------------------------
 
-    def add(self, vectors: np.ndarray, ids: list[bytes] | None = None) -> list[bytes]:
+    def add(
+        self,
+        vectors: np.ndarray,
+        ids: list[bytes] | None = None,
+        prequant=None,
+    ) -> list[bytes]:
         """Insert vectors; returns their new ids (reference ``add``,
         ``lsh.rs:440-466``: first call builds the index, later calls are
-        incremental — same here)."""
+        incremental — same here).
+
+        ``prequant``: optional host-quantised parts for the whole batch
+        (``(v8, r8, scale, rscale)`` row-aligned with ``vectors``) — lets a
+        caller that already quantised (the WAL, replay) feed the quantised
+        wire without a second quantisation pass. Ignored by backends whose
+        wire is not quantised.
+        """
         vectors = np.asarray(vectors)
         if vectors.ndim == 1:
             vectors = vectors[None, :]
@@ -370,16 +396,20 @@ class BaseVectorIndex:
                     raise ValueError(f"duplicate id: {bytes(i).hex()}")
                 seen.add(bytes(i))
 
-        if self.state is None:
-            self._built_n = n
-            if self._cold_build(vectors, ids):  # backend fully handled it
-                self._maybe_rebuild()
-                return ids
-            self.state = self._fresh_state(n, vectors)
-        self._before_batches(n)
-        self._insert_batches(vectors, ids)
-        self._maybe_rebuild()
-        return ids
+        self._prequant = prequant
+        try:
+            if self.state is None:
+                self._built_n = n
+                if self._cold_build(vectors, ids):  # backend fully handled it
+                    self._maybe_rebuild()
+                    return ids
+                self.state = self._fresh_state(n, vectors)
+            self._before_batches(n)
+            self._insert_batches(vectors, ids)
+            self._maybe_rebuild()
+            return ids
+        finally:
+            self._prequant = None
 
     def _cold_build(self, vectors, ids) -> bool:
         """First-build fast path hook: stage + train + insert with transfers
@@ -389,12 +419,14 @@ class BaseVectorIndex:
 
     @property
     def _wire_dtype(self):
-        """Host->device staging dtype: bf16 AND int8 slabs ship bf16 (half
-        the wire bytes on slow links — int8 quantisation happens on device
-        from the bf16 batch); f32 slabs must ship exact f32. Refined int8
-        (``options.refine > 0``) also ships f32: the residual slab can only
-        capture precision the wire delivered, and a bf16 wire would cap the
-        reconstruction at bf16 grade."""
+        """Host->device staging dtype for ARRAY wires: bf16 AND plain int8
+        slabs ship bf16 (half the wire bytes on slow links — int8
+        quantisation happens on device from the bf16 batch); f32 slabs must
+        ship exact f32. Refined int8 reports f32 here — that is the dtype of
+        its FALLBACK array paths (spare-overflow retries, device-sourced
+        rebuild slices) — but its normal wire is the host-quantised tuple
+        (see ``IVFIndex._quant_wire``: int8 pair + scales, ~2 B/elem at full
+        ~15-bit stored precision)."""
         if self.options.dtype in ("bfloat16", "int8") and not (
             self.options.dtype == "int8" and self.options.refine_enabled()
         ):
@@ -402,6 +434,24 @@ class BaseVectorIndex:
 
             return ml_dtypes.bfloat16
         return np.float32
+
+    @property
+    def _wal_codec(self) -> str:
+        """Delta-log vector encoding: "bf16" whenever the wire is bf16 (the
+        log is then lossless w.r.t. what the index stores), "q8" for
+        quantised-wire backends (int8 pair + scales — see IVFIndex), else
+        exact "f32"."""
+        return "bf16" if np.dtype(self._wire_dtype).itemsize == 2 else "f32"
+
+    @property
+    def _wire_row_bytes(self) -> int:
+        """Host->device bytes per staged row (HBM staging-window budgets)."""
+        return self._dev_dim * np.dtype(self._wire_dtype).itemsize
+
+    def _staged_rows(self, staged, rows: int):
+        """Leading ``rows`` of one staged batch as a floating device array
+        (cold-build k-means sampling); quantised-wire backends reconstruct."""
+        return staged[:rows]
 
     def _spans(self, n: int) -> list[tuple[int, int]]:
         return [(s, min(n - s, BATCH)) for s in range(0, n, BATCH)]
@@ -585,6 +635,22 @@ class BaseVectorIndex:
 
     def search_arrays(self, queries: np.ndarray, k: int, exact: bool = False):
         """Array-level search: ``(dists [B,k], slots [B,k], valid [B,k])``."""
+        return self.search_collect(self.search_submit(queries, k, exact))
+
+    def search_submit(self, queries: np.ndarray, k: int, exact: bool = False):
+        """Dispatch one query batch WITHOUT waiting; returns an opaque token
+        for :meth:`search_collect`.
+
+        JAX dispatch is async, so the upload + device compute are in flight
+        when this returns — the only blocking step is the packed readback,
+        which :meth:`search_collect` performs. Splitting the two lets a
+        caller double-buffer per-call serving shapes: submit batch t+1, then
+        collect batch t, overlapping t's device->host readback (the slow
+        tunnel direction) with t+1's upload + compute (round-3 verdict #6).
+        The token pins the device arrays it needs; mutations between submit
+        and collect are safe (state is functional — the dispatched
+        computation references the pre-mutation arrays).
+        """
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -606,7 +672,27 @@ class BaseVectorIndex:
 
             qp = qp.astype(ml_dtypes.bfloat16)
         d, s, v = self._query_device(jnp.asarray(qp), k, exact)
-        return _unpack_results(np.asarray(_pack_results(d, s, v)), nq, k)
+        return _pack_results(d, s, v), nq, k
+
+    def search_collect(self, token):
+        """Resolve a :meth:`search_submit` token ->
+        ``(dists [B,k], slots [B,k], valid [B,k])`` (one blocking readback)."""
+        packed, nq, k = token
+        return _unpack_results(np.asarray(packed), nq, k)
+
+    def search_stream(self, batches, k: int, exact: bool = False):
+        """Double-buffered batch search: yields ``search()``-formatted
+        results per input batch, keeping one batch in flight — batch t's
+        readback overlaps batch t+1's upload + compute (the per-call serving
+        path's only remaining lever on a slow link, round-3 verdict #6)."""
+        pending = None
+        for batch in batches:
+            tok = self.search_submit(batch, k, exact)
+            if pending is not None:
+                yield self._format_results(*self.search_collect(pending))
+            pending = tok
+        if pending is not None:
+            yield self._format_results(*self.search_collect(pending))
 
     # -- persistence ----------------------------------------------------------
 
@@ -614,7 +700,16 @@ class BaseVectorIndex:
         """Snapshot all device arrays + id maps to ``directory`` with fsync
         (reference persists via fjall ``PersistMode::SyncAll``,
         ``lsh.rs:87-89``)."""
-        os.makedirs(directory, exist_ok=True)
+        self.write_capture(directory, self.snapshot_capture())
+
+    def snapshot_capture(self) -> dict:
+        """Consistent snapshot REFERENCE, cheap to take: device arrays are
+        captured by reference (functional state — later mutations rebind
+        ``self.state``, never mutate these), host-mutable arrays are copied.
+        Take under (at least) a read lock; :meth:`write_capture` may then
+        stream it to disk with NO lock held — the background log fold's
+        trick for never stalling mutations O(database) (round-3 verdict #7).
+        """
         fmt = getattr(self.options, "snapshot_format", "npz") or "npz"
         meta = {
             "dim": self.dim,
@@ -627,10 +722,26 @@ class BaseVectorIndex:
             "snapshot_format": fmt,
             **self._meta_extra(),
         }
-        fsync_write(os.path.join(directory, "index.json"), json.dumps(meta).encode())
-        if self.state is None:
+        arrays = None
+        if self.state is not None:
+            # slot_ids is the one live host buffer — copy it at capture time
+            arrays = {
+                "slot_ids": self._slot_ids.to_array().copy(),
+                **self._snapshot_arrays(),
+            }
+        return {"meta": meta, "fmt": fmt, "arrays": arrays}
+
+    def write_capture(self, directory: str, cap: dict) -> None:
+        """Write a :meth:`snapshot_capture` to ``directory`` with fsync.
+        Lock-free by design (the capture is self-contained)."""
+        os.makedirs(directory, exist_ok=True)
+        fmt = cap["fmt"]
+        fsync_write(
+            os.path.join(directory, "index.json"), json.dumps(cap["meta"]).encode()
+        )
+        if cap["arrays"] is None:
             return
-        arrays = {"slot_ids": self._slot_ids.to_array(), **self._snapshot_arrays()}
+        arrays = cap["arrays"]
         npz_path = os.path.join(directory, "arrays.npz")
         orbax_path = os.path.join(directory, "arrays.orbax")
         if fmt == "orbax":
@@ -673,7 +784,9 @@ class BaseVectorIndex:
 
         with open_snapshot_arrays(directory, meta) as z:
             idx._restore_arrays(z)
-            ids_arr = np.ascontiguousarray(z["slot_ids"])
+            # np.array, NOT ascontiguousarray: snapshot members are
+            # read-only memmap views and this one is scrubbed in place below
+            ids_arr = np.array(z["slot_ids"])
         valid = idx._valid_by_slot()
         # scrub ids saved for tombstoned slots (keeps the non-empty == live
         # invariant), then register the live set — all vectorised

@@ -43,6 +43,10 @@ from zebra_tpu.ops import topk as TK
 
 #: Out-of-bounds sentinel used to make scatter writes drop.
 OOB = np.int32(2**30)  # np scalar — see note in ops/topk.py
+#: f32 reciprocal of 127 — int8 quantisation multiplies by this on BOTH the
+#: host (quantise_pair_host) and device (insert) paths so the two stay
+#: bitwise identical (XLA folds /127.0 to this multiply regardless).
+_INV127 = np.float32(1.0 / 127.0)
 
 
 @struct.dataclass
@@ -200,39 +204,20 @@ def _cell_choice(x32: jnp.ndarray, centroids: jnp.ndarray, metric: str,
     ).reshape(n, A)
 
 
-@functools.partial(
-    jax.jit, donate_argnums=(0,), static_argnames=("spill", "metric")
-)
-def insert(
-    state: IVFState,
-    x: jnp.ndarray,
-    n_valid: jnp.ndarray,
-    spill: int = 4,
-    metric: str = "sql2",
-):
-    """Insert a (padded) batch; state donated.
+def _place_rows(state: IVFState, x32: jnp.ndarray, real: jnp.ndarray,
+                spill: int, metric: str):
+    """Assign each real row a slab slot: nearest cell with room, ``spill``
+    jittered fallbacks, then the shared spare region.
 
-    Args:
-      state: IVF state.
-      x: ``[n, D]`` batch; rows ``>= n_valid`` are padding.
-      n_valid: scalar int32 count of real rows.
-      spill: nearest-centroid fallback attempts before counting a drop.
-      metric: cell-selection metric — MUST match what :func:`query` probes
-        with (its ``sel_metric``): under varying vector norms the cosine and
-        sql2 nearest-centroid ORDERINGS differ, and a vector spilled deep
-        into its sql2 list can fall outside a cosine query's probe set
-        (measured: self-retrieval 0.68 on churn waves before this matched).
+    Shared by :func:`insert` (f32/bf16 wire) and :func:`insert_quant`
+    (host-quantised wire) so the placement policy can never diverge between
+    the two.
 
-    Returns:
-      ``(new_state, slots [n] int32)`` — slab position per row; ``-1`` for
-      rows dropped on overflow (host retries them after growing) and for pads.
+    Returns ``(slots [n] int32, counts [K+1], dropped scalar int32)``.
     """
-    n = x.shape[0]
+    n = x32.shape[0]
     K = state.num_clusters
     C = state.cluster_capacity
-    real = jnp.arange(n, dtype=jnp.int32) < n_valid
-
-    x32 = x.astype(jnp.float32)
     choice = _cell_choice(x32, state.centroids, metric, min(spill, K))
 
     slots = jnp.full((n,), -1, jnp.int32)
@@ -275,13 +260,50 @@ def insert(
     assigned = assigned | spare_ok
 
     dropped = jnp.sum((real & (slots < 0)).astype(jnp.int32))
+    return slots, counts, dropped
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("spill", "metric")
+)
+def insert(
+    state: IVFState,
+    x: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    spill: int = 4,
+    metric: str = "sql2",
+):
+    """Insert a (padded) batch; state donated.
+
+    Args:
+      state: IVF state.
+      x: ``[n, D]`` batch; rows ``>= n_valid`` are padding.
+      n_valid: scalar int32 count of real rows.
+      spill: nearest-centroid fallback attempts before counting a drop.
+      metric: cell-selection metric — MUST match what :func:`query` probes
+        with (its ``sel_metric``): under varying vector norms the cosine and
+        sql2 nearest-centroid ORDERINGS differ, and a vector spilled deep
+        into its sql2 list can fall outside a cosine query's probe set
+        (measured: self-retrieval 0.68 on churn waves before this matched).
+
+    Returns:
+      ``(new_state, slots [n] int32)`` — slab position per row; ``-1`` for
+      rows dropped on overflow (host retries them after growing) and for pads.
+    """
+    n = x.shape[0]
+    real = jnp.arange(n, dtype=jnp.int32) < n_valid
+    x32 = x.astype(jnp.float32)
+    slots, counts, dropped = _place_rows(state, x32, real, spill, metric)
     widx = jnp.where(slots >= 0, slots, OOB)
     residual, rscales = state.residual, state.rscales
     if state.vectors.dtype == jnp.int8:
         # symmetric per-row quantisation; norms/scales describe the STORED
         # (dequantised) values so re-rank math is exact w.r.t. the slab
         absmax = jnp.max(jnp.abs(x32), axis=-1)
-        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        # multiply by the f32 reciprocal constant, NOT divide: XLA folds
+        # /127.0 into *(1/127.0) anyway, and writing the fold explicitly is
+        # what keeps quantise_pair_host bitwise-identical to this path
+        scale = jnp.where(absmax > 0, absmax * _INV127, 1.0)
         xd = jnp.clip(jnp.round(x32 / scale[:, None]), -127, 127).astype(jnp.int8)
         xs32 = xd.astype(jnp.float32) * scale[:, None]
         scales = state.scales.at[widx].set(scale, mode="drop")
@@ -292,7 +314,7 @@ def insert(
             # exact w.r.t. what the slab pair stores.
             res = x32 - xs32
             rabs = jnp.max(jnp.abs(res), axis=-1)
-            rscale = jnp.where(rabs > 0, rabs / 127.0, 1.0)
+            rscale = jnp.where(rabs > 0, rabs * _INV127, 1.0)
             rd = jnp.clip(
                 jnp.round(res / rscale[:, None]), -127, 127
             ).astype(jnp.int8)
@@ -313,6 +335,97 @@ def insert(
             scales=scales,
             residual=residual,
             rscales=rscales,
+        ),
+        slots,
+    )
+
+
+def quantise_pair_host(x: np.ndarray):
+    """Host-side mirror of :func:`insert`'s int8+residual quantisation.
+
+    Returns ``(v8 [n, D] int8, r8 [n, D] int8, scale [n] f32, rscale [n]
+    f32)`` — the exact arrays the device path stores: IEEE f32 elementwise
+    math with round-half-even (``np.rint`` == ``jnp.round``), so the output
+    is BITWISE identical to device quantisation (asserted by
+    ``tests/test_refine.py::test_host_quant_matches_device``).
+
+    This is what makes the refine tier's WIRE cheap (round-3 verdict #1):
+    shipping the pair + scales is ~``2*D + 8`` bytes/row — bf16-tier wire
+    volume at full ~15-bit stored precision — where the previous refined
+    wire shipped exact f32 (``4*D``) because the residual can only capture
+    precision the wire delivered. Quantising host-side delivers ALL the
+    precision in half the bytes.
+    """
+    x32 = np.ascontiguousarray(x, dtype=np.float32)
+    absmax = np.max(np.abs(x32), axis=-1)
+    one = np.float32(1.0)
+    scale = np.where(absmax > 0, absmax * _INV127, one).astype(np.float32)
+    v8 = np.clip(np.rint(x32 / scale[:, None]), -127, 127).astype(np.int8)
+    # XLA contracts `x - v8*scale` into an FMA (exact product, ONE f32
+    # rounding); numpy rounds twice. Emulate the FMA exactly: the f64
+    # product (<= 32 significant bits) and difference (~40 bits) are both
+    # exactly representable, so the single cast back to f32 IS the fused
+    # rounding — bitwise the device residual (asserted on the CPU backend
+    # by tests/test_refine.py::test_host_quant_matches_device).
+    res = (
+        x32.astype(np.float64)
+        - v8.astype(np.float64) * scale.astype(np.float64)[:, None]
+    ).astype(np.float32)
+    rabs = np.max(np.abs(res), axis=-1)
+    rscale = np.where(rabs > 0, rabs * _INV127, one).astype(np.float32)
+    r8 = np.clip(np.rint(res / rscale[:, None]), -127, 127).astype(np.int8)
+    return v8, r8, scale, rscale
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("spill", "metric")
+)
+def insert_quant(
+    state: IVFState,
+    v8: jnp.ndarray,
+    r8: jnp.ndarray,
+    qscales: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    spill: int = 4,
+    metric: str = "sql2",
+):
+    """Insert a HOST-quantised batch into a residual-bearing int8 state.
+
+    Args:
+      state: IVF state (must carry ``residual``/``rscales``); donated.
+      v8: ``[n, D]`` int8 coarse codes (:func:`quantise_pair_host`).
+      r8: ``[n, D]`` int8 residual codes.
+      qscales: ``[n, 2]`` f32 — column 0 the coarse scale, column 1 the
+        residual scale.
+      n_valid / spill / metric: as :func:`insert`.
+
+    The shipped codes scatter into the slab UNCHANGED (no requantisation —
+    the WAL's record and the slab's content stay bitwise equal); cell
+    placement and norms use the on-device reconstruction
+    ``v8*scale + r8*rscale`` (int8 -> f32 casts are exact), preserving
+    :func:`insert`'s contract that ``norms`` describe the reconstructed
+    stored value exactly.
+    """
+    n = v8.shape[0]
+    real = jnp.arange(n, dtype=jnp.int32) < n_valid
+    scale = qscales[:, 0]
+    rscale = qscales[:, 1]
+    x32 = (
+        v8.astype(jnp.float32) * scale[:, None]
+        + r8.astype(jnp.float32) * rscale[:, None]
+    )
+    slots, counts, dropped = _place_rows(state, x32, real, spill, metric)
+    widx = jnp.where(slots >= 0, slots, OOB)
+    return (
+        state.replace(
+            counts=counts,
+            vectors=state.vectors.at[widx].set(v8, mode="drop"),
+            norms=state.norms.at[widx].set(jnp.sum(x32 * x32, axis=-1), mode="drop"),
+            valid=state.valid.at[widx].set(slots >= 0, mode="drop"),
+            overflow=state.overflow + dropped,
+            scales=state.scales.at[widx].set(scale, mode="drop"),
+            residual=state.residual.at[widx].set(r8, mode="drop"),
+            rscales=state.rscales.at[widx].set(rscale, mode="drop"),
         ),
         slots,
     )

@@ -14,6 +14,7 @@ what makes every probe a contiguous block read at query time.
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +22,7 @@ import numpy as np
 
 from zebra_tpu.config import IndexOptions
 from zebra_tpu.index import ivf as V
-from zebra_tpu.index.base import BATCH, BaseVectorIndex, slab_from_np
+from zebra_tpu.index.base import _MIN_BATCH, BATCH, BaseVectorIndex, slab_from_np
 from zebra_tpu.ops.kmeans import kmeans
 from zebra_tpu.profiling import logger
 from zebra_tpu.utils import device_sync, next_pow2
@@ -37,6 +38,13 @@ _REBUILD_GROWTH = 4.0
 _COMPACT_TOMBSTONES = 0.5
 #: capacity-grow retries per batch before giving up (2^8 growth = plenty)
 _MAX_GROWS = 8
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _dequant_coarse_bf16(v8, qs, rows: int):
+    """Coarse bf16 reconstruction of a staged quantised batch's leading rows
+    (cold-build k-means sample; int8 -> bf16 casts are exact)."""
+    return v8[:rows].astype(jnp.bfloat16) * qs[:rows, 0, None].astype(jnp.bfloat16)
 
 
 def resolved_clusters(options: IndexOptions, n: int) -> int:
@@ -77,6 +85,8 @@ class IVFIndex(BaseVectorIndex):
     recall regime, but probes are block DMAs instead of row gathers (see
     the design note in :mod:`zebra_tpu.index.ivf`).
     """
+
+    _BACKEND = "ivf"
 
     def __init__(
         self,
@@ -208,11 +218,7 @@ class IVFIndex(BaseVectorIndex):
         slab_bytes += slots * 9 + k * self._dev_dim * 4  # norms/valid/scales + cents
         if self.options.refine_enabled() and self.options.dtype == "int8":
             slab_bytes += slots * (self._dev_dim + 4)  # residual + rscales
-        batch_bytes = (
-            next_pow2(max(spans[0][1], 1))
-            * self._dev_dim
-            * np.dtype(self._wire_dtype).itemsize
-        )
+        batch_bytes = next_pow2(max(spans[0][1], 1)) * self._wire_row_bytes
         budget = max(_STAGE_HBM_BUDGET - slab_bytes, 2 * batch_bytes)
         window = int(min(nb, max(budget // batch_bytes, 2)))
         staged: list = [None] * nb
@@ -234,7 +240,7 @@ class IVFIndex(BaseVectorIndex):
         # kmeans casts per-chunk inside its jit, and an f32 copy here doubles
         # the training footprint (1.6GB at the 10M sizing's 524k-row target).
         sample = jnp.concatenate(
-            [b[: min(per, sp[1])] for b, sp in train], axis=0
+            [self._staged_rows(b, min(per, sp[1])) for b, sp in train], axis=0
         )
         # Train BEFORE allocating the slab, and free the sample in between:
         # at 10M x 768 int8 the slab is ~10.5GB — allocated while the sample
@@ -242,14 +248,18 @@ class IVFIndex(BaseVectorIndex):
         # RESOURCE_EXHAUSTED on a 16GB chip.
         cap = self._resolved_capacity(n, k)
         spare = self._resolved_spare(n)
-        cents = self._train_centroids(k, sample)
-        device_sync(cents)  # training done -> sample/temporaries freeable
+        from zebra_tpu.profiling import timed
+
+        with timed("ivf.train", items=int(sample.shape[0])):
+            cents = self._train_centroids(k, sample)
+            device_sync(cents)  # training done -> sample/temporaries freeable
         del sample, train
         self.state = V.empty_state(
             cents, cap, spare, dtype=self.dtype,
             refine=self.options.refine_enabled(),
         )
-        self._insert_batches(vectors, ids, prestaged=staged)
+        with timed("ivf.insert_batches", items=n):
+            self._insert_batches(vectors, ids, prestaged=staged)
         return True
 
     # -- insert --------------------------------------------------------------------
@@ -261,10 +271,69 @@ class IVFIndex(BaseVectorIndex):
 
         return self.metric if self.metric in D.MXU_METRICS else "sql2"
 
-    def _insert_batch_dev(self, batch: jnp.ndarray, count: int):
+    @property
+    def _quant_wire(self) -> bool:
+        """Refined int8 slabs quantise on the HOST and ship the int8 pair +
+        scales (~``2*D + 8`` B/row — bf16-tier wire volume at full ~15-bit
+        stored precision). The old refined wire shipped exact f32 (``4*D``)
+        because on-device quantisation can only capture what the wire
+        delivered — host quantisation delivers everything in half the bytes
+        (round-3 verdict #1; the refined cold build was pure wire cost)."""
+        return self.options.refine_enabled() and self.options.dtype == "int8"
+
+    @property
+    def _wal_codec(self) -> str:
+        return "q8" if self._quant_wire else super()._wal_codec
+
+    @property
+    def _wire_row_bytes(self) -> int:
+        if self._quant_wire:
+            return 2 * self._dev_dim + 8  # int8 pair + two f32 scales
+        return super()._wire_row_bytes
+
+    def _staged_rows(self, staged, rows: int):
+        if isinstance(staged, tuple):  # quantised wire: coarse-only bf16
+            # reconstruction — k-means tolerates bf16-grade samples, and a
+            # f32 reconstruction would double the training-sample footprint
+            v8, _r8, qs = staged
+            return _dequant_coarse_bf16(v8, qs, rows)
+        return staged[:rows]
+
+    def _stage_span(self, vectors, span, src=None):
+        """Quantised-wire staging: slice pre-quantised parts when the caller
+        supplied them (WAL replay — bitwise the logged record), else
+        quantise this span on the host; ship ``(v8, r8, [scale, rscale])``
+        as one async device_put. Device-sourced spans (rebuild slices) and
+        non-refined tiers keep the base path."""
+        if src is not None or not self._quant_wire:
+            return super()._stage_span(vectors, span, src)
+        start, count = span
+        padded = next_pow2(max(count, _MIN_BATCH))
+        if self._prequant is not None:
+            v8s, r8s, scs, rss = (p[start : start + count] for p in self._prequant)
+        else:
+            v8s, r8s, scs, rss = V.quantise_pair_host(
+                np.asarray(vectors[start : start + count], np.float32)
+            )
+        v8 = np.zeros((padded, self._dev_dim), np.int8)
+        v8[:count, : v8s.shape[1]] = v8s
+        r8 = np.zeros((padded, self._dev_dim), np.int8)
+        r8[:count, : r8s.shape[1]] = r8s
+        qs = np.ones((padded, 2), np.float32)  # pad scales = the empty default
+        qs[:count, 0] = scs
+        qs[:count, 1] = rss
+        return jax.device_put((v8, r8, qs))
+
+    def _insert_batch_dev(self, batch, count: int):
         """One device insert; slots come back as a DEVICE array — the base
         pipeline resolves them two batches behind, overlapping the 4B/vector
         readback with later transfers/compute."""
+        if isinstance(batch, tuple):  # host-quantised wire
+            self.state, slots_dev = V.insert_quant(
+                self.state, *batch, jnp.int32(count),
+                spill=self.options.spill, metric=self._cell_metric,
+            )
+            return slots_dev
         self.state, slots_dev = V.insert(
             self.state, batch, jnp.int32(count), spill=self.options.spill,
             metric=self._cell_metric,
@@ -290,10 +359,22 @@ class IVFIndex(BaseVectorIndex):
                 (next_pow2(max(len(pending), 8)), self._dev_dim), np.float32
             )
             cur[: len(pending), : rows.shape[1]] = rows[pending]
-            self.state, slots_dev = V.insert(
-                self.state, jnp.asarray(cur), jnp.int32(len(pending)),
-                spill=self.options.spill, metric=self._cell_metric,
-            )
+            if self._quant_wire:
+                # retries must store the SAME codes the WAL logged for these
+                # rows: host quantisation is deterministic, so re-quantising
+                # the same f32 rows reproduces the logged pair bitwise
+                v8, r8, scs, rss = V.quantise_pair_host(cur)
+                self.state, slots_dev = V.insert_quant(
+                    self.state, jnp.asarray(v8), jnp.asarray(r8),
+                    jnp.asarray(np.stack([scs, rss], axis=1)),
+                    jnp.int32(len(pending)), spill=self.options.spill,
+                    metric=self._cell_metric,
+                )
+            else:
+                self.state, slots_dev = V.insert(
+                    self.state, jnp.asarray(cur), jnp.int32(len(pending)),
+                    spill=self.options.spill, metric=self._cell_metric,
+                )
             slots = np.asarray(slots_dev[: len(pending)])
             out[pending] = slots
             pending = pending[slots < 0]

@@ -46,6 +46,8 @@ _COMPACT_TOMBSTONES = 0.5
 class LSHIndex(BaseVectorIndex):
     """Single-shard ANN index: LSH bucket tables + host id maps."""
 
+    _BACKEND = "lsh"
+
     def __init__(
         self,
         dim: int,

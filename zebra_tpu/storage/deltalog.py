@@ -16,7 +16,12 @@ Types: 1 = insert (n u32, dim u32, ids n*16B, vectors n*dim f32),
        2 = remove (n u32, ids n*16B),
        3 = insert-bf16 (same as 1 with vectors as bf16 bit patterns —
            half the log bytes; exact for bf16-slab databases, whose stored
-           values are bf16-rounded anyway).
+           values are bf16-rounded anyway),
+       4 = insert-q8 (n u32, dim u32, ids n*16B, v8 n*dim i8, r8 n*dim i8,
+           scale n f32, rscale n f32 — the host-quantised pair the refined
+           int8 tier ships on the wire AND stores: replay feeds the pair
+           back through the quantised wire, so recovery is bitwise the
+           crash-free slab at ~half the f32 log volume).
 A torn tail (short read / CRC mismatch — e.g. crash mid-append) ends replay
 and is truncated away, exactly like the native blob log's recovery
 (``zebra_tpu/native/zebra_store.cpp``).
@@ -40,6 +45,7 @@ _HDR = struct.Struct("<IBQI")  # magic, type, payload_len, crc32
 INSERT = 1
 REMOVE = 2
 INSERT_BF16 = 3
+INSERT_Q8 = 4
 
 
 class DeltaLog:
@@ -80,6 +86,21 @@ class DeltaLog:
         payload = struct.pack("<II", n, dim) + b"".join(ids) + body
         self._append(rtype, payload)
 
+    def append_insert_q8(
+        self, ids: list[bytes], v8: np.ndarray, r8: np.ndarray,
+        scale: np.ndarray, rscale: np.ndarray,
+    ) -> None:
+        n, dim = v8.shape
+        payload = (
+            struct.pack("<II", n, dim)
+            + b"".join(ids)
+            + np.ascontiguousarray(v8, dtype=np.int8).tobytes()
+            + np.ascontiguousarray(r8, dtype=np.int8).tobytes()
+            + np.ascontiguousarray(scale, dtype=np.float32).tobytes()
+            + np.ascontiguousarray(rscale, dtype=np.float32).tobytes()
+        )
+        self._append(INSERT_Q8, payload)
+
     def append_remove(self, ids: list[bytes]) -> None:
         if not ids:
             return
@@ -89,8 +110,9 @@ class DeltaLog:
     # -- replay ------------------------------------------------------------------
 
     def replay(self):
-        """Yield ``("insert", ids, vectors)`` / ``("remove", ids, None)`` in
-        append order; truncates a torn tail in place."""
+        """Yield ``("insert", ids, vectors)`` / ``("remove", ids, None)`` /
+        ``("insert_q8", ids, (v8, r8, scale, rscale))`` in append order;
+        truncates a torn tail in place."""
         if not os.path.exists(self.path):
             return
         good_end = 0
@@ -126,6 +148,17 @@ class DeltaLog:
                 bits = np.frombuffer(payload, dtype=np.uint16, offset=8 + 16 * n)
                 vecs = bits.view(ml_dtypes.bfloat16).astype(np.float32)
                 yield "insert", ids, vecs.reshape(n, dim).copy()
+            elif rtype == INSERT_Q8:
+                off = 8 + 16 * n
+                v8 = np.frombuffer(payload, np.int8, n * dim, off).reshape(n, dim)
+                off += n * dim
+                r8 = np.frombuffer(payload, np.int8, n * dim, off).reshape(n, dim)
+                off += n * dim
+                scale = np.frombuffer(payload, np.float32, n, off)
+                rscale = np.frombuffer(payload, np.float32, n, off + 4 * n)
+                yield "insert_q8", ids, (
+                    v8.copy(), r8.copy(), scale.copy(), rscale.copy()
+                )
             else:
                 yield "remove", ids, None
 
@@ -145,6 +178,40 @@ class DeltaLog:
                 f.truncate(0)
                 f.flush()
                 os.fsync(f.fileno())
+
+    def truncate_prefix(self, offset: int) -> None:
+        """Drop the first ``offset`` bytes (now covered by a snapshot),
+        keeping the tail — the background log fold's commit step: mutations
+        appended WHILE the fold streamed its capture to disk land past
+        ``offset`` and must survive (round-3 verdict #7). ``offset`` must be
+        a record boundary (a ``size()`` taken while appends were excluded).
+
+        Crash-safe: the tail is written to a sibling file, fsync'd, then
+        atomically renamed over the log. A crash before the rename leaves
+        the full log (replay is idempotent — records before ``offset`` are
+        already in the snapshot and re-apply as no-ops)."""
+        if offset <= 0:
+            return
+        self.close()
+        if not os.path.exists(self.path) or offset >= os.path.getsize(self.path):
+            self.reset()
+            return
+        tmp = self.path + ".fold"
+        with open(self.path, "rb") as src, open(tmp, "wb") as dst:
+            src.seek(offset)
+            while True:
+                chunk = src.read(1 << 24)
+                if not chunk:
+                    break
+                dst.write(chunk)
+            dst.flush()
+            os.fsync(dst.fileno())
+        os.replace(tmp, self.path)
+        dirfd = os.open(os.path.dirname(self.path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
 
     def close(self) -> None:
         if self._f is not None and not self._f.closed:
