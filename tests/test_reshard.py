@@ -59,3 +59,24 @@ def test_same_shards_load_fast_path(tmp_path, rng):
 def test_sharded_pallas_unaligned_dim_rejected():
     with pytest.raises(ValueError, match="pallas"):
         ShardedLSHIndex(dim=48, options=IndexOptions(rerank="pallas"), shards=2)
+
+
+def test_reshard_chunked_readd(tmp_path, rng):
+    """>4096 live rows exercises the bounded chunked re-add loop (round-3
+    verdict #3: the old reshard materialised every live row in ONE host
+    array); the resharded index must hold every id and self-retrieve."""
+    n = 9_000
+    data = rng.standard_normal((n, 16)).astype(np.float32)
+    # probes=8: uniform random data is the IVF worst case, and this test is
+    # about the chunked re-add (ids + bytes survive), not probe recall
+    ix = ShardedLSHIndex(dim=16, metric="sql2",
+                         options=IndexOptions(seed=3, num_probes=8), shards=8)
+    ids = ix.add(data)
+    ix.remove(ids[::100])
+    dead = set(ids[::100])
+    ix.save(str(tmp_path / "chunked"))
+    loaded = ShardedLSHIndex.load(str(tmp_path / "chunked"), shards=2)
+    assert len(loaded) == len(ix) == n - len(dead)
+    res = loaded.search(data[1000:1100], k=1)
+    hits = sum(row[0][0] == ids[1000 + i] for i, row in enumerate(res))
+    assert hits >= 95, hits  # a chunking bug would collapse this to ~0

@@ -96,3 +96,89 @@ def test_index_snapshot_still_loads_via_np(tmp_path, rng):
     res = idx2.search(data[:5], k=1)
     for i, row in enumerate(res):
         assert row[0][0] == ids[i]
+
+
+def test_npz_member_memmap_matches_npload(tmp_path, rng):
+    """The load-side mirror of the streamed writer (round-3 verdict #3):
+    members come back as read-only memmap views, bit-identical to the eager
+    NpzFile decode; 0-d members fall back (ValueError)."""
+    path = str(tmp_path / "mm.npz")
+    arrays = {
+        "f32": rng.standard_normal((257, 9)).astype(np.float32),
+        "i8": rng.integers(-100, 100, (64, 16)).astype(np.int8),
+        "scalar": np.int32(7),
+    }
+    S.write_npz_streamed(path, arrays)
+    for name in ("f32", "i8"):
+        mm = S.npz_member_memmap(path, name)
+        assert isinstance(mm, np.memmap) and not mm.flags.writeable
+        np.testing.assert_array_equal(mm, arrays[name])
+    with pytest.raises(ValueError, match="0-d"):
+        S.npz_member_memmap(path, "scalar")
+    # the SnapshotReader wrapper serves memmaps and falls back for 0-d
+    with np.load(path) as z:
+        r = S.SnapshotReader(path, z)
+        assert isinstance(r["f32"], np.memmap)
+        assert r["scalar"] == 7
+        assert "i8" in r and "nope" not in r
+
+
+def test_load_bounded_memory(tmp_path, rng):
+    """Index LOAD must not materialise whole members in anonymous host
+    memory (round-3 verdict #3: save was streamed, load was not). The slab
+    feeds the device straight from memmap pages; python-tracked peak stays
+    far below the member bytes."""
+    import tracemalloc
+
+    from zebra_tpu.config import IndexOptions
+    from zebra_tpu.index import load_index, make_index
+
+    n, dim = 40_000, 256  # f32 slab member ~40MB after capacity rounding
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    idx = make_index(dim, metric="sql2",
+                     options=IndexOptions(seed=0, dtype="float32"))
+    idx.add(data)
+    d = str(tmp_path / "big")
+    idx.save(d)
+    member_bytes = os.path.getsize(os.path.join(d, "arrays.npz"))
+    assert member_bytes > 30 << 20
+    del idx
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    idx2 = load_index(d)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(idx2) == n
+    # the id arena (16B/slot) dominates the remaining python-tracked peak;
+    # the vectors member alone is ~4x this bound
+    assert peak < member_bytes // 4, f"peak {peak} vs npz {member_bytes}"
+
+
+def test_sharded_load_bounded_memory(tmp_path, rng):
+    """Sharded restore: members stay host memmaps all the way into the
+    sharded device_put (no whole-slab jnp.asarray on the default device)."""
+    import tracemalloc
+
+    from zebra_tpu.config import IndexOptions
+    from zebra_tpu.parallel.sharded import ShardedIndex
+
+    n, dim = 40_000, 256
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    ix = ShardedIndex(dim=dim, metric="sql2", shards=8,
+                      options=IndexOptions(seed=0, dtype="float32"))
+    ids = ix.add(data)
+    d = str(tmp_path / "shardbig")
+    ix.save(d)
+    member_bytes = os.path.getsize(os.path.join(d, "arrays.npz"))
+    assert member_bytes > 30 << 20
+    del ix
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    loaded = ShardedIndex.load(d)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(loaded) == n
+    assert peak < member_bytes // 4, f"peak {peak} vs npz {member_bytes}"
+    res = loaded.search(data[:5], k=1, exact=True)
+    for i, row in enumerate(res):
+        assert row[0][0] == ids[i]

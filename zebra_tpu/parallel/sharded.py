@@ -762,20 +762,36 @@ class ShardedIndex(BaseVectorIndex):
         }
 
     def _restore_arrays(self, z) -> None:
-        from zebra_tpu.index.base import slab_from_np
+        def slab_host(arr):
+            """Decode the stored slab WITHOUT leaving host memory: members
+            are memmap views, and ``_put``'s sharded device_put reads them
+            straight into per-shard buffers — a ``jnp.asarray`` here would
+            first materialise the whole slab on the default device and then
+            reshard it (a 2x device-memory transient on load)."""
+            import ml_dtypes
+
+            if arr.dtype == np.uint16:  # bf16 snapshot encoding
+                arr = arr.view(ml_dtypes.bfloat16)
+            want = (
+                ml_dtypes.bfloat16 if self.dtype == jnp.bfloat16
+                else np.dtype(self.dtype)
+            )
+            if arr.dtype != want:  # legacy f32 snapshot into a reduced slab
+                arr = np.asarray(arr).astype(want)
+            return arr
 
         if self._ivf:
             counts = np.asarray(z["counts"])  # [S, K+1] from the FILE
             stacked = V.IVFState(
-                centroids=jnp.asarray(z["centroids"]),
-                counts=jnp.asarray(z["counts"]),
-                vectors=slab_from_np(z["vectors"], self.dtype),
-                norms=jnp.asarray(z["norms"]),
-                valid=jnp.asarray(z["valid"]),
-                overflow=jnp.asarray(z["overflow"]),
-                scales=jnp.asarray(z["scales"]) if "scales" in z else None,
-                residual=jnp.asarray(z["residual"]) if "residual" in z else None,
-                rscales=jnp.asarray(z["rscales"]) if "rscales" in z else None,
+                centroids=z["centroids"],
+                counts=counts,
+                vectors=slab_host(z["vectors"]),
+                norms=z["norms"],
+                valid=z["valid"],
+                overflow=z["overflow"],
+                scales=z["scales"] if "scales" in z else None,
+                residual=z["residual"] if "residual" in z else None,
+                rscales=z["rscales"] if "rscales" in z else None,
                 ccap=int(z["ccap"]),
             )
             self._kc = stacked.centroids.shape[1] * int(z["ccap"])
@@ -783,15 +799,15 @@ class ShardedIndex(BaseVectorIndex):
             self._spare_used = counts[:, -1].astype(np.int64).copy()
         else:
             stacked = B.IndexState(
-                planes=jnp.asarray(z["planes"]),
-                consts=jnp.asarray(z["consts"]),
-                buckets=jnp.asarray(z["buckets"]),
-                counts=jnp.asarray(z["counts"]),
-                vectors=slab_from_np(z["vectors"], self.dtype),
-                norms=jnp.asarray(z["norms"]),
-                valid=jnp.asarray(z["valid"]),
-                next_slot=jnp.asarray(z["next_slot"]),
-                overflow=jnp.asarray(z["overflow"]),
+                planes=z["planes"],
+                consts=z["consts"],
+                buckets=z["buckets"],
+                counts=z["counts"],
+                vectors=slab_host(z["vectors"]),
+                norms=z["norms"],
+                valid=z["valid"],
+                next_slot=z["next_slot"],
+                overflow=z["overflow"],
             )
             self._next_slots = [int(v) for v in np.asarray(z["next_slot"])]
         self.state = self._put(stacked)
@@ -829,41 +845,64 @@ class ShardedIndex(BaseVectorIndex):
     @classmethod
     def _load_resharded(cls, directory, meta, mesh, target):
         """Rebuild over a different mesh size from snapshot bytes: collect
-        live (id, vector) rows in global-slot order and re-add."""
-        from zebra_tpu.storage.snapshots import open_snapshot_arrays
+        live (id, vector) rows in global-slot order and re-add, CHUNKED —
+        snapshot members stay memmap views and the re-add loop materialises
+        one ~CHUNK_BYTES f32 slice at a time, so a 10M x 768 reshard's host
+        transient is ~64MB, not the ~30GB whole-live-set array (round-3
+        verdict #3; ≙ fjall streaming LSM segments on recovery,
+        ``lsh.rs:71-89``)."""
+        from zebra_tpu.storage.snapshots import CHUNK_BYTES, open_snapshot_arrays
 
         idx = cls._construct_for_load(meta, mesh=mesh, shards=target)
         S_old = meta["shards"]
         with open_snapshot_arrays(directory, meta) as z:
-            vectors = z["vectors"]  # [S_old, cap, D] (uint16 bits if bf16)
-            valid = np.asarray(z["valid"])
-            ids_arr = np.ascontiguousarray(z["slot_ids"])
-            saved_scales = np.asarray(z["scales"]) if "scales" in z else None
-            saved_residual = np.asarray(z["residual"]) if "residual" in z else None
-            saved_rscales = np.asarray(z["rscales"]) if "rscales" in z else None
-        cap = vectors.shape[1]
-        arena = SlotIdArena.from_array(ids_arr)
-        live = arena.live_slots()  # global interleaved slots (old S)
-        shard = live % S_old
-        local = live // S_old
-        ok = valid[shard, local]
-        live = live[ok]
-        if not len(live):
-            return idx
-        rows = vectors[live % S_old, live // S_old]
-        if rows.dtype == np.uint16:
-            import ml_dtypes
+            vectors = z["vectors"]  # [S_old, cap, D] memmap (u16 bits if bf16)
+            valid = z["valid"]
+            arena = SlotIdArena.from_array(np.array(z["slot_ids"]))
+            saved_scales = z["scales"] if "scales" in z else None
+            saved_residual = z["residual"] if "residual" in z else None
+            saved_rscales = z["rscales"] if "rscales" in z else None
 
-            rows = rows.view(ml_dtypes.bfloat16).astype(np.float32)
-        elif rows.dtype == np.int8:  # dequantise with the saved scales
-            sc = saved_scales[live % S_old, live // S_old]
-            rows = rows.astype(np.float32) * sc[:, None]
-            if saved_residual is not None:  # refined: add the residual term
-                r8 = saved_residual[live % S_old, live // S_old]
-                rs = saved_rscales[live % S_old, live // S_old]
-                rows = rows + r8.astype(np.float32) * rs[:, None]
-        idx.add(np.ascontiguousarray(rows, dtype=np.float32),
-                ids=arena.take_list(live))
+            live = arena.live_slots()  # global interleaved slots (old S)
+            ok = np.asarray(valid[live % S_old, live // S_old])
+            live = live[ok]
+            n_live = len(live)
+            if not n_live:
+                return idx
+
+            def take_rows(slots) -> np.ndarray:
+                """Gather + dequantise live rows (touches only their pages)."""
+                sh, lo = slots % S_old, slots // S_old
+                rows = vectors[sh, lo]
+                if rows.dtype == np.uint16:
+                    import ml_dtypes
+
+                    return rows.view(ml_dtypes.bfloat16).astype(np.float32)
+                if rows.dtype == np.int8:  # dequantise with the saved scales
+                    sc = np.asarray(saved_scales[sh, lo])
+                    rows = rows.astype(np.float32) * sc[:, None]
+                    if saved_residual is not None:  # refined: + residual term
+                        r8 = saved_residual[sh, lo]
+                        rs = np.asarray(saved_rscales[sh, lo])
+                        rows = rows + r8.astype(np.float32) * rs[:, None]
+                    return rows
+                return np.ascontiguousarray(rows, dtype=np.float32)
+
+            # size + train ONCE for the full live count (chunked add()s must
+            # not cold-build for the first chunk's size); the k-means sample
+            # is a uniform draw over the live set, exactly what a whole-array
+            # add() would have subsampled
+            sample_n = min(n_live, idx.options.kmeans_sample)
+            sample = live if sample_n == n_live else np.sort(
+                idx._rng.choice(live, size=sample_n, replace=False)
+            )
+            idx.state = idx._fresh_state(n_live, take_rows(sample))
+            idx._built_n = n_live
+
+            rows_per_chunk = max(4096, CHUNK_BYTES // max(idx.dim * 4, 1))
+            for s in range(0, n_live, rows_per_chunk):
+                chunk = live[s : s + rows_per_chunk]
+                idx.add(take_rows(chunk), ids=arena.take_list(chunk))
         return idx
 
     # -- maintenance stats ------------------------------------------------------

@@ -85,15 +85,91 @@ def _iter_chunks(arr, shape, dtype):
         yield np.zeros((0, *shape[1:]), dtype=dtype)
 
 
+def _member_data_offset(f, header_offset: int) -> int:
+    """File offset of a zip member's raw data (local header parsed by hand —
+    the zip local header is 30 fixed bytes + name + extra)."""
+    f.seek(header_offset)
+    hdr = f.read(30)
+    if hdr[:4] != b"PK\x03\x04":
+        raise ValueError("corrupt zip local header")
+    name_len = int.from_bytes(hdr[26:28], "little")
+    extra_len = int.from_bytes(hdr[28:30], "little")
+    return header_offset + 30 + name_len + extra_len
+
+
+def npz_member_memmap(path: str, name: str) -> np.ndarray:
+    """Read-only ``np.memmap`` view of one member of an UNCOMPRESSED
+    ``.npz`` (every snapshot this package writes is ZIP_STORED).
+
+    This is the load-side mirror of :func:`write_npz_streamed` (round-3
+    verdict #3): ``NpzFile.__getitem__`` materialises the WHOLE member in
+    anonymous host memory (a 10M x 768 f32 slab is ~30GB), while a memmap
+    view reads only the pages a consumer touches — and those live in the
+    evictable page cache, not process RSS. ``jax.device_put`` /
+    ``jnp.asarray`` of the view streams file -> device with no full
+    host-side copy; fancy-indexed gathers (the reshard path) touch only the
+    gathered rows' pages.
+
+    Raises ``ValueError`` for compressed or Fortran-ordered members (the
+    caller falls back to the eager ``NpzFile`` read).
+    """
+    with zipfile.ZipFile(path) as zf:
+        info = zf.getinfo(f"{name}.npy")
+        if info.compress_type != zipfile.ZIP_STORED:
+            raise ValueError(f"member {name} is compressed; cannot memmap")
+        header_offset = info.header_offset
+    with open(path, "rb") as f:
+        data_off = _member_data_offset(f, header_offset)
+        f.seek(data_off)
+        version = np.lib.format.read_magic(f)
+        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+        if fortran:
+            raise ValueError(f"member {name} is Fortran-ordered")
+        array_off = f.tell()
+    if len(shape) == 0:  # np.memmap cannot express 0-d; tiny anyway
+        raise ValueError(f"member {name} is 0-d")
+    return np.memmap(path, dtype=dtype, mode="r", offset=array_off,
+                     shape=shape, order="C")
+
+
+class SnapshotReader:
+    """Mapping view over a snapshot's arrays with bounded-memory reads.
+
+    ``reader[name]`` returns a read-only ``np.memmap`` of the member when
+    possible (uncompressed npz, ndim >= 1), else the eager ``NpzFile``
+    decode (0-d members, compressed legacy files). Consumers that MUTATE a
+    member must copy it first (``np.ascontiguousarray`` of a read-only
+    memmap copies).
+    """
+
+    def __init__(self, path: str, npz):
+        self._path = path
+        self._npz = npz
+
+    @property
+    def files(self):
+        return self._npz.files
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._npz
+
+    def __getitem__(self, name: str):
+        try:
+            return npz_member_memmap(self._path, name)
+        except Exception:
+            return self._npz[name]
+
+
 @contextlib.contextmanager
 def open_snapshot_arrays(directory: str, meta: dict):
     """Yield the snapshot's array mapping, whichever container wrote it.
 
     Dispatches on ``meta["snapshot_format"]`` (recorded by ``save()``;
-    absent in pre-round-3 snapshots, which are always npz). npz yields the
-    LAZY ``NpzFile`` (members decode one at a time — the restore path's
-    peak host memory stays one member, not the whole snapshot); orbax
-    yields an eager ``{name: np.ndarray}`` dict
+    absent in pre-round-3 snapshots, which are always npz). npz yields a
+    :class:`SnapshotReader` (members are read-only memmap views — the
+    restore path's peak anonymous host memory is ~zero; the device slab is
+    fed straight from the page cache); orbax yields an eager
+    ``{name: np.ndarray}`` dict
     (:func:`zebra_tpu.storage.orbax_snap.load_arrays_orbax`).
     """
     if meta.get("snapshot_format", "npz") == "orbax":
@@ -101,8 +177,9 @@ def open_snapshot_arrays(directory: str, meta: dict):
 
         yield load_arrays_orbax(os.path.join(directory, "arrays.orbax"))
         return
-    with np.load(os.path.join(directory, "arrays.npz")) as z:
-        yield z
+    path = os.path.join(directory, "arrays.npz")
+    with np.load(path) as z:
+        yield SnapshotReader(path, z)
 
 
 def write_npz_streamed(path: str, arrays: dict, fsync: bool = True) -> None:
