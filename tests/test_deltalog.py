@@ -186,8 +186,11 @@ def test_bf16_database_crash_replay(tmp_path, rng):
 
 def test_log_dtype_follows_index_wire(tmp_path, rng):
     """int8 slabs log bf16 records (their insert wire IS bf16 — lossless,
-    half the fsync'd bytes); refined int8 ships f32 wire so it logs f32."""
-    from zebra_tpu.storage.deltalog import INSERT, INSERT_BF16, _HDR, _MAGIC
+    half the fsync'd bytes); refined int8 logs the host-quantised q8 pair
+    (bitwise the slab content at ~half the f32 bytes)."""
+    from zebra_tpu.storage.deltalog import (
+        INSERT, INSERT_BF16, INSERT_Q8, _HDR, _MAGIC,
+    )
     import struct
 
     def first_rtype(path):
@@ -199,7 +202,7 @@ def test_log_dtype_follows_index_wire(tmp_path, rng):
     v = _vecs(rng, 12)
     for dtype, refine, want in (
         ("int8", 0, INSERT_BF16),
-        ("int8", 4, INSERT),
+        ("int8", 4, INSERT_Q8),
         ("float32", 0, INSERT),
         ("bfloat16", 0, INSERT_BF16),
     ):

@@ -67,7 +67,10 @@ def test_crash_after_log_before_index(tmp_path, rng, monkeypatch):
     included (they were saved before the log record)."""
     db, ids, data, _ = _mkdb(tmp_path, rng)
     new = rng.standard_normal((5, 16)).astype(np.float32)
-    _crash_after(monkeypatch, db._delta, "append_insert")
+    # _append is the shared record writer — the crash lands after the
+    # fsync'd append regardless of codec (the default ivf tier logs q8
+    # records via append_insert_q8, not append_insert)
+    _crash_after(monkeypatch, db._delta, "_append")
     with pytest.raises(_Boom):
         db.insert_records(new, [f"n{j}".encode() for j in range(5)])
     db2 = _reopen(db)

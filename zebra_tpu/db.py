@@ -20,6 +20,7 @@ from zebra_tpu.config import DatabaseConfig, IndexOptions
 from zebra_tpu.index.lsh import LSHIndex
 from zebra_tpu.models.base import get_model
 from zebra_tpu.storage.blobs import make_document_store
+from zebra_tpu.profiling import logger
 from zebra_tpu.storage.deltalog import DeltaLog
 from zebra_tpu.utils import RWLock, fsync_write, uuid_hex, uuid7_batch, uuid7_bytes
 
@@ -96,6 +97,14 @@ class Database:
         # here because index inserts donate the old device state (donation
         # invalidates buffers a concurrent reader could still be using).
         self._lock = RWLock()
+        #: background log-fold state (round-3 verdict #7): the fold streams
+        #: a consistent snapshot capture to disk with NO lock held, so no
+        #: mutation ever stalls O(database); _save_gen invalidates a fold
+        #: that a concurrent explicit save() superseded.
+        self._fold_thread = None
+        self._save_gen = 0
+        #: fold trigger floor, bytes (instance-overridable for tests)
+        self._fold_floor = 256 * 1024 * 1024
 
     # -- paths ---------------------------------------------------------------
 
@@ -166,6 +175,23 @@ class Database:
                         np.asarray(vecs)[fresh], ids=[ids[j] for j in fresh]
                     )
                     applied += len(fresh)
+            elif op == "insert_q8":
+                # quantised-pair record: the logged codes feed straight back
+                # through the quantised wire — recovery is BITWISE the
+                # crash-free slab (no re-quantisation of a reconstruction)
+                fresh = [j for j, i in enumerate(ids) if i not in self.index]
+                if fresh:
+                    f = np.asarray(fresh)
+                    v8, r8, sc, rs = (p[f] for p in vecs)
+                    recon = (
+                        v8.astype(np.float32) * sc[:, None]
+                        + r8.astype(np.float32) * rs[:, None]
+                    )
+                    self.index.add(
+                        recon, ids=[ids[j] for j in fresh],
+                        prequant=(v8, r8, sc, rs),
+                    )
+                    applied += len(fresh)
             else:  # remove (missing ids are a no-op; blobs redo too — a
                 #      crash between log append and blob removal leaves them)
                 applied += len(self.index.remove(ids))
@@ -175,21 +201,30 @@ class Database:
 
             logger.info("delta log: replayed %d records onto the snapshot", applied)
 
-    def _log_insert(self, ids: list[bytes], vectors: np.ndarray) -> None:
+    def _log_insert(self, ids: list[bytes], vectors: np.ndarray):
         """WRITE-AHEAD insert record for durability="full" (the reference's
         per-upsert LSM sync, ``lsh.rs:87-89``, at O(batch) cost). Called
         BEFORE the index mutation: a crash at any later stage replays the
-        logged record onto the last snapshot (replay is idempotent)."""
-        if self.config.durability == "full" and len(ids):
-            # log in the index's WIRE dtype: bf16 records (half the log
-            # bytes + fsync'd write volume) are lossless whenever the insert
-            # wire itself is bf16 — bf16 slabs AND plain int8 slabs (whose
-            # stored values quantise from the bf16-staged batch); f32 slabs
-            # and refined int8 (f32 wire) keep exact f32 records.
-            self._delta.append_insert(
-                ids, vectors,
-                bf16=np.dtype(self.index._wire_dtype).itemsize == 2,
-            )
+        logged record onto the last snapshot (replay is idempotent).
+
+        Logs in the index's WIRE encoding (half-or-better the f32 log
+        bytes + fsync volume, lossless w.r.t. what the index stores):
+        "bf16" for bf16 wires, "q8" (int8 pair + scales) for the refined
+        int8 tier — the quantised parts are returned so the caller can feed
+        the SAME arrays to ``index.add(prequant=...)`` instead of
+        quantising twice. f32 wires keep exact f32 records.
+        """
+        if self.config.durability != "full" or not len(ids):
+            return None
+        codec = getattr(self.index, "_wal_codec", "f32")
+        if codec == "q8":
+            from zebra_tpu.index.ivf import quantise_pair_host
+
+            parts = quantise_pair_host(vectors)
+            self._delta.append_insert_q8(ids, *parts)
+            return parts
+        self._delta.append_insert(ids, vectors, bf16=codec == "bf16")
+        return None
 
     def _log_remove(self, ids: list[bytes]) -> None:
         """WRITE-AHEAD remove record (see :meth:`_log_insert`). Replaying a
@@ -206,23 +241,102 @@ class Database:
             self._maybe_checkpoint()
 
     def _maybe_checkpoint(self) -> None:
-        """Fold the log into a full snapshot once replaying it would cost more
-        than re-snapshotting (log bytes > max(256MB, last snapshot bytes)).
+        """Fold the log into a full snapshot once replaying it would cost
+        more than re-snapshotting, IN THE BACKGROUND (round-3 verdict #7):
+        the fold thread captures a consistent snapshot reference under a
+        brief read lock, streams it to disk with NO lock held (mutations and
+        queries proceed), then commits under a brief write lock (atomic file
+        replaces + dropping the covered log prefix). No mutation ever stalls
+        O(database) — the reference's per-upsert LSM sync never does either
+        (``lsh.rs:87-89``).
 
-        The floor trades open-time replay (~25s for 256MB of log) against
-        snapshot frequency — a fold reads the whole slab back from the device
-        (~26s at 1M x 128 on this box), so folding on a small log dominates
-        churn cost."""
+        Trigger: log bytes > max(floor=256MB, last snapshot bytes,
+        bandwidth-aware deferral) — on a slow device->host link (this box's
+        tunnel is ~1-7 MB/s) a fold's slab readback is expensive, so the
+        threshold grows with the measured fold cost: don't spend T seconds
+        of readback to save less than ~T seconds of open-time replay."""
         log_bytes = self._delta.size()
-        floor = 256 * 1024 * 1024
-        if log_bytes < floor:
+        if log_bytes < self._fold_floor:
             return
         try:
             snap_bytes = os.path.getsize(os.path.join(self._index_dir(), "arrays.npz"))
         except OSError:
             snap_bytes = 0
-        if log_bytes > max(floor, snap_bytes):
-            self.save()
+        threshold = max(self._fold_floor, snap_bytes)
+        if snap_bytes:
+            from zebra_tpu.utils import device_readback_mbs
+
+            # replay applies ~REPLAY_MBS of log per second at open; only
+            # fold when the log's replay cost exceeds the fold's readback
+            # cost (snapshot bytes over the measured device->host rate)
+            _REPLAY_MBS = 32.0
+            fold_s = snap_bytes / (device_readback_mbs() * 1e6)
+            threshold = max(threshold, int(fold_s * _REPLAY_MBS * 1e6))
+        if log_bytes > threshold:
+            self._start_fold()
+
+    def _start_fold(self) -> None:
+        """Kick the background fold (no-op while one is in flight)."""
+        import threading
+
+        if self._fold_thread is not None and self._fold_thread.is_alive():
+            return
+        self._fold_thread = threading.Thread(
+            target=self._fold_worker, name="zebra-fold", daemon=True
+        )
+        self._fold_thread.start()
+
+    def wait_for_fold(self, timeout: float | None = None) -> None:
+        """Block until any in-flight background fold finishes (tests and
+        orderly shutdown; safe to call with locks NOT held)."""
+        t = self._fold_thread
+        if t is not None and t.is_alive():
+            t.join(timeout)
+
+    def _fold_worker(self) -> None:
+        import shutil as _shutil
+
+        tmp = self._index_dir() + ".fold"
+        try:
+            with self._lock.read():
+                # appends happen under the write lock, so this size() is a
+                # record boundary and the capture is consistent with it
+                offset = self._delta.size()
+                gen = self._save_gen
+                cap = self.index.snapshot_capture()
+            if cap["fmt"] != "npz":
+                # orbax snapshots are directories (no atomic two-file
+                # replace) — fold synchronously under the write lock instead
+                with self._lock.write():
+                    if self._save_gen == gen:
+                        self._save_locked(self.path)
+                return
+            _shutil.rmtree(tmp, ignore_errors=True)
+            self.index.write_capture(tmp, cap)  # the slow part: NO lock held
+            with self._lock.write():
+                if self._save_gen != gen:
+                    # an explicit save() superseded this fold; discard
+                    _shutil.rmtree(tmp, ignore_errors=True)
+                    return
+                idx_dir = self._index_dir()
+                os.makedirs(idx_dir, exist_ok=True)
+                # arrays first, meta second: a crash in between leaves the
+                # old meta (built_n only differs) + the UNtruncated WAL —
+                # replay is idempotent, so recovery is exact either way
+                for name in ("arrays.npz", "index.json"):
+                    src = os.path.join(tmp, name)
+                    if os.path.exists(src):
+                        os.replace(src, os.path.join(idx_dir, name))
+                _shutil.rmtree(tmp, ignore_errors=True)
+                self._delta.truncate_prefix(offset)
+                self._write_manifest(self.path)
+                logger.info(
+                    "background fold: snapshot swapped, %d log bytes dropped",
+                    offset,
+                )
+        except Exception:  # never take the serving path down with us
+            logger.exception("background log fold failed (will retry later)")
+            _shutil.rmtree(tmp, ignore_errors=True)
 
     def save(self, path: str | None = None) -> None:
         """Persist manifest + index snapshot (+ blobs on save-as).
@@ -237,6 +351,9 @@ class Database:
             self._save_locked(target)
 
     def _save_locked(self, target: str) -> None:
+        # invalidate any in-flight background fold: its capture predates
+        # this save, and its commit must not clobber the newer snapshot
+        self._save_gen += 1
         data_dir = f"{target}.d"
         os.makedirs(data_dir, exist_ok=True)
         if target != self.path and os.path.isdir(self._docs_dir()):
@@ -328,7 +445,10 @@ class Database:
 
     def insert_documents(self, documents: list[bytes]) -> list[bytes]:
         """Embed + insert documents (``core.rs:232-235``)."""
-        embeddings = self.model.embed_documents(documents)
+        from zebra_tpu.profiling import timed
+
+        with timed("insert.embed", items=len(documents), stats=self.stats):
+            embeddings = self.model.embed_documents(documents)
         return self.insert_records(embeddings, documents)
 
     def insert_records(self, embeddings: np.ndarray, documents: list[bytes]) -> list[bytes]:
@@ -350,10 +470,17 @@ class Database:
         if not len(documents):
             return []
         ids = uuid7_batch(embeddings.shape[0])
-        with self._lock.write(), timed("insert", items=len(documents), stats=self.stats):
-            self._docs.save_many(ids, list(documents))
-            self._log_insert(ids, embeddings)
-            self.index.add(embeddings, ids=ids)
+        n = len(documents)
+        # stage timers feed the pipeline bench's stage table (round-3
+        # verdict #4: the text-pipeline number needs a breakdown, not a
+        # total) — one insert = blobs -> WAL -> index
+        with self._lock.write(), timed("insert", items=n, stats=self.stats):
+            with timed("insert.blobs", items=n, stats=self.stats):
+                self._docs.save_many(ids, list(documents))
+            with timed("insert.wal", items=n, stats=self.stats):
+                parts = self._log_insert(ids, embeddings)
+            with timed("insert.index", items=n, stats=self.stats):
+                self.index.add(embeddings, ids=ids, prequant=parts)
             self._post_mutation()
         return ids
 
@@ -367,8 +494,8 @@ class Database:
             return []
         ids = uuid7_batch(v.shape[0])
         with self._lock.write():
-            self._log_insert(ids, v)
-            self.index.add(v, ids=ids)
+            parts = self._log_insert(ids, v)
+            self.index.add(v, ids=ids, prequant=parts)
             self._post_mutation()
         return ids
 
@@ -405,9 +532,12 @@ class Database:
         Returns ``{query_index: {vector_id: document_bytes}}`` — the shape of
         the reference's ``DashMap<usize, DashMap<Uuid, Vec<u8>>>``.
         """
+        from zebra_tpu.profiling import timed
+
         if self.index.no_vectors():
             return {}
-        queries = self.model.embed_documents(documents)
+        with timed("query.embed", items=len(documents), stats=self.stats):
+            queries = self.model.embed_documents(documents)
         return self.query_vectors(queries, number_of_results)
 
     def query_vectors(self, vectors: np.ndarray, number_of_results: int = 1) -> dict[int, dict[bytes, bytes]]:
@@ -426,6 +556,39 @@ class Database:
                 docs = self._docs.read_many([i for i, _ in row])
                 out[qi] = docs
         return out
+
+    def query_stream(self, batches, number_of_results: int = 10):
+        """Pipelined per-batch queries: yields one ``query()``-shaped result
+        list per input batch with one batch always in flight — batch t's
+        device->host readback overlaps batch t+1's upload + compute (the
+        serving path's only remaining lever on a slow link; ≙ the
+        reference's parallel multi-reader queries, ``core.rs:299-311``).
+
+        Each submit takes the shared read lock (mutations still exclude);
+        collects run lock-free — a dispatched batch references the
+        pre-mutation device arrays, which stay alive until collected.
+        """
+        from zebra_tpu.profiling import timed
+
+        pending = None
+        for batch in batches:
+            b = np.asarray(batch, dtype=np.float32)
+            nq = 1 if b.ndim == 1 else b.shape[0]
+            if self.index.no_vectors():
+                if pending is not None:
+                    yield self.index._format_results(
+                        *self.index.search_collect(pending)
+                    )
+                    pending = None
+                yield [[] for _ in range(nq)]
+                continue
+            with self._lock.read(), timed("query", items=nq, stats=self.stats):
+                tok = self.index.search_submit(b, number_of_results)
+            if pending is not None:
+                yield self.index._format_results(*self.index.search_collect(pending))
+            pending = tok
+        if pending is not None:
+            yield self.index._format_results(*self.index.search_collect(pending))
 
     def query(self, vectors: np.ndarray, number_of_results: int = 10, with_documents: bool = False):
         """Richer query API: per-query ``[(id, distance[, document]), ...]``."""

@@ -46,6 +46,47 @@ def device_sync(x) -> None:
         np.asarray(leaves[0].reshape(-1)[:1])
 
 
+def measure_tunnel(dim: int = 768) -> tuple[float, float]:
+    """Measured host<->device bandwidth ``(up_MB/s, down_MB/s)``.
+
+    Context for any wire-bound number (this box's dev tunnel swings 15-42
+    MB/s up / 4-7 MB/s down between runs) and the input to bandwidth-aware
+    policies like the checkpoint-fold threshold (round-3 verdict #7).
+    Costs ~one second of transfers — cache the result per process (see
+    :func:`device_readback_mbs`)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    up_mb = 32
+    host = np.random.default_rng(0).standard_normal(
+        (up_mb * 1024 * 1024 // (4 * dim), dim)
+    ).astype(np.float32)
+    h = jax.device_put(host)  # warm any lazy init
+    device_sync(h)
+    t0 = time.perf_counter()
+    h = jax.device_put(host)
+    device_sync(h)
+    up = up_mb / (time.perf_counter() - t0)
+    down_rows = max((4 * 1024 * 1024) // (4 * dim), 1)
+    t0 = time.perf_counter()
+    _ = np.asarray(h[:down_rows])
+    down = (down_rows * dim * 4 / 1e6) / (time.perf_counter() - t0)
+    return round(up, 1), round(down, 1)
+
+
+_READBACK_MBS: list[float] = []
+
+
+def device_readback_mbs() -> float:
+    """Device->host MB/s, measured ONCE per process and cached (a fold
+    policy consulted per mutation cannot afford a per-call probe)."""
+    if not _READBACK_MBS:
+        _READBACK_MBS.append(measure_tunnel()[1])
+    return max(_READBACK_MBS[0], 0.1)
+
+
 def uuid7_bytes() -> bytes:
     """Time-ordered 16-byte id (UUIDv7 layout).
 
