@@ -69,11 +69,23 @@ def _cmd_insert(args) -> int:
     return 0
 
 
+def _read_files_parallel(paths: list[str]) -> list[bytes]:
+    """Read ingest files with an I/O thread pool (the reference reads them
+    with rayon's par_iter, ``main.rs:331-334``; Python file reads release
+    the GIL, so threads overlap the disk waits)."""
+    if len(paths) < 4:
+        return [open(p, "rb").read() for p in paths]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
+        return list(pool.map(lambda p: open(p, "rb").read(), paths))
+
+
 def _cmd_insert_from_files(args) -> int:
     db = _open_db(args.modality, args.database_path)
     paths = list(args.items)
     sw = Stopwatch()
-    docs = [open(p, "rb").read() for p in paths]  # reference reads all upfront (main.rs:331-334)
+    docs = _read_files_parallel(paths)  # all upfront, like the reference
     total = 0
     for start in range(0, len(docs), args.batch_size):
         batch = docs[start : start + args.batch_size]
@@ -201,6 +213,23 @@ def _cmd_stats(args) -> int:
     return 0
 
 
+def _cmd_fetch_weights(args) -> int:
+    """Runtime weight acquisition (≙ the reference's first-use downloads:
+    fastembed ``model/text.rs:15-17``, candle hf-hub ``model/image.rs:60-64``).
+    Explicit here — a database open never touches the network."""
+    from zebra_tpu.models import fetch
+
+    models = ["bge-small", "vit"] if args.model == "all" else [args.model]
+    for m in models:
+        try:
+            dest = fetch.fetch(m)
+        except RuntimeError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(f"Fetched {m} weights into {dest}.")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="zebra-tpu",
@@ -245,6 +274,14 @@ def build_parser() -> argparse.ArgumentParser:
 
         st = verbs.add_parser("stats", help="print database/index statistics")
         st.set_defaults(fn=_cmd_stats)
+
+    fw = sub.add_parser(
+        "fetch-weights",
+        help="download model weights into the local cache (hf-hub); "
+        "afterwards text/image search is semantic with zero env vars",
+    )
+    fw.add_argument("model", choices=["bge-small", "vit", "all"])
+    fw.set_defaults(fn=_cmd_fetch_weights, verb="fetch-weights")
     return ap
 
 

@@ -90,11 +90,25 @@ class _HashTokenizer:
         return ids, attn
 
 
+def _resolve_weights_path() -> str:
+    """Checkpoint resolution: the explicit env var wins; otherwise the
+    ``fetch-weights`` cache (see :mod:`zebra_tpu.models.fetch` — a connected
+    machine that ran ``zebra-tpu fetch-weights bge-small`` gets semantic
+    search with zero env vars, matching the reference's out-of-the-box
+    behaviour, ``model/text.rs:15-17``)."""
+    env = os.environ.get("ZEBRA_TPU_BGE_WEIGHTS", "")
+    if env:
+        return env
+    from zebra_tpu.models.fetch import cached_weights
+
+    return cached_weights("bge-small") or ""
+
+
 def _find_vocab_file() -> str | None:
     cand = os.environ.get("ZEBRA_TPU_BGE_VOCAB", "")
     if cand and os.path.exists(cand):
         return cand
-    weights = os.environ.get("ZEBRA_TPU_BGE_WEIGHTS", "")
+    weights = _resolve_weights_path()
     if weights:
         sibling = os.path.join(os.path.dirname(weights), "vocab.txt")
         if os.path.exists(sibling):
@@ -153,7 +167,7 @@ def _encoder(seed: int = 0):
     dummy_ids = jnp.zeros((1, SEQ_LEN), jnp.int32)
     dummy_attn = jnp.ones((1, SEQ_LEN), jnp.bool_)
     params = model.init(jax.random.PRNGKey(seed), dummy_ids, dummy_attn)["params"]
-    weights = os.environ.get("ZEBRA_TPU_BGE_WEIGHTS", "")
+    weights = _resolve_weights_path()
     if weights and os.path.exists(weights):
         params, report = load_bert_weights(weights, params)
         if report["problems"]:
@@ -286,8 +300,10 @@ class BGESmallEn15(BaseModel):
             )
         if _STATUS["weights"] == "random":
             degr.append(
-                "random-init BGE weights (set ZEBRA_TPU_BGE_WEIGHTS to a "
-                "pytorch_model.bin / model.safetensors checkpoint)"
+                "random-init BGE weights (run `zebra-tpu fetch-weights "
+                "bge-small` on a connected machine, or set "
+                "ZEBRA_TPU_BGE_WEIGHTS to a pytorch_model.bin / "
+                "model.safetensors checkpoint)"
             )
         elif _STATUS["weights"] == "partial":
             degr.append("BGE checkpoint only partially mapped (see log)")

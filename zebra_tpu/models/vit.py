@@ -92,13 +92,25 @@ class VitTower(nn.Module):
 WEIGHT_STATUS: dict[str, str] = {}
 
 
+def _resolve_weights_path() -> str:
+    """Env var first, then the ``fetch-weights`` cache (see
+    :mod:`zebra_tpu.models.fetch`; ≙ candle's hf-hub pull,
+    ``model/image.rs:60-64``)."""
+    env = os.environ.get("ZEBRA_TPU_VIT_WEIGHTS", "")
+    if env:
+        return env
+    from zebra_tpu.models.fetch import cached_weights
+
+    return cached_weights("vit") or ""
+
+
 @functools.lru_cache(maxsize=4)
 def _tower_and_params(mode: str, seed: int = 0):
     from zebra_tpu.profiling import logger
 
     model = VitTower(mode=mode)
     dummy = jnp.zeros((1, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32)
-    weights_path = os.environ.get("ZEBRA_TPU_VIT_WEIGHTS", "")
+    weights_path = _resolve_weights_path()
     params = model.init(jax.random.PRNGKey(seed), dummy)["params"]
     if weights_path and os.path.exists(weights_path):
         params, report = load_vit_weights(weights_path, params, mode=mode)
@@ -128,7 +140,8 @@ def weight_status(mode: str, seed: int = 0) -> list[str]:
     st = WEIGHT_STATUS.get(mode, "random")
     if st == "random":
         return [
-            "random-init ViT weights (set ZEBRA_TPU_VIT_WEIGHTS to a "
+            "random-init ViT weights (run `zebra-tpu fetch-weights vit` on "
+            "a connected machine, or set ZEBRA_TPU_VIT_WEIGHTS to a "
             "model.safetensors checkpoint)"
         ]
     if st == "partial":
