@@ -38,28 +38,39 @@ def emit(result: dict, out: str = "") -> None:
 
 
 def measure_tunnel(dim: int = 768):
-    """Measured host<->device bandwidth (MB/s) — context for facade numbers
-    on this box's tunnel (wire cost bounds any host-side query path)."""
-    import jax
-    import numpy as np
+    """Measured host<->device bandwidth (MB/s) — lives in utils now so the
+    library's bandwidth-aware policies can consult it too (round-3 verdict
+    #7); re-exported here for the tools that import it from bench."""
+    from zebra_tpu.utils import measure_tunnel as _mt
 
-    from zebra_tpu.utils import device_sync
+    return _mt(dim)
 
-    up_mb = 32
-    host = np.random.default_rng(0).standard_normal(
-        (up_mb * 1024 * 1024 // (4 * dim), dim)
-    ).astype(np.float32)
-    h = jax.device_put(host)  # warm any lazy init
-    device_sync(h)
-    t0 = time.perf_counter()
-    h = jax.device_put(host)
-    device_sync(h)
-    up = up_mb / (time.perf_counter() - t0)
-    down_rows = max((4 * 1024 * 1024) // (4 * dim), 1)
-    t0 = time.perf_counter()
-    _ = np.asarray(h[:down_rows])
-    down = (down_rows * dim * 4 / 1e6) / (time.perf_counter() - t0)
-    return round(up, 1), round(down, 1)
+
+def load_vectors(path: str) -> "np.ndarray":
+    """Real-dataset loader (round-3 verdict #10): ``.fvecs`` / ``.bvecs``
+    (the TexMex SIFT-1M container: each row = little-endian int32 dim +
+    dim elements f32/u8) or ``.npy``. Returns f32 ``[n, dim]`` — with the
+    file on disk, BASELINE config 2 (SIFT-1M) is one flag away:
+    ``bench.py --data sift_base.fvecs --data-queries sift_query.fvecs
+    --metric l2``."""
+    if path.endswith(".npy"):
+        return np.ascontiguousarray(np.load(path), dtype=np.float32)
+    if path.endswith(".fvecs") or path.endswith(".bvecs"):
+        raw = np.fromfile(path, dtype=np.uint8)
+        dim = int(np.frombuffer(raw[:4], dtype="<i4")[0])
+        elem = 1 if path.endswith(".bvecs") else 4
+        row_bytes = 4 + dim * elem
+        if len(raw) % row_bytes:
+            raise ValueError(f"{path}: not a whole number of {dim}-d rows")
+        rows = raw.reshape(-1, row_bytes)
+        dims = rows[:, :4].copy().view("<i4")[:, 0]
+        if not (dims == dim).all():
+            raise ValueError(f"{path}: inconsistent row dims")
+        body = np.ascontiguousarray(rows[:, 4:])
+        if elem == 1:
+            return body.astype(np.float32)
+        return body.view("<f4").astype(np.float32, copy=False)
+    raise ValueError(f"unsupported dataset container: {path}")
 
 
 def make_data(n: int, dim: int, seed: int = 0, n_clusters: int | None = None):
@@ -165,28 +176,48 @@ def pipeline(args):
             ),
         )
         db = Database.create(f"{td}/p.zebra", cfg)
+        # two halves: the first pays cold build (+ any compile-cache misses),
+        # the second is the steady-state ingest rate a long-running pipeline
+        # sees — the round-3 number (24 docs/s) was one cold total with NO
+        # stage breakdown (round-3 verdict #4)
+        half = len(docs) // 2
         t0 = time.perf_counter()
-        db.insert_documents(docs)
-        t_ins = time.perf_counter() - t0
+        db.insert_documents(docs[:half])
+        t_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        db.insert_documents(docs[half:])
+        t_warm = time.perf_counter() - t0
+        t_ins = t_cold + t_warm
+        t0 = time.perf_counter()
+        res = db.query_documents(docs[: args.qbatch], number_of_results=args.k)
+        t_q_cold = time.perf_counter() - t0
         t0 = time.perf_counter()
         res = db.query_documents(docs[: args.qbatch], number_of_results=args.k)
         t_q = time.perf_counter() - t0
         hits = sum(docs[i] in res[i].values() for i in range(args.qbatch))
+        from zebra_tpu.profiling import GLOBAL_STATS
+
+        stages = {**GLOBAL_STATS.summary(), **db.stats.summary()}
+        log(f"pipeline stages: {json.dumps(stages, indent=1)}")
         emit({
             "metric": f"text_pipeline_docs_per_sec_{args.n}",
             "value": round(args.n / t_ins, 1),
             "unit": "docs/s",
             "vs_baseline": 0.0,
             "extra": {
+                "insert_docs_per_sec_warm": round(half / t_warm, 1),
+                "insert_seconds_cold_half": round(t_cold, 2),
                 "query_docs_per_sec": round(args.qbatch / t_q, 1),
+                "query_docs_per_sec_cold": round(args.qbatch / t_q_cold, 1),
                 "self_retrieval": hits / args.qbatch,
                 "model": cfg.model,
+                "stages": stages,
             },
         }, args.out)
 
 
 def _refine_arg(v):
-    return v if v == "scan" else int(v)
+    return v if v in ("scan", "auto") else int(v)
 
 
 def main():
@@ -203,7 +234,10 @@ def main():
     #: headline index: "ivf" (cluster-contiguous blocks + pallas re-rank, the
     #: TPU-fast path) or "lsh" (reference-parity bucket tables)
     ap.add_argument("--index", choices=["ivf", "lsh"], default="ivf")
-    ap.add_argument("--rerank", choices=["pallas", "pallas2", "xla"], default="pallas")
+    #: unset = the LIBRARY default ("auto": pallas on TPU at 128-multiple
+    #: dims, xla otherwise) — the headline measures what users get.
+    ap.add_argument("--rerank", choices=["pallas", "pallas2", "xla", "auto"],
+                    default=None)
     #: slab dtype; unset resolves per mode below. The ann headline tier is
     #: int8 + refine="scan" (coarse int8 + int8 residual slab streamed
     #: through the probe kernel: ~15-bit effective precision at 2 B/elem —
@@ -241,19 +275,30 @@ def main():
     ap.add_argument("--out", default="")
     #: also measure recall against TRUE f32 neighbours (host oracle, ~1min)
     ap.add_argument("--true-recall", action="store_true")
+    #: real dataset (.fvecs/.bvecs/.npy) instead of synthetic clustered
+    #: Gaussians — SIFT-1M (BASELINE config 2) is one flag away wherever the
+    #: file exists: --data sift_base.fvecs --data-queries sift_query.fvecs
+    #: --metric l2 (--n 0 = the whole file)
+    ap.add_argument("--data", default="", help="dataset file (.fvecs/.bvecs/.npy)")
+    ap.add_argument("--data-queries", default="",
+                    help="query file (.fvecs/.bvecs/.npy)")
     args = ap.parse_args()
+    # unset tier flags = the LIBRARY defaults, VERBATIM: "auto" resolves at
+    # index construction exactly as it does for a user's bare
+    # Database.create(DatabaseConfig(dim=768)) — the ann headline measures
+    # the shipped defaults (round-3 verdict #2: for ivf they resolve to the
+    # int8 + refine="scan" tier whose truth recall 0.9922 at P=2 BEATS the
+    # previous bf16-P=4 headline's 0.9891 at more QPS, 598.8k vs 540.9k @
+    # qbatch 16384, r3_sweep_int8_scan.json). Churn/pipeline modes keep
+    # their recorded bf16 configs.
+    library_defaults = (args.rerank is None and args.dtype is None
+                        and args.refine is None and args.probes <= 0)
+    if args.rerank is None:
+        args.rerank = "auto"
     if args.dtype is None:
-        # ann headline tier: int8 coarse + int8 residual, refine="scan".
-        # Truth recall 0.9922 at P=2 BEATS the previous bf16-P=4 headline's
-        # 0.9891 while posting more QPS (598.8k vs 540.9k @ qbatch 16384,
-        # r3_sweep_int8_scan.json vs r3_ann_bf16_p4_tiles.json) — better on
-        # both axes, at bf16's memory footprint. Other modes keep bf16.
-        args.dtype = "int8" if (args.mode == "ann" and args.index == "ivf") \
-            else "bfloat16"
+        args.dtype = "auto" if args.mode == "ann" else "bfloat16"
     if args.refine is None:
-        args.refine = "scan" if (
-            args.mode == "ann" and args.index == "ivf" and args.dtype == "int8"
-        ) else 0
+        args.refine = "auto" if args.mode == "ann" else 0
     if args.probes <= 0:
         # the headline measures the LIBRARY defaults (round-2 verdict weak
         # #1: a headline users don't get by default isn't a headline) —
@@ -291,8 +336,15 @@ def main():
     devs = jax.devices()
     log(f"devices: {devs}")
 
-    log(f"generating {args.n} x {args.dim} clustered vectors ...")
-    data = make_data(args.n, args.dim, seed=args.seed)
+    if args.data:
+        data = load_vectors(args.data)
+        if args.n and args.n < len(data):
+            data = data[: args.n]
+        args.n, args.dim = data.shape
+        log(f"loaded {args.n} x {args.dim} vectors from {args.data}")
+    else:
+        log(f"generating {args.n} x {args.dim} clustered vectors ...")
+        data = make_data(args.n, args.dim, seed=args.seed)
     rng = np.random.default_rng(args.seed + 1)
 
     idx = make_index(
@@ -312,6 +364,11 @@ def main():
             seed=args.seed,
         ),
     )
+    # read the CONCRETE tier back from the index ("auto" resolved at
+    # construction) — the raw query_fn below must match what it built
+    args.rerank = idx.options.rerank
+    args.dtype = idx.options.dtype
+    args.refine = idx.options.refine
 
     if args.index == "ivf":
         def query_fn(qq, k):
@@ -351,8 +408,17 @@ def main():
     # and stable across runs. The HEADLINE metric is the large-batch
     # throughput; the small-batch point is recorded alongside.
     qb_big = max(args.qbatch, min(16384, args.n))
-    qsel = rng.permutation(args.n)[:qb_big]
-    queries = data[qsel] + 0.05 * rng.standard_normal((qb_big, args.dim)).astype(np.float32)
+    if args.data_queries:
+        queries = load_vectors(args.data_queries)
+        if len(queries) < qb_big:  # tile the real query set up to the batch
+            reps = -(-qb_big // len(queries))
+            queries = np.tile(queries, (reps, 1))
+        queries = np.ascontiguousarray(queries[:qb_big])
+    else:
+        qsel = rng.permutation(args.n)[:qb_big]
+        queries = data[qsel] + 0.05 * rng.standard_normal(
+            (qb_big, args.dim)
+        ).astype(np.float32)
     qj_all = jnp.asarray(queries)
     qj = qj_all[: args.qbatch]
 
@@ -544,6 +610,17 @@ def main():
             if t_batch > wire_s * 1.05
             else None
         )
+        # pipelined facade: query_stream keeps one batch in flight — batch
+        # t's readback overlaps batch t+1's upload + compute (round-3
+        # verdict #6). Same total queries as the loop above.
+        stream_batches = [qfac] * iters_f
+        list(db.query_stream(stream_batches[:2], args.k))  # warm
+        t0 = time.perf_counter()
+        n_out = sum(1 for _ in db.query_stream(stream_batches, args.k))
+        t_p = time.perf_counter() - t0
+        assert n_out == iters_f
+        facade["facade_pipelined_qps"] = round(args.qbatch * iters_f / t_p, 1)
+        facade["facade_pipeline_speedup"] = round(t_f / t_p, 2)
         # facade insert rate (index add + id registration + manifest)
         inc2 = make_data(inc_n, args.dim, seed=args.seed + 11)
         t0 = time.perf_counter()
@@ -568,6 +645,7 @@ def main():
             f"qps_qb{args.qbatch}": round(qps_small, 1),
             "k": args.k,
             "index_type": args.index,
+            "library_defaults": library_defaults,
             "probes": args.probes,
             "rerank": args.rerank,
             "rerank_dots": args.rerank_dots,
