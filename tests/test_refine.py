@@ -319,3 +319,24 @@ def test_refine_rejected_outside_int8():
         ShardedLSHIndex(
             dim=16, options=_opts(dtype="float32", refine=2), shards=2
         )
+
+
+def test_native_quant_matches_numpy(rng):
+    """The native fmaf kernel is BITWISE the numpy f64-emulation fallback
+    (both compute the single-rounded FMA residual), across magnitudes from
+    denormal-adjacent to huge, plus all-zero rows."""
+    from zebra_tpu.index import ivf as V
+    from zebra_tpu.native import quant as nq
+
+    if not nq.available():
+        pytest.skip("no native toolchain")
+    x = np.concatenate([
+        rng.standard_normal((64, 48)).astype(np.float32),
+        (rng.standard_normal((16, 48)) * 1e-30).astype(np.float32),
+        (rng.standard_normal((16, 48)) * 1e30).astype(np.float32),
+        np.zeros((4, 48), np.float32),
+    ])
+    got = V.quantise_pair_host(x)
+    want = V._quantise_pair_numpy(np.ascontiguousarray(x, np.float32))
+    for g, w, name in zip(got, want, ("v8", "r8", "scale", "rscale")):
+        assert np.array_equal(g, w), name

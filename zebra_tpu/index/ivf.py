@@ -355,8 +355,36 @@ def quantise_pair_host(x: np.ndarray):
     wire shipped exact f32 (``4*D``) because the residual can only capture
     precision the wire delivered. Quantising host-side delivers ALL the
     precision in half the bytes.
+
+    The hot path is the native kernel (``native/zebra_quant.cpp``: each row
+    streams through L1 with an fmaf residual — the fused rounding equals the
+    f64 emulation below bitwise, asserted by
+    ``test_refine.py::test_native_quant_matches_numpy``). The numpy fallback
+    walks full-array f64 passes and is ~15-30x slower per batch; it exists
+    for toolchain-less hosts.
     """
     x32 = np.ascontiguousarray(x, dtype=np.float32)
+    from zebra_tpu.native import quant as _nq
+
+    lib = _nq.get_lib()
+    if lib is not None and x32.ndim == 2:
+        n, d = x32.shape
+        v8 = np.empty((n, d), np.int8)
+        r8 = np.empty((n, d), np.int8)
+        scale = np.empty((n,), np.float32)
+        rscale = np.empty((n,), np.float32)
+        lib.zq_quantise_pair(
+            x32.ctypes.data, n, d,
+            v8.ctypes.data, r8.ctypes.data,
+            scale.ctypes.data, rscale.ctypes.data, 0,
+        )
+        return v8, r8, scale, rscale
+    return _quantise_pair_numpy(x32)
+
+
+def _quantise_pair_numpy(x32: np.ndarray):
+    """Toolchain-less fallback for :func:`quantise_pair_host` (bitwise the
+    native kernel — asserted by test_native_quant_matches_numpy)."""
     absmax = np.max(np.abs(x32), axis=-1)
     one = np.float32(1.0)
     scale = np.where(absmax > 0, absmax * _INV127, one).astype(np.float32)
@@ -366,7 +394,8 @@ def quantise_pair_host(x: np.ndarray):
     # product (<= 32 significant bits) and difference (~40 bits) are both
     # exactly representable, so the single cast back to f32 IS the fused
     # rounding — bitwise the device residual (asserted on the CPU backend
-    # by tests/test_refine.py::test_host_quant_matches_device).
+    # by tests/test_refine.py::test_host_quant_matches_device) and bitwise
+    # C++ fmaf (correctly rounded by IEEE 754).
     res = (
         x32.astype(np.float64)
         - v8.astype(np.float64) * scale.astype(np.float64)[:, None]
