@@ -399,6 +399,21 @@ def main():
     t_build = time.perf_counter() - t0
     inserts_per_sec = args.n / t_build
     log(f"build: {t_build:.2f}s  ({inserts_per_sec:,.0f} inserts/sec)  stats={idx.stats()}")
+    # stage decomposition of the build (prestage = host quant + device_put
+    # ENQUEUE, dispatch = jit enqueue, resolve = slot readbacks): on a
+    # stall-prone tunnel this table is what separates a code regression from
+    # transfer-service weather. ATTRIBUTION NOTE: ivf.train's sync waits for
+    # the staged uploads its sample depends on, so on a slow link that row
+    # absorbs the transfer tail — the wire cost, NOT k-means (measured
+    # steady-state k-means at the 1M sizing is ~1.8s, /tmp profiling 19-08);
+    # training deliberately overlaps the remaining transfers.
+    from zebra_tpu.profiling import GLOBAL_STATS
+
+    build_stages = {
+        k: v for k, v in GLOBAL_STATS.summary().items()
+        if k.startswith(("ivf.", "insert."))
+    }
+    log(f"build stages: {json.dumps(build_stages)}")
 
     # ---- query QPS ---------------------------------------------------------
     # Two batch sizes: args.qbatch (default 1024, the per-call serving shape —
@@ -621,6 +636,27 @@ def main():
         assert n_out == iters_f
         facade["facade_pipelined_qps"] = round(args.qbatch * iters_f / t_p, 1)
         facade["facade_pipeline_speedup"] = round(t_f / t_p, 2)
+        # the qb=1024 serving shape (round-3 verdict #6 asks for this point
+        # specifically: it is ~2/3 per-dispatch overhead on this tunnel, so
+        # pipelining should show most clearly here), recorded alongside the
+        # headline qbatch in the SAME artifact
+        if args.qbatch != 1024 and len(queries) >= 1024:
+            q1k = queries[:1024]
+            iters_1k = max(iters_f * 4, 12)
+            db.query(q1k, args.k)  # warm the 1024 shape
+            t0 = time.perf_counter()
+            for _ in range(iters_1k):
+                db.query(q1k, args.k)
+            t_s = time.perf_counter() - t0
+            facade["facade_qps_1024"] = round(1024 * iters_1k / t_s, 1)
+            sb = [q1k] * iters_1k
+            list(db.query_stream(sb[:2], args.k))
+            t0 = time.perf_counter()
+            n_out = sum(1 for _ in db.query_stream(sb, args.k))
+            t_sp = time.perf_counter() - t0
+            assert n_out == iters_1k
+            facade["facade_pipelined_qps_1024"] = round(1024 * iters_1k / t_sp, 1)
+            facade["facade_pipeline_speedup_1024"] = round(t_s / t_sp, 2)
         # facade insert rate (index add + id registration + manifest)
         inc2 = make_data(inc_n, args.dim, seed=args.seed + 11)
         t0 = time.perf_counter()
@@ -654,6 +690,7 @@ def main():
             "warm_inserts_per_sec": round(warm_inserts_per_sec, 1),
             "device_inserts_per_sec": round(device_inserts_per_sec, 1),
             "build_seconds": round(t_build, 2),
+            "build_stages": build_stages,
             "n": args.n,
             "dim": args.dim,
             "devices": len(devs),

@@ -484,16 +484,20 @@ class BaseVectorIndex:
             pad_rows = next_pow2(max(spans[-1][1], _MIN_BATCH)) - spans[-1][1]
             src = jnp.pad(vectors, ((0, pad_rows), (0, 0))) if pad_rows else vectors
 
+        from zebra_tpu.profiling import timed
+
         def stage(i):
             # prestaged may be a partial (HBM-budgeted) window — fall back
             # to live staging for spans beyond it
             if prestaged is not None and prestaged[i] is not None:
                 return prestaged[i]
-            return self._stage_span(vectors, spans[i], src)
+            with timed("insert.stage", items=spans[i][1]):
+                return self._stage_span(vectors, spans[i], src)
 
         def resolve(span, handle):
             start, count = span
-            slots = np.asarray(handle)[:count].astype(np.int64)
+            with timed("insert.resolve", items=count):
+                slots = np.asarray(handle)[:count].astype(np.int64)
             failed = slots < 0
             if failed.any():
                 rows = np.asarray(vectors[start : start + count][failed], np.float32)
@@ -506,7 +510,8 @@ class BaseVectorIndex:
             cur = nxt
             if i + 1 < len(spans):
                 nxt = stage(i + 1)  # transfer overlaps this insert
-            inflight.append((span, self._insert_batch_dev(cur, span[1])))
+            with timed("insert.dispatch", items=span[1]):
+                inflight.append((span, self._insert_batch_dev(cur, span[1])))
             if prestaged is not None:
                 prestaged[i] = None  # free the staged buffer after use
             if len(inflight) > 2:

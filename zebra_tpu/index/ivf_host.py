@@ -222,8 +222,11 @@ class IVFIndex(BaseVectorIndex):
         budget = max(_STAGE_HBM_BUDGET - slab_bytes, 2 * batch_bytes)
         window = int(min(nb, max(budget // batch_bytes, 2)))
         staged: list = [None] * nb
-        for i in range(window):
-            staged[i] = self._stage_span(vectors, spans[i])
+        from zebra_tpu.profiling import timed
+
+        with timed("ivf.prestage", items=sum(spans[i][1] for i in range(window))):
+            for i in range(window):
+                staged[i] = self._stage_span(vectors, spans[i])
         target = max(self.options.kmeans_sample, 4 * k)
         # sample from a LEADING slice of the staged window only: training
         # then starts as soon as those land, while the remaining windowed
