@@ -78,3 +78,25 @@ def test_pad_rows_dropped():
     slots = np.array([9, int(B.OOB), int(B.OOB)], np.int32)
     nb, nc, ovf = append(bucket, count, codes, slots)
     assert nb[1, 0] == 9 and nc.sum() == 1 and ovf == 0
+
+
+def test_query_huge_batch_chunks_match_unchunked(monkeypatch):
+    """Shrinking the transient budget forces the on-device lax.map split;
+    results must match the single-dispatch path batch-for-batch (the 1M x
+    768 x qb=16384 LSH compile-OOM fix)."""
+    import numpy as np
+
+    from zebra_tpu.index import buckets as B
+    from zebra_tpu.index.lsh import LSHIndex
+    from zebra_tpu.config import IndexOptions
+
+    rng = np.random.default_rng(5)
+    pts = rng.standard_normal((400, 16)).astype(np.float32)
+    idx = LSHIndex(dim=16, metric="sql2",
+                   options=IndexOptions(num_tables=4, bits=4, seed=0))
+    idx.add(pts)
+    qs = pts[:96] + 0.01
+    want = idx.search(qs, k=5)
+    monkeypatch.setattr(B, "_BATCH_TRANSIENT_BUDGET", 200_000)
+    got = idx.search(qs, k=5)
+    assert got == want

@@ -34,6 +34,10 @@ from flax import struct
 
 from zebra_tpu.ops import distances as D
 from zebra_tpu.ops import hashing as H
+
+#: huge-batch transient budget (bytes) before query() splits B on-device —
+#: module-level so tests can shrink it to exercise the chunked path
+_BATCH_TRANSIENT_BUDGET = 5_000_000_000
 from zebra_tpu.ops import topk as TK
 
 #: Out-of-bounds sentinel used to make scatter writes drop.
@@ -364,6 +368,32 @@ def query(
         # costs more than the duplicate gathers save, and truncating below
         # the unique-candidate count costs recall (small-db regime)
         max_candidates = full
+
+    # Huge query batches: the re-rank stage materialises [B, chunk, D] f32
+    # candidate gathers plus [B, M] candidate arrays (measured compile-OOM:
+    # B=16384, 15 tables, 1M x 768 f32 on a 16GB chip). Split B so the
+    # transient stays ~<=5GB — ONE dispatch, lax.map loops the chunks
+    # on-device (mirrors ivf.query's auto batch_chunk; a host loop would
+    # forfeit the big batch's dispatch amortisation).
+    B = q.shape[0]
+    per_row = chunk * state.dim * 8 + max_candidates * 24
+    nch = max(1, -(-(B * per_row) // _BATCH_TRANSIENT_BUDGET))
+    if nch > 1:
+        bchunk = -(-B // nch)
+        pad = nch * bchunk - B
+        qp = jnp.pad(q, ((0, pad), (0, 0)))
+        qc = qp.reshape(nch, bchunk, q.shape[1])
+
+        def _one(qi):
+            return query(
+                state, qi, k, metric=metric, num_probes=num_probes,
+                power=power, chunk=chunk, rerank=rerank,
+                max_candidates=max_candidates,
+            )
+
+        dc, sc_, vc = jax.lax.map(_one, qc)
+        flat = lambda a: a.reshape(nch * bchunk, *a.shape[2:])[:B]
+        return flat(dc), flat(sc_), flat(vc)
     cand, cand_valid = _candidates(state, q, num_probes, max_candidates)
     if rerank == "pallas" and metric in D.MXU_METRICS:
         from zebra_tpu.ops.pallas_rerank import PAIR as PCHUNK, pallas_rerank
