@@ -117,17 +117,31 @@ def churn(args):
         t0 = time.perf_counter()
         ops = 0
         recall_last = 0.0
+        # max single facade-call stall: the round-3 verdict (#7) bound is
+        # that no ONE mutation ever stalls O(database) behind a checkpoint
+        # fold — folds now run in a background thread, so the worst call
+        # should stay O(batch) even with durability="full"
+        max_stall = {"insert": 0.0, "remove": 0.0, "query": 0.0}
+
+        def _timed_call(kind, fn, *a, **kw):
+            s = time.perf_counter()
+            out = fn(*a, **kw)
+            max_stall[kind] = max(max_stall[kind], time.perf_counter() - s)
+            return out
+
         for r in range(10):
             data = make_data(wave, args.dim, seed=args.seed + r)
-            ids = db.insert_vectors(data)
+            ids = _timed_call("insert", db.insert_vectors, data)
             live.extend(ids)
             kill_n = len(live) // 4
             kill_idx = rng.permutation(len(live))[:kill_n]
             kill = [live[i] for i in kill_idx]
-            db.remove(kill)
+            _timed_call("remove", db.remove, kill)
             dead = set(kill)
             live = [i for i in live if i not in dead]
-            res = db.query(data[: args.qbatch], number_of_results=args.k)
+            res = _timed_call(
+                "query", db.query, data[: args.qbatch], number_of_results=args.k
+            )
             # survivors of this wave must still self-retrieve
             want = [i for i in ids[: args.qbatch] if i not in dead]
             got = {row[0][0] for row in res if row}
@@ -152,6 +166,8 @@ def churn(args):
             "self_retrieval_last_wave": round(recall_last, 4),
             "index_type": args.index,
             "durability": args.durability,
+            "max_call_stall_s": {k: round(v, 2) for k, v in max_stall.items()},
+            "folds_completed": getattr(db, "_fold_count", None),
         },
     }, args.out)
 

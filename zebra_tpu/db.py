@@ -103,6 +103,8 @@ class Database:
         #: that a concurrent explicit save() superseded.
         self._fold_thread = None
         self._save_gen = 0
+        #: completed background folds (diagnostics / bench evidence)
+        self._fold_count = 0
         #: fold trigger floor, bytes (instance-overridable for tests)
         self._fold_floor = 256 * 1024 * 1024
 
@@ -258,6 +260,18 @@ class Database:
         log_bytes = self._delta.size()
         if log_bytes < self._fold_floor:
             return
+        if log_bytes > self._fold_threshold():
+            self._start_fold()
+
+    def _fold_threshold(self, allow_measure: bool = False) -> int:
+        """Current fold trigger in log bytes (also the fold worker's
+        keep-going test under sustained write pressure).
+
+        ``allow_measure`` gates the one-time device->host bandwidth probe:
+        the mutation path calls this UNDER THE WRITE LOCK and must never
+        pay the probe (tens of seconds on a slow link — the exact
+        O(database)-stall class this policy exists to prevent); the fold
+        thread passes True and measures off-lock."""
         try:
             snap_bytes = os.path.getsize(os.path.join(self._index_dir(), "arrays.npz"))
         except OSError:
@@ -268,12 +282,14 @@ class Database:
 
             # replay applies ~REPLAY_MBS of log per second at open; only
             # fold when the log's replay cost exceeds the fold's readback
-            # cost (snapshot bytes over the measured device->host rate)
+            # cost (snapshot bytes over the measured device->host rate).
+            # Unmeasured (None): omit the term — erring toward folding.
             _REPLAY_MBS = 32.0
-            fold_s = snap_bytes / (device_readback_mbs() * 1e6)
-            threshold = max(threshold, int(fold_s * _REPLAY_MBS * 1e6))
-        if log_bytes > threshold:
-            self._start_fold()
+            mbs = device_readback_mbs(measure=allow_measure)
+            if mbs is not None:
+                fold_s = snap_bytes / (mbs * 1e6)
+                threshold = max(threshold, int(fold_s * _REPLAY_MBS * 1e6))
+        return threshold
 
     def _start_fold(self) -> None:
         """Kick the background fold (no-op while one is in flight)."""
@@ -298,45 +314,66 @@ class Database:
 
         tmp = self._index_dir() + ".fold"
         try:
-            with self._lock.read():
-                # appends happen under the write lock, so this size() is a
-                # record boundary and the capture is consistent with it
-                offset = self._delta.size()
-                gen = self._save_gen
-                cap = self.index.snapshot_capture()
-            if cap["fmt"] != "npz":
-                # orbax snapshots are directories (no atomic two-file
-                # replace) — fold synchronously under the write lock instead
-                with self._lock.write():
-                    if self._save_gen == gen:
-                        self._save_locked(self.path)
-                return
-            _shutil.rmtree(tmp, ignore_errors=True)
-            self.index.write_capture(tmp, cap)  # the slow part: NO lock held
-            with self._lock.write():
-                if self._save_gen != gen:
-                    # an explicit save() superseded this fold; discard
-                    _shutil.rmtree(tmp, ignore_errors=True)
+            # LOOP under sustained write pressure: mutations landing while a
+            # fold streams re-grow the log past the threshold, and nothing
+            # else re-triggers until the NEXT mutation — a burst of writes
+            # followed by quiet would otherwise leave an oversized log.
+            while self._fold_once(tmp):
+                if self._delta.size() <= self._fold_threshold(allow_measure=True):
                     return
-                idx_dir = self._index_dir()
-                os.makedirs(idx_dir, exist_ok=True)
-                # arrays first, meta second: a crash in between leaves the
-                # old meta (built_n only differs) + the UNtruncated WAL —
-                # replay is idempotent, so recovery is exact either way
-                for name in ("arrays.npz", "index.json"):
-                    src = os.path.join(tmp, name)
-                    if os.path.exists(src):
-                        os.replace(src, os.path.join(idx_dir, name))
-                _shutil.rmtree(tmp, ignore_errors=True)
-                self._delta.truncate_prefix(offset)
-                self._write_manifest(self.path)
-                logger.info(
-                    "background fold: snapshot swapped, %d log bytes dropped",
-                    offset,
-                )
         except Exception:  # never take the serving path down with us
             logger.exception("background log fold failed (will retry later)")
             _shutil.rmtree(tmp, ignore_errors=True)
+
+    def _fold_once(self, tmp: str) -> bool:
+        """One capture -> stream -> commit cycle. Returns True if a fold
+        committed (the log shrank; the caller may loop), False to stop."""
+        import shutil as _shutil
+
+        with self._lock.read():
+            # appends happen under the write lock, so this size() is a
+            # record boundary and the capture is consistent with it.
+            # clone=True: device arrays are COPIED on device — later
+            # DONATING inserts delete the old buffers (on backends that
+            # honour donation) and would kill a by-reference capture
+            # mid-stream (the round-4 churn failure mode).
+            offset = self._delta.size()
+            gen = self._save_gen
+            cap = self.index.snapshot_capture(clone=True)
+        if cap["fmt"] != "npz" or not cap.get("cloned", False):
+            # orbax snapshots are directories (no atomic two-file replace),
+            # and an over-HBM-budget clone was refused — fold synchronously
+            # under the write lock instead (stalls mutations; documented)
+            with self._lock.write():
+                if self._save_gen == gen:
+                    self._save_locked(self.path)
+                    self._fold_count += 1
+            return False
+        _shutil.rmtree(tmp, ignore_errors=True)
+        self.index.write_capture(tmp, cap)  # the slow part: NO lock held
+        with self._lock.write():
+            if self._save_gen != gen:
+                # an explicit save() superseded this fold; discard
+                _shutil.rmtree(tmp, ignore_errors=True)
+                return False
+            idx_dir = self._index_dir()
+            os.makedirs(idx_dir, exist_ok=True)
+            # arrays first, meta second: a crash in between leaves the
+            # old meta (built_n only differs) + the UNtruncated WAL —
+            # replay is idempotent, so recovery is exact either way
+            for name in ("arrays.npz", "index.json"):
+                src = os.path.join(tmp, name)
+                if os.path.exists(src):
+                    os.replace(src, os.path.join(idx_dir, name))
+            _shutil.rmtree(tmp, ignore_errors=True)
+            self._delta.truncate_prefix(offset)
+            self._write_manifest(self.path)
+            self._fold_count += 1
+            logger.info(
+                "background fold: snapshot swapped, %d log bytes dropped",
+                offset,
+            )
+        return True
 
     def save(self, path: str | None = None) -> None:
         """Persist manifest + index snapshot (+ blobs on save-as).

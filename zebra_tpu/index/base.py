@@ -24,6 +24,12 @@ _MIN_BATCH = 256
 #: insert batch width (vectors per device dispatch)
 BATCH = 65536
 
+#: device-side clone budget for ``snapshot_capture(clone=True)``: past this
+#: the capture refuses to double the state's HBM footprint (the 10M int8
+#: demo slab alone is ~13GB of a v5e's 16GB) and the background fold falls
+#: back to its synchronous write-lock path.
+_CLONE_HBM_BUDGET = 4 << 30
+
 
 class SlotIdArena:
     """slot -> 16-byte id, backed by ONE ``np.uint8 [cap, 16]`` array.
@@ -707,13 +713,28 @@ class BaseVectorIndex:
         ``lsh.rs:87-89``)."""
         self.write_capture(directory, self.snapshot_capture())
 
-    def snapshot_capture(self) -> dict:
-        """Consistent snapshot REFERENCE, cheap to take: device arrays are
-        captured by reference (functional state — later mutations rebind
-        ``self.state``, never mutate these), host-mutable arrays are copied.
+    def snapshot_capture(self, clone: bool = False) -> dict:
+        """Consistent snapshot capture, cheap to take. Host-mutable arrays
+        are copied; device arrays are captured by REFERENCE by default
+        (functional state — later mutations rebind ``self.state``) or, with
+        ``clone=True``, by a device-side copy (HBM-speed, async-dispatched).
+
+        The clone matters for lock-free streaming: mutations don't mutate
+        old state, but inserts DONATE the old slab buffers to their jit —
+        donation deletes the buffer even while a Python reference exists,
+        so a reference capture being streamed with no lock held dies with
+        "Array has been deleted" at the first post-capture insert (found by
+        the round-4 10M churn run: every background fold failed). A clone
+        enqueues before any later mutation, so the donated source is no
+        longer the capture's storage. Clones past ``_CLONE_HBM_BUDGET``
+        are refused (``cloned: False``) — the fold worker then falls back
+        to the synchronous write-lock path instead of risking
+        RESOURCE_EXHAUSTED at capacity scale.
+
         Take under (at least) a read lock; :meth:`write_capture` may then
-        stream it to disk with NO lock held — the background log fold's
-        trick for never stalling mutations O(database) (round-3 verdict #7).
+        stream a CLONED capture to disk with NO lock held — the background
+        log fold's trick for never stalling mutations O(database)
+        (round-3 verdict #7).
         """
         fmt = getattr(self.options, "snapshot_format", "npz") or "npz"
         meta = {
@@ -728,13 +749,22 @@ class BaseVectorIndex:
             **self._meta_extra(),
         }
         arrays = None
+        cloned = True  # nothing to clone is trivially donation-safe
         if self.state is not None:
             # slot_ids is the one live host buffer — copy it at capture time
             arrays = {
                 "slot_ids": self._slot_ids.to_array().copy(),
                 **self._snapshot_arrays(),
             }
-        return {"meta": meta, "fmt": fmt, "arrays": arrays}
+            if clone:
+                dev = {
+                    k: v for k, v in arrays.items() if isinstance(v, jnp.ndarray)
+                }
+                if sum(v.nbytes for v in dev.values()) <= _CLONE_HBM_BUDGET:
+                    arrays.update({k: jnp.copy(v) for k, v in dev.items()})
+                else:
+                    cloned = False
+        return {"meta": meta, "fmt": fmt, "arrays": arrays, "cloned": cloned}
 
     def write_capture(self, directory: str, cap: dict) -> None:
         """Write a :meth:`snapshot_capture` to ``directory`` with fsync.

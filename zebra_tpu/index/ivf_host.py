@@ -15,6 +15,7 @@ what makes every probe a contiguous block read at query time.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -178,6 +179,61 @@ class IVFIndex(BaseVectorIndex):
         )
         return cents
 
+    def _start_kmeans_warm(self, train_spans, per: int, k: int):
+        """Background AOT compile of the exact kmeans program the cold
+        build is about to run (see ``ops.kmeans.warm_compile``). Returns the
+        thread (join before training) or None. Mirrors _train_centroids'
+        sample sizing: concat of ``min(per, count)`` rows per leading span,
+        host-subsampled to the target, padded to the next power of two."""
+        import threading
+
+        from zebra_tpu.ops.kmeans import warm_compile
+
+        # The warm thread runs a compile CONCURRENT with the main thread's
+        # staging transfers. On local backends (cpu/tpu/gpu) that is plain
+        # thread-safe JAX; this box's remote axon transport has documented
+        # multi-minute service stalls and the extra in-flight compile is
+        # not worth entangling with them — skip unless explicitly enabled.
+        backend = jax.default_backend()
+        if backend not in ("cpu", "tpu", "gpu", "cuda", "rocm") and not os.environ.get(
+            "ZEBRA_KMEANS_WARM"
+        ):
+            return None
+        # The AOT result is only reachable from the later traced call via
+        # the persistent compilation cache; warm ONLY when the process
+        # already enabled one (utils.enable_compile_cache — every TPU
+        # script here does). Never enable it from LIBRARY code: writing
+        # CPU executables to the persistent cache SEGFAULTS this jaxlib
+        # (pallas CPU kernels — found by the round-4 full-suite run), so
+        # the CPU test suite must stay cache-less.
+        if not getattr(jax.config, "jax_compilation_cache_dir", None):
+            return None
+        rows = sum(min(per, c) for _, c in train_spans)
+        sample_n = min(rows, max(self.options.kmeans_sample, 4 * k))
+        padded = next_pow2(sample_n)
+        if self._quant_wire:
+            import ml_dtypes
+
+            dtype = ml_dtypes.bfloat16  # _staged_rows dequantises to bf16
+        else:
+            dtype = self._wire_dtype
+        # must match _train_centroids' chunk rule exactly
+        chunk = 65536 if k <= 32768 else max(2048, (1 << 28) // k)
+
+        def _warm():
+            try:
+                warm_compile(
+                    padded, self._dev_dim, dtype, k=k,
+                    iters=self.options.kmeans_iters, chunk=chunk,
+                    balance_rounds=self.options.kmeans_balance_rounds,
+                )
+            except Exception:
+                logger.info("kmeans AOT warm failed (harmless)", exc_info=True)
+
+        t = threading.Thread(target=_warm, name="zebra-kmeans-warm", daemon=True)
+        t.start()
+        return t
+
     def _fresh_state(self, n_hint: int, data: np.ndarray | None) -> V.IVFState:
         k = self._resolved_clusters(n_hint)
         cap = self._resolved_capacity(n_hint, k)
@@ -224,9 +280,6 @@ class IVFIndex(BaseVectorIndex):
         staged: list = [None] * nb
         from zebra_tpu.profiling import timed
 
-        with timed("ivf.prestage", items=sum(spans[i][1] for i in range(window))):
-            for i in range(window):
-                staged[i] = self._stage_span(vectors, spans[i])
         target = max(self.options.kmeans_sample, 4 * k)
         # sample from a LEADING slice of the staged window only: training
         # then starts as soon as those land, while the remaining windowed
@@ -235,8 +288,19 @@ class IVFIndex(BaseVectorIndex):
         # The slice must still cover the full sample target — at K=131072
         # the 4K lower bound needs 8 full batches, not the window quarter.
         need = -(-target // max(spans[0][1], 1))
-        train = list(zip(staged, spans))[: max(min(4, window), min(window, need))]
-        per = max(min(target // len(train), spans[0][1]), 1)
+        train_len = max(min(4, window), min(window, need))
+        per = max(min(target // train_len, spans[0][1]), 1)
+        # AOT-warm the k-means compile on a background thread: the remote
+        # compile rides the tunnel's compile service WHILE the staged
+        # transfers below stream, instead of serialising after them
+        # (tools/profile_kmeans.py: ~28s of r4's 100.8s ivf.train was
+        # compile). The plan below mirrors _train_centroids' exact sample
+        # shape so the warmed executable is the one the real call loads.
+        warm = self._start_kmeans_warm(spans[:train_len], per, k)
+        with timed("ivf.prestage", items=sum(spans[i][1] for i in range(window))):
+            for i in range(window):
+                staged[i] = self._stage_span(vectors, spans[i])
+        train = list(zip(staged, spans))[:train_len]
         # clip each slice to the span's REAL row count (the last batch is
         # zero-padded; zeros in the sample would grow a parasitic centroid).
         # The sample stays in the WIRE dtype (bf16 for bf16/int8 slabs):
@@ -254,6 +318,8 @@ class IVFIndex(BaseVectorIndex):
         from zebra_tpu.profiling import timed
 
         with timed("ivf.train", items=int(sample.shape[0])):
+            if warm is not None:
+                warm.join()  # don't compile the same program twice
             cents = self._train_centroids(k, sample)
             device_sync(cents)  # training done -> sample/temporaries freeable
         del sample, train

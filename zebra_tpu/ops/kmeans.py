@@ -54,6 +54,36 @@ def assign_clusters(x: jnp.ndarray, centroids: jnp.ndarray, chunk: int = 65536):
     return a.reshape(-1)[:n]
 
 
+def warm_compile(
+    n_rows: int,
+    dim: int,
+    dtype,
+    k: int,
+    iters: int = 8,
+    chunk: int = 65536,
+    balance_rounds: int = 2,
+) -> None:
+    """AOT-compile ``kmeans`` for the given input shapes (no device arrays).
+
+    Writes the executable into JAX's persistent compilation cache so the
+    real call's backend compile becomes a disk read. Meant to run on a
+    BACKGROUND thread at the start of a cold build: the remote compile
+    (~28s over this box's tunnel — tools/profile_kmeans.py measured the
+    30.4s "full kmeans" as ~1.5s compute + ~28s compile) then overlaps the
+    staged slab transfers instead of serialising after them. Requires the
+    persistent cache (``utils.enable_compile_cache``) — without it the AOT
+    executable is unreachable from the later traced call. Exceptions are
+    the caller's to swallow: a warm miss only costs the compile time back.
+    """
+    key_t = jax.ShapeDtypeStruct((2,), jnp.uint32)  # random.PRNGKey layout
+    data_t = jax.ShapeDtypeStruct((int(n_rows), int(dim)), dtype)
+    nv_t = jax.ShapeDtypeStruct((), jnp.int32)
+    kmeans.lower(
+        key_t, data_t, nv_t, k=int(k), iters=int(iters), chunk=int(chunk),
+        balance_rounds=int(balance_rounds),
+    ).compile()
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "iters", "chunk", "balance_rounds")
 )

@@ -79,10 +79,16 @@ def measure_tunnel(dim: int = 768) -> tuple[float, float]:
 _READBACK_MBS: list[float] = []
 
 
-def device_readback_mbs() -> float:
-    """Device->host MB/s, measured ONCE per process and cached (a fold
-    policy consulted per mutation cannot afford a per-call probe)."""
+def device_readback_mbs(measure: bool = True) -> float | None:
+    """Device->host MB/s, measured ONCE per process and cached.
+
+    ``measure=False`` never runs the probe on the calling thread and
+    returns None while unmeasured — the fold policy consulted per mutation
+    (under the write lock!) cannot afford the probe, which costs tens of
+    seconds on a slow link; the background fold thread measures instead."""
     if not _READBACK_MBS:
+        if not measure:
+            return None
         _READBACK_MBS.append(measure_tunnel()[1])
     return max(_READBACK_MBS[0], 0.1)
 
