@@ -91,6 +91,33 @@ def test_crash_after_index_before_manifest(tmp_path, rng, monkeypatch):
     assert len(db2) == len(ids) + 5
 
 
+def test_crash_between_spans_replays_logged_prefix(tmp_path, rng, monkeypatch):
+    """The WAL is appended PER SPAN from inside the staging pipeline (each
+    fsync overlaps a host->device transfer — round-4 verdict #1); a crash
+    between span appends must recover exactly the logged prefix: spans whose
+    record hit the log replay onto the snapshot, later spans never happened."""
+    db, ids, data, _ = _mkdb(tmp_path, rng)
+    monkeypatch.setattr(db, "_insert_span_rows", lambda n: 16)
+    new = rng.standard_normal((40, 16)).astype(np.float32)
+    calls = {"n": 0}
+    real = db._delta._append
+
+    def flaky(*a, **k):
+        real(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 2:  # spans 0 and 1 logged; span 2 never appended
+            raise _Boom()
+
+    monkeypatch.setattr(db._delta, "_append", flaky)
+    with pytest.raises(_Boom):
+        db.insert_vectors(new)
+    db2 = _reopen(db)
+    assert len(db2) == len(ids) + 32  # the two logged 16-row spans
+    res = db2.query(new[:32], 1)
+    # every recovered row self-retrieves at (near-)zero distance
+    assert all(row and row[0][1] < 1e-3 for row in res)
+
+
 def test_crash_remove_after_log(tmp_path, rng, monkeypatch):
     """Remove logged but not applied: replay redoes it — index AND blobs."""
     db, ids, data, docs = _mkdb(tmp_path, rng)

@@ -259,6 +259,20 @@ class BaseVectorIndex:
         #: host-quantised parts aligned with the batch being added (set by
         #: :meth:`add`; consumed by quantised-wire ``_stage_span`` overrides)
         self._prequant = None
+        #: per-span write-ahead-log hook for the CURRENT add() (set by
+        #: :meth:`add`): called as ``wal_cb(span, parts)`` from inside the
+        #: staging pipeline, right after the span's async device_put is
+        #: enqueued and strictly before the span's insert dispatch — so the
+        #: WAL fsync overlaps the span's host->device transfer instead of
+        #: serialising ahead of the whole batch (round-4 verdict #1).
+        #: ``parts`` is the span's host-quantised tuple on quantised wires
+        #: (log exactly what the device will store) or None for array wires
+        #: (the callback encodes the span from its own vector reference).
+        self._wal_cb = None
+        #: insert span override for the CURRENT add() (None = BATCH): the
+        #: facade picks a smaller span at serving shapes so one call still
+        #: pipelines quantise/WAL/transfer across >=4 spans.
+        self._span_rows = None
 
     # -- introspection (reference lsh.rs:389-409) ---------------------------
 
@@ -365,6 +379,8 @@ class BaseVectorIndex:
         vectors: np.ndarray,
         ids: list[bytes] | None = None,
         prequant=None,
+        wal_cb=None,
+        span_rows: int | None = None,
     ) -> list[bytes]:
         """Insert vectors; returns their new ids (reference ``add``,
         ``lsh.rs:440-466``: first call builds the index, later calls are
@@ -375,6 +391,12 @@ class BaseVectorIndex:
         caller that already quantised (the WAL, replay) feed the quantised
         wire without a second quantisation pass. Ignored by backends whose
         wire is not quantised.
+
+        ``wal_cb``: per-span write-ahead-log hook ``wal_cb((start, count),
+        parts_or_None)`` invoked from the staging pipeline (after the span's
+        async device_put enqueue, before its insert dispatch) so log fsyncs
+        overlap transfers. ``span_rows`` overrides the pipeline span width
+        (None = BATCH).
         """
         vectors = np.asarray(vectors)
         if vectors.ndim == 1:
@@ -403,6 +425,8 @@ class BaseVectorIndex:
                 seen.add(bytes(i))
 
         self._prequant = prequant
+        self._wal_cb = wal_cb
+        self._span_rows = span_rows
         try:
             if self.state is None:
                 self._built_n = n
@@ -416,6 +440,8 @@ class BaseVectorIndex:
             return ids
         finally:
             self._prequant = None
+            self._wal_cb = None
+            self._span_rows = None
 
     def _cold_build(self, vectors, ids) -> bool:
         """First-build fast path hook: stage + train + insert with transfers
@@ -459,8 +485,12 @@ class BaseVectorIndex:
         (cold-build k-means sampling); quantised-wire backends reconstruct."""
         return staged[:rows]
 
+    def _span_width(self) -> int:
+        return int(self._span_rows) if self._span_rows else BATCH
+
     def _spans(self, n: int) -> list[tuple[int, int]]:
-        return [(s, min(n - s, BATCH)) for s in range(0, n, BATCH)]
+        w = self._span_width()
+        return [(s, min(n - s, w)) for s in range(0, n, w)]
 
     def _stage_span(self, vectors, span, src=None):
         """Stage one span of ``vectors`` (host np -> padded wire device_put;
@@ -471,7 +501,12 @@ class BaseVectorIndex:
             return jax.lax.dynamic_slice_in_dim(src, start, padded, axis=0)
         batch = np.zeros((padded, self._dev_dim), dtype=np.float32)
         batch[:count, : vectors.shape[1]] = vectors[start : start + count]
-        return self._stage_batch(batch.astype(self._wire_dtype, copy=False))
+        handle = self._stage_batch(batch.astype(self._wire_dtype, copy=False))
+        if self._wal_cb is not None:
+            # log AFTER the async transfer enqueue (the fsync overlaps the
+            # wire), BEFORE this span's insert dispatch (WAL ordering)
+            self._wal_cb(span, None)
+        return handle
 
     def _insert_batches(self, vectors, ids: list[bytes], prestaged=None) -> None:
         """Pipelined insert: stage batch t+1 (async device_put) while batch t

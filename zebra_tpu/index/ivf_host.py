@@ -376,14 +376,17 @@ class IVFIndex(BaseVectorIndex):
         non-refined tiers keep the base path."""
         if src is not None or not self._quant_wire:
             return super()._stage_span(vectors, span, src)
+        from zebra_tpu.profiling import timed
+
         start, count = span
         padded = next_pow2(max(count, _MIN_BATCH))
         if self._prequant is not None:
             v8s, r8s, scs, rss = (p[start : start + count] for p in self._prequant)
         else:
-            v8s, r8s, scs, rss = V.quantise_pair_host(
-                np.asarray(vectors[start : start + count], np.float32)
-            )
+            with timed("insert.quant", items=count):
+                v8s, r8s, scs, rss = V.quantise_pair_host(
+                    np.asarray(vectors[start : start + count], np.float32)
+                )
         v8 = np.zeros((padded, self._dev_dim), np.int8)
         v8[:count, : v8s.shape[1]] = v8s
         r8 = np.zeros((padded, self._dev_dim), np.int8)
@@ -391,7 +394,13 @@ class IVFIndex(BaseVectorIndex):
         qs = np.ones((padded, 2), np.float32)  # pad scales = the empty default
         qs[:count, 0] = scs
         qs[:count, 1] = rss
-        return jax.device_put((v8, r8, qs))
+        handle = jax.device_put((v8, r8, qs))
+        if self._wal_cb is not None:
+            # per-span q8 WAL record, fsync'd WHILE the span's transfer is in
+            # flight (device_put above is async) and before its dispatch —
+            # the log holds exactly what the device will store (bitwise)
+            self._wal_cb(span, (v8s, r8s, scs, rss))
+        return handle
 
     def _insert_batch_dev(self, batch, count: int):
         """One device insert; slots come back as a DEVICE array — the base
@@ -543,6 +552,7 @@ class IVFIndex(BaseVectorIndex):
         compacts tombstones, drains the spare, restores partition balance.
         The compaction is a DEVICE permutation gather; the slab never reads
         back through the slow device->host direction."""
+        self._wal_cb = None  # re-inserted rows are already logged
         logger.info("ivf rebuild: %d live vectors", len(self._id_to_slot))
         order = self._slot_ids.live_slots()  # ascending
         if not len(order):

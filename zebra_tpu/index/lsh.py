@@ -104,8 +104,9 @@ class LSHIndex(BaseVectorIndex):
     def _before_batches(self, n: int) -> None:
         # the last batch is padded to a power of two and written with one
         # dynamic_update_slice — reserve room for the padded tail too
-        last = n % BATCH or n
-        pad_tail = next_pow2(max(min(last, BATCH), _MIN_BATCH)) - min(last, BATCH)
+        w = self._span_width()
+        last = n % w or n
+        pad_tail = next_pow2(max(min(last, w), _MIN_BATCH)) - min(last, w)
         self._ensure_slab(n + pad_tail)
 
     def _ensure_slab(self, incoming: int) -> None:
@@ -162,6 +163,7 @@ class LSHIndex(BaseVectorIndex):
         (``lsh.rs:368-377``) — here it is one global, batched re-insert: a
         single matmul re-hashes everything.
         """
+        self._wal_cb = None  # re-inserted rows are already logged
         logger.info(
             "rebuild: %d live vectors (used=%d, overflow=%s)",
             len(self._id_to_slot), self._next_slot,

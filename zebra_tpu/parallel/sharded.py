@@ -657,6 +657,7 @@ class ShardedIndex(BaseVectorIndex):
         gather (an ICI gather across shards), re-entering through the normal
         staged insert — the multi-GB slab never crosses the slow
         device->host direction (round-2 judge weak #3 fixed)."""
+        self._wal_cb = None  # re-inserted rows are already logged
         logger.info("sharded rebuild: %d live vectors", len(self._id_to_slot))
         order = self._slot_ids.live_slots()
         n = len(order)
