@@ -150,7 +150,7 @@ def test_ivf_rebuild_skipped_when_transient_exceeds_hbm(rng, monkeypatch):
     data = _data(rng, 600, 16)
     ids = idx.add(data)
     calls = []
-    monkeypatch.setattr(idx, "rebuild", lambda: calls.append(1))
+    monkeypatch.setattr(idx, "rebuild", lambda reason=None: calls.append(1))
     monkeypatch.setattr(host_mod, "_STAGE_HBM_BUDGET", 0)
     idx.remove(ids[:400])  # tombstone pressure fires _maybe_rebuild
     assert not calls and idx._rebuild_skip_warned

@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, ClassVar
 
 
 @dataclass(frozen=True)
@@ -197,7 +197,20 @@ class IndexOptions:
             )
         return cls(**{**presets[name], **overrides})
 
-    def resolved_bits(self, n: int) -> int:
+    #: HBM budget for the bucket tables ([T, 2^b, C] int32 slots + [T, 2^b]
+    #: counts) — the auto bit width grows until the tables would exceed it.
+    #: 2GB rides alongside a 1M x 768 f32 slab (3GB) on a 16GB chip with
+    #: room for query transients; at the measured parity config (T=10,
+    #: C=20) it admits b=21 (1.76GB), where the round-4 16-bit hard cap
+    #: stopped at 0.2% of that and silently dropped 75% of placements at
+    #: 1M rows (round-4 verdict #4). ClassVar: policy, not a manifest field.
+    TABLE_HBM_BUDGET: "ClassVar[int]" = 2 << 30
+
+    def resolved_bits(self, n: int, capacity: int | None = None) -> int:
+        """Hash code width for ~n vectors. ``capacity`` = physical bucket
+        slot count if the caller boosted it past
+        :meth:`resolved_bucket_capacity` (wider buckets shrink the bit
+        budget — the two levers trade off inside one table allocation)."""
         if self.index_type == "flat":
             return 1  # vestigial tiny tables; flat queries scan the slab
         if self.bits > 0:
@@ -206,7 +219,12 @@ class IndexOptions:
 
         target = max(1, self.max_node_size)
         b = math.ceil(math.log2(max(n, 2) / target)) if n > target else 1
-        return int(min(max(b, 1), 16))
+        cap = capacity or self.resolved_bucket_capacity()
+        per_bucket = max(self.num_tables, 1) * (cap + 1) * 4
+        b_budget = int(
+            math.floor(math.log2(max(self.TABLE_HBM_BUDGET // per_bucket, 2)))
+        )
+        return int(min(max(b, 1), max(b_budget, 1), 22))
 
     def resolved_dtype(self, index_type: str | None = None) -> str:
         """Concrete slab dtype ("auto" resolves per backend — deterministic,

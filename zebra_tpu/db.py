@@ -107,6 +107,23 @@ class Database:
         self._fold_count = 0
         #: fold trigger floor, bytes (instance-overridable for tests)
         self._fold_floor = 256 * 1024 * 1024
+        #: background retrain state (round-4 verdict #2): growth/overflow/
+        #: spare-pressure rebuilds leave the mutating call (the index defers
+        #: them, recording a reason) and run on this thread against a SHADOW
+        #: index — readers keep the live state; mutations landing meanwhile
+        #: are journaled and replayed onto the shadow before a brief
+        #: write-locked swap. The reference never blocks readers O(database)
+        #: on maintenance (``core.rs:299-311``); neither do we.
+        self.index.defer_rebuild = True
+        self._retrain_thread = None
+        #: mutation journal, non-None exactly while a retrain builds
+        self._retrain_journal: list | None = None
+        #: bumped by clear_database — an in-flight retrain aborts its swap
+        self._retrain_gen = 0
+        #: completed background retrains (diagnostics / bench evidence)
+        self._retrain_count = 0
+        #: live-row count at the last budget-skipped retrain (anti-spin)
+        self._retrain_skip_n = 0
 
     # -- paths ---------------------------------------------------------------
 
@@ -150,6 +167,7 @@ class Database:
             blob_backend=backend,
         )
         db._replay_delta()
+        db._maybe_retrain()  # replay may have left a deferred rebuild wanted
         return db
 
     @classmethod
@@ -274,10 +292,11 @@ class Database:
             self._delta.append_remove(ids)
 
     def _post_mutation(self) -> None:
-        """Manifest refresh + log-fold policy after a completed mutation."""
+        """Manifest refresh + log-fold + retrain policy after a mutation."""
         self._write_manifest(self.path)
         if self.config.durability == "full":
             self._maybe_checkpoint()
+        self._maybe_retrain()
 
     def _maybe_checkpoint(self) -> None:
         """Fold the log into a full snapshot once replaying it would cost
@@ -412,6 +431,166 @@ class Database:
             )
         return True
 
+    # -- background retrains (round-4 verdict #2) -----------------------------
+
+    #: capture-chunk rows of the shadow build (also the HBM transient unit)
+    _RETRAIN_CHUNK = 262144
+    #: catch-up converges once one journal drain is at most this many rows —
+    #: the final write-locked replay is then O(batch), not O(backlog)
+    _RETRAIN_TAIL_ROWS = 16384
+
+    def _maybe_retrain(self) -> None:
+        """Kick the background retrain when the index wants one (no-op while
+        one is in flight, or after a budget-skip until the index grows)."""
+        if not self.index._rebuild_wanted:
+            return
+        if self._retrain_skip_n and len(self.index) < 1.25 * self._retrain_skip_n:
+            return
+        if self._retrain_thread is not None and self._retrain_thread.is_alive():
+            return
+        import threading
+
+        self._retrain_thread = threading.Thread(
+            target=self._retrain_worker, name="zebra-retrain", daemon=True
+        )
+        self._retrain_thread.start()
+
+    def wait_for_retrain(self, timeout: float | None = None) -> None:
+        """Block until any in-flight background retrain finishes (tests and
+        orderly shutdown; call with locks NOT held)."""
+        t = self._retrain_thread
+        if t is not None and t.is_alive():
+            t.join(timeout)
+
+    def _journal(self, op: str, ids: list[bytes], vectors=None) -> None:
+        """Record one index mutation for shadow replay (call under the write
+        lock — appends are then strictly ordered vs the capture point)."""
+        j = self._retrain_journal
+        if j is not None and ids:
+            j.append((op, list(ids), vectors))
+
+    def _apply_journal(self, shadow, batch: list) -> int:
+        """Replay journaled mutations onto the shadow, in order."""
+        rows = 0
+        for op, ids, vecs in batch:
+            if op == "insert":
+                shadow.add(np.asarray(vecs, np.float32), ids=ids)
+            else:
+                shadow.remove(ids)
+            rows += len(ids)
+        return rows
+
+    def _retrain_worker(self) -> None:
+        try:
+            self._retrain_once()
+        except Exception:  # never take the serving path down with us
+            logger.exception("background retrain failed (serving state unchanged)")
+        finally:
+            with self._lock.write():
+                self._retrain_journal = None
+
+    def _retrain_once(self) -> None:
+        """One shadow retrain: capture -> off-lock build -> catch-up -> swap.
+
+        Lock discipline mirrors the fold's: every device gather DISPATCHES
+        under a brief read lock (writers exclude readers, so the gather
+        enqueues before any later donating insert can delete its source
+        buffers — the fold-clone ordering argument), all heavy work runs
+        with NO lock held, and the swap is a pointer adoption under a brief
+        write lock. Mutations landing during the build are journaled by the
+        facade and replayed onto the shadow (off-lock in rounds, the final
+        O(batch) tail under the swap lock). ``clear_database`` bumps
+        ``_retrain_gen``; a direct ``index.rebuild()`` bumps the index's
+        ``_struct_gen`` — either aborts the swap, leaving serving state
+        untouched.
+        """
+        import time
+
+        idx = self.index
+        with self._lock.read():
+            reason = idx._rebuild_wanted
+            if not reason:
+                return
+            gen = self._retrain_gen
+            sgen = idx._struct_gen
+            order, ids = idx._live_order_ids()
+            self._retrain_journal = []
+        n = len(ids)
+        if n == 0:
+            idx._rebuild_wanted = None
+            return
+        # HBM admission: shrink the capture chunk until the transient fits;
+        # if even the minimum doesn't, skip (queries stay correct — same
+        # graceful degradation as the inline path) until the index grows
+        # another 25% (anti-spin) — by then a shard/offline rebuild is due.
+        chunk = self._RETRAIN_CHUNK
+        if idx._retrain_bg_peak_bytes(n, chunk):
+            from zebra_tpu.index.ivf_host import _STAGE_HBM_BUDGET
+
+            live = idx._state_hbm_bytes()
+            while (
+                live + idx._retrain_bg_peak_bytes(n, chunk) > _STAGE_HBM_BUDGET
+                and chunk > 32768
+            ):
+                chunk //= 2
+            if live + idx._retrain_bg_peak_bytes(n, chunk) > _STAGE_HBM_BUDGET:
+                logger.warning(
+                    "background retrain skipped at %d live rows: the shadow "
+                    "transient exceeds the HBM budget even at chunk=%d; "
+                    "serving state unchanged (shard or rebuild offline)",
+                    n, chunk,
+                )
+                self._retrain_skip_n = n
+                return
+        self._retrain_skip_n = 0
+        t0 = time.perf_counter()
+        shadow = idx._clone_empty()
+        shadow.defer_rebuild = False
+        #: paced k-means: one dispatch per Lloyd pass, so a concurrent query
+        #: waits at most ~one pass on the device queue, not whole-training
+        shadow._paced_train = True
+        idx._prepare_shadow(shadow, reason)
+        target = idx._train_sample_target(n)
+        if target < n:
+            rng = np.random.default_rng(idx.options.seed + 17)
+            sample_order = order[np.sort(rng.choice(n, size=target, replace=False))]
+        else:
+            sample_order = order
+        with self._lock.read():
+            if self._retrain_gen != gen or idx._struct_gen != sgen:
+                return
+            sample = idx._gather_live(sample_order)
+        shadow._shadow_begin(n, sample)
+        del sample
+        for c in range(0, n, chunk):
+            with self._lock.read():
+                if self._retrain_gen != gen or idx._struct_gen != sgen:
+                    return
+                data_c = idx._gather_live(order[c : c + chunk])
+            shadow._shadow_ingest(data_c, ids[c : c + chunk])
+            del data_c
+        # catch-up rounds: drain + replay off-lock until one drain is small
+        # (64 rounds bounds a write-pressure livelock; the final replay under
+        # the swap lock is then whatever landed during the last round)
+        for _ in range(64):
+            with self._lock.read():
+                batch, self._retrain_journal = self._retrain_journal, []
+            if self._apply_journal(shadow, batch) <= self._RETRAIN_TAIL_ROWS:
+                break
+        with self._lock.write():
+            if self._retrain_gen != gen or idx._struct_gen != sgen:
+                self._retrain_journal = None
+                return
+            self._apply_journal(shadow, self._retrain_journal)
+            self._retrain_journal = None
+            idx._adopt(shadow)
+            self._retrain_count += 1
+        logger.info(
+            "background retrain (%s): %d rows re-placed in %.1fs "
+            "(%d retrains total)",
+            reason, n, time.perf_counter() - t0, self._retrain_count,
+        )
+
     def save(self, path: str | None = None) -> None:
         """Persist manifest + index snapshot (+ blobs on save-as).
 
@@ -454,6 +633,10 @@ class Database:
         """Persist everything and release file handles (the analogue of the
         reference's RAII drop — fjall flushes on Drop; here an explicit
         close/ctx-manager since Python finalisers aren't deterministic)."""
+        # join the retrain BEFORE taking the lock (it needs brief read locks;
+        # joining under the write lock would deadlock) — a daemon thread torn
+        # down inside a jit dispatch at interpreter exit aborts the process
+        self.wait_for_retrain()
         with self._lock.write():
             self.save()
             self._delta.close()
@@ -480,6 +663,7 @@ class Database:
         reopen (round-1 advisor finding).
         """
         with self._lock.write():
+            self._retrain_gen += 1  # abort any in-flight retrain's swap
             self.index.clear()
             self._docs.clear()  # closes native fds where applicable
             self._delta.close()  # the log lives inside the data dir
@@ -560,6 +744,7 @@ class Database:
                     wal_cb=self._wal_callback(ids, embeddings),
                     span_rows=self._insert_span_rows(n),
                 )
+            self._journal("insert", ids, embeddings)
             self._post_mutation()
         return ids
 
@@ -581,6 +766,7 @@ class Database:
                 wal_cb=self._wal_callback(ids, v),
                 span_rows=self._insert_span_rows(v.shape[0]),
             )
+            self._journal("insert", ids, v)
             self._post_mutation()
         return ids
 
@@ -594,6 +780,7 @@ class Database:
             present = [i for i in ids if i in self.index]
             self._log_remove(present)
             removed = self.index.remove(present)
+            self._journal("remove", removed)
             self._docs.remove_many(removed)
             self._post_mutation()
 
@@ -606,6 +793,7 @@ class Database:
             dup = self.index.find_duplicates()
             self._log_remove(dup)
             removed = self.index.remove(dup)
+            self._journal("remove", removed)
             self._docs.remove_many(removed)
             self._post_mutation()
 

@@ -273,6 +273,19 @@ class BaseVectorIndex:
         #: facade picks a smaller span at serving shapes so one call still
         #: pipelines quantise/WAL/transfer across >=4 spans.
         self._span_rows = None
+        #: True = growth/overflow rebuilds are NOT run inline by the
+        #: mutation that notices them; the reason lands in
+        #: ``_rebuild_wanted`` for an owner (the Database facade) to service
+        #: on a background thread (round-4 verdict #2: retrains under the
+        #: write lock stall readers O(database)). Default False: a bare
+        #: index keeps the original inline behaviour.
+        self.defer_rebuild = False
+        #: pending rebuild reason under ``defer_rebuild`` (None = none)
+        self._rebuild_wanted: str | None = None
+        #: structural generation: bumped whenever slot->row meaning changes
+        #: wholesale (rebuild/adopt/clear). Chunked live captures embed it
+        #: and abort on mismatch (see ``snapshot_capture``).
+        self._struct_gen = 0
 
     # -- introspection (reference lsh.rs:389-409) ---------------------------
 
@@ -331,7 +344,137 @@ class BaseVectorIndex:
         raise NotImplementedError
 
     def _maybe_rebuild(self) -> None:
-        """Growth / compaction policy after a mutation (optional)."""
+        """Growth / compaction policy after a mutation.
+
+        Backends express the policy as :meth:`_rebuild_reason` (pure
+        predicate) + :meth:`_rebuild_admissible` (resource gate); this
+        driver either runs the rebuild inline (bare index) or, under
+        ``defer_rebuild``, records the reason for the owning facade's
+        background retrain worker (round-4 verdict #2)."""
+        reason = self._rebuild_reason()
+        if not reason:
+            return
+        if self.defer_rebuild:
+            self._rebuild_wanted = reason
+            return
+        if self._rebuild_admissible(reason):
+            self.rebuild(reason)
+
+    def _rebuild_reason(self) -> str | None:
+        """Why a rebuild is warranted right now (None = it isn't)."""
+        return None
+
+    def _rebuild_admissible(self, reason: str) -> bool:
+        """Resource gate for an INLINE rebuild (backends may refuse at
+        capacity scale rather than crash mid-mutation)."""
+        return True
+
+    def rebuild(self, reason: str | None = None) -> None:
+        """Re-place every live vector into fresh structures sized to the
+        current population (compacts tombstones). Generic driver; backends
+        customise via :meth:`_pre_rebuild` + the shadow hooks below."""
+        self._wal_cb = None  # re-inserted rows are already logged
+        self._pre_rebuild(reason)
+        order, ids = self._live_order_ids()
+        data = self._gather_live(order) if len(order) else None
+        n = len(ids)
+        self.state = None  # free the old structures before the new ones
+        self._shadow_begin(n, data)
+        from zebra_tpu.index.base import IdSlotMap, SlotIdArena
+
+        self._slot_ids = SlotIdArena()
+        self._id_to_slot = IdSlotMap()
+        self._reset_alloc_mirrors()
+        self._rebuild_wanted = None
+        self._struct_gen += 1  # slot->row meaning changed wholesale
+        if n:
+            self._shadow_ingest(data, ids)
+
+    def _pre_rebuild(self, reason: str | None) -> None:
+        """Pre-rebuild policy hook (e.g. grow bucket capacity on
+        overflow-driven rebuilds)."""
+
+    def _reset_alloc_mirrors(self) -> None:
+        """Zero host-side slot-allocation mirrors (subclass hook)."""
+
+    # -- background retrain hooks (round-4 verdict #2) -----------------------
+    #
+    # The facade's retrain worker rebuilds into a SHADOW instance with no
+    # lock held (readers keep the live state), then swaps via _adopt under a
+    # brief write lock. Protocol:
+    #   shadow = idx._clone_empty(); idx._prepare_shadow(shadow, reason)
+    #   order, ids = idx._live_order_ids()            # under read lock
+    #   sample = idx._gather_live(order_subset)       # under read lock
+    #   shadow._shadow_begin(len(ids), sample)        # train, NO lock
+    #   for chunk: idx._gather_live(...) -> shadow._shadow_ingest(...)
+    #   idx._adopt(shadow)                            # brief write lock
+    #
+    # Gathers dispatched under the read lock are donation-safe: a later
+    # mutating insert cannot dispatch (writers exclude readers), so the
+    # gather's source buffers are consumed before any donation deletes them
+    # (the same ordering argument as snapshot_capture's clone).
+
+    #: extra instance fields _adopt copies beyond the base serving set
+    _ADOPT_EXTRA: tuple = ()
+
+    def _clone_empty(self):
+        """Fresh empty index with this one's exact configuration."""
+        return type(self)(
+            dim=self.dim, metric=self.metric, options=self.options,
+            metric_power=self.metric_power,
+        )
+
+    def _prepare_shadow(self, shadow, reason: str | None) -> None:
+        """Carry rebuild-policy state onto a shadow (subclass hook)."""
+
+    def _live_order_ids(self):
+        """(ascending live slots, their ids) — capture under a read lock."""
+        order = self._slot_ids.live_slots()
+        return order, self._slot_ids.take_list(order)
+
+    def _gather_live(self, order):
+        """Device gather of live rows for a slot array (STORED-VALUE space,
+        dequantised where applicable). Dispatch under a read lock."""
+        return self._take_rows(self._flat_slots(np.asarray(order, np.int64)))
+
+    def _train_sample_target(self, n: int) -> int:
+        """Rows of training data _shadow_begin wants for ~n vectors."""
+        return min(n, 65536)
+
+    def _shadow_begin(self, n_total: int, sample) -> None:
+        """Train + allocate fresh state sized for ``n_total`` vectors from a
+        (possibly subsampled) device ``sample``. Runs on the shadow."""
+        self._built_n = max(n_total, 1)
+        self.state = self._fresh_state(max(n_total, 1), sample)
+
+    def _shadow_ingest(self, data, ids: list[bytes]) -> None:
+        """Insert one captured chunk (device rows) into the shadow."""
+        self._before_batches(len(ids))
+        self._insert_batches(data, ids)
+
+    def _retrain_bg_peak_bytes(self, n_live: int, chunk_rows: int) -> int:
+        """Worst-case extra HBM of a background retrain (0 = no concern):
+        the old state stays live for readers while the shadow's new state
+        plus one capture chunk exist alongside it."""
+        return 0
+
+    def _state_hbm_bytes(self) -> int:
+        """Device bytes of the current serving state (budget accounting)."""
+        if self.state is None:
+            return 0
+        return sum(
+            leaf.nbytes
+            for leaf in jax.tree.leaves(self.state)
+            if hasattr(leaf, "nbytes")
+        )
+
+    def _adopt(self, shadow) -> None:
+        """Swap the shadow's freshly built structures in as the serving
+        state (call under the write lock; O(pointer) — no device work)."""
+        for f in ("state", "_slot_ids", "_id_to_slot", "_built_n") + self._ADOPT_EXTRA:
+            setattr(self, f, getattr(shadow, f))
+        self._rebuild_wanted = None
+        self._struct_gen += 1
 
     def _slab2d(self):
         """2-D ``[rows, D]`` view of the stored vectors (dedup/rebuild reads).
@@ -356,6 +499,9 @@ class BaseVectorIndex:
     def _meta_extra(self) -> dict:
         """Extra snapshot metadata (subclass hook; e.g. shard count)."""
         return {}
+
+    def _apply_meta_extra(self, meta: dict) -> None:
+        """Restore :meth:`_meta_extra` fields on load (subclass hook)."""
 
     def _snapshot_arrays(self) -> dict:
         raise NotImplementedError
@@ -639,6 +785,8 @@ class BaseVectorIndex:
         self._slot_ids = SlotIdArena()
         self._id_to_slot = IdSlotMap()
         self._built_n = 0
+        self._rebuild_wanted = None
+        self._struct_gen += 1
 
     # -- search ----------------------------------------------------------------
 
@@ -848,6 +996,7 @@ class BaseVectorIndex:
             meta = json.loads(f.read())
         idx = cls._construct_for_load(meta, **ctor_kw)
         idx._built_n = meta.get("built_n", 0)
+        idx._apply_meta_extra(meta)
         if not meta.get("has_state"):
             return idx
         from zebra_tpu.storage.snapshots import open_snapshot_arrays

@@ -74,6 +74,12 @@ class LSHIndex(BaseVectorIndex):
         #: bump allocator, so the host never needs to read it back from the
         #: device (device->host readbacks are the expensive direction)
         self._next_slot = 0
+        #: bucket-capacity multiplier grown by overflow-driven rebuilds once
+        #: the hash width is at its budget cap (round-4 verdict #4: the
+        #: parity tier silently dropped 75% of placements at 1M because
+        #: neither lever could move — the reference's adaptive depth never
+        #: drops entries, its leaves split instead, ``lsh.rs:250-267``).
+        self._cap_boost = 1
 
     # -- build ---------------------------------------------------------------
 
@@ -92,8 +98,8 @@ class LSHIndex(BaseVectorIndex):
         return planes, consts
 
     def _fresh_state(self, n_hint: int, data: np.ndarray | None) -> B.IndexState:
-        bits = self.options.resolved_bits(n_hint)
-        cap = self.options.resolved_bucket_capacity()
+        cap = self.options.resolved_bucket_capacity() * self._cap_boost
+        bits = self.options.resolved_bits(n_hint, capacity=cap)
         slab = next_pow2(max(self.options.slab_capacity, 2 * n_hint, _MIN_SLAB))
         planes, consts = self._sample_planes(bits, data)
         self._next_slot = 0
@@ -130,67 +136,67 @@ class LSHIndex(BaseVectorIndex):
 
     # -- rebuild / compaction ------------------------------------------------
 
-    def _maybe_rebuild(self) -> None:
+    # A rebuild here is one global, batched re-insert (a single matmul
+    # re-hashes everything); the reference's analogue is the leaf-overflow
+    # subtree rebuild (``lsh.rs:368-377``). The capture is a DEVICE
+    # permutation gather — the multi-GB slab never reads back through the
+    # slow device->host direction. Driver: ``BaseVectorIndex.rebuild``.
+
+    _ADOPT_EXTRA = ("_next_slot", "_cap_boost")
+
+    def _rebuild_reason(self) -> str | None:
         st = self.state
         n_live = len(self._id_to_slot)
-        if n_live == 0:
-            return
-        overflow = int(st.overflow)  # one scalar readback per add()
-        used = self._next_slot
-        tombstones = used - n_live
+        if n_live == 0 or st is None:
+            return None
+        if n_live > _REBUILD_GROWTH * max(self._built_n, 1):
+            return "growth"
         # Overflowed bucket writes are dropped entries; the multi-table
-        # redundancy absorbs them (a vector dropped from one table is almost
-        # surely present in the other 14), so overflow only justifies a
-        # rebuild when wider hash codes would actually spread the load —
-        # otherwise tight clusters re-overflow forever and every add() loops.
-        overflow_fixable = (
+        # redundancy absorbs a few (a vector dropped from one table is almost
+        # surely present in the others), so overflow justifies a rebuild only
+        # when a LEVER exists: wider hash codes spread the load, and once
+        # those hit their HBM-budget cap, doubled bucket capacity absorbs it
+        # (bounded at 64x — past that, tight clusters re-overflow forever
+        # and every add() would loop).
+        overflow = int(st.overflow)  # one scalar readback per add()
+        if (
             self.options.index_type != "flat"
             and overflow > _REBUILD_OVERFLOW * n_live
-            and self.options.resolved_bits(n_live) > st.bits
-        )
-        if (
-            n_live > _REBUILD_GROWTH * max(self._built_n, 1)
-            or overflow_fixable
-            or tombstones > _COMPACT_TOMBSTONES * max(used, 1)
         ):
-            self.rebuild()
+            if self.options.resolved_bits(
+                n_live, capacity=st.bucket_capacity
+            ) > st.bits:
+                return "overflow-bits"
+            if self._cap_boost < 64:
+                return "overflow-capacity"
+        used = self._next_slot
+        if used - n_live > _COMPACT_TOMBSTONES * max(used, 1):
+            return "tombstones"
+        return None
 
-    def rebuild(self) -> None:
-        """Re-hash all live vectors into fresh tables (new bit width sized to
-        the current population) and compact tombstones out of the slab.
-
-        The reference's analogue is the leaf-overflow subtree rebuild
-        (``lsh.rs:368-377``) — here it is one global, batched re-insert: a
-        single matmul re-hashes everything.
-        """
-        self._wal_cb = None  # re-inserted rows are already logged
+    def _pre_rebuild(self, reason: str | None) -> None:
+        if reason == "overflow-capacity":
+            self._cap_boost *= 2
         logger.info(
-            "rebuild: %d live vectors (used=%d, overflow=%s)",
-            len(self._id_to_slot), self._next_slot,
+            "rebuild (%s): %d live vectors (used=%d, overflow=%s, cap_boost=%d)",
+            reason, len(self._id_to_slot), self._next_slot,
             int(self.state.overflow) if self.state is not None else 0,
+            self._cap_boost,
         )
-        order = self._slot_ids.live_slots()  # ascending
-        if not len(order):
-            ids: list[bytes] = []
-            data = None
-        else:
-            # compact ON DEVICE: a [n] permutation gather instead of reading
-            # the multi-GB slab back through the slow device->host direction
-            data = jnp.take(
-                self.state.vectors, jnp.asarray(order.astype(np.int32)), axis=0
-            )
-            ids = self._slot_ids.take_list(order)
-        n = len(ids)
-        self.state = None  # free the old slab before allocating the new one
-        self.state = self._fresh_state(max(n, 1), data)
-        self._built_n = max(n, 1)
-        from zebra_tpu.index.base import IdSlotMap, SlotIdArena
 
-        self._slot_ids = SlotIdArena()
-        self._id_to_slot = IdSlotMap()
-        if n:
-            self._before_batches(n)
-            self._insert_batches(data, ids)
+    def _prepare_shadow(self, shadow, reason: str | None) -> None:
+        shadow._cap_boost = self._cap_boost * (
+            2 if reason == "overflow-capacity" else 1
+        )
+
+    def _reset_alloc_mirrors(self) -> None:
+        self._next_slot = 0
+
+    def _meta_extra(self) -> dict:
+        return {"cap_boost": self._cap_boost}
+
+    def _apply_meta_extra(self, meta: dict) -> None:
+        self._cap_boost = int(meta.get("cap_boost", 1))
 
     # -- delete / search -------------------------------------------------------
 

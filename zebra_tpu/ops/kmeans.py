@@ -85,6 +85,131 @@ def warm_compile(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("n", "k", "total_iters", "m", "balance_rounds")
+)
+def _paced_plan(key, n: int, n_valid, k: int, total_iters: int, m: int,
+                balance_rounds: int):
+    """Init/reseed/split row indices for :func:`kmeans_paced` — mirrors the
+    key-splitting structure of :func:`kmeans` (one tiny dispatch)."""
+    k_init, k_reseed, k_split = jax.random.split(key, 3)
+    nv = jnp.maximum(n_valid, 1)
+    init_idx = jax.random.randint(k_init, (k,), 0, n) % nv
+    reseed_idx = jax.random.randint(k_reseed, (total_iters, k), 0, n) % nv
+    split_idx = jax.random.randint(k_split, (max(balance_rounds, 1), m), 0, n) % nv
+    return init_idx, reseed_idx, split_idx
+
+
+def _lloyd_pass(data, n_valid, cents, reseed_rows, chunk: int):
+    """One Lloyd assignment+update pass (traced body shared by the paced
+    step jits). ``data`` may be bf16; per-chunk casts run inside the scan."""
+    n, dim = data.shape
+    k = cents.shape[0]
+    row = jnp.arange(n, dtype=jnp.int32)
+    mask = row < n_valid
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    dp = jnp.pad(data, ((0, pad), (0, 0))) if pad else data
+    mp = jnp.pad(mask, (0, pad)) if pad else mask
+    cn2 = jnp.sum(cents * cents, axis=-1)
+
+    def body(acc, xs):
+        sums, counts = acc
+        xc, mc = xs
+        xc = xc.astype(jnp.float32)
+        dot = jnp.dot(xc, cents.T, preferred_element_type=jnp.float32)
+        a = jnp.argmin(cn2[None, :] - 2.0 * dot, axis=1).astype(jnp.int32)
+        a = jnp.where(mc, a, _OOB)
+        sums = sums.at[a].add(xc, mode="drop")
+        counts = counts.at[a].add(mc.astype(jnp.int32), mode="drop")
+        return (sums, counts), None
+
+    (sums, counts), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((k, dim), jnp.float32), jnp.zeros((k,), jnp.int32)),
+        (dp.reshape(n_chunks, -1, dim), mp.reshape(n_chunks, -1)),
+    )
+    mean = sums / jnp.maximum(counts, 1)[:, None]
+    cents = jnp.where(
+        (counts > 0)[:, None], mean, data[reseed_rows].astype(jnp.float32)
+    )
+    return cents, counts
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _paced_lloyd_step(data, n_valid, cents, reseed_rows, chunk: int):
+    return _lloyd_pass(data, n_valid, cents, reseed_rows, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "m"))
+def _paced_balance_step(data, n_valid, cents, counts, split_rows, reseed_pair,
+                        chunk: int, m: int):
+    """One split-heavy balance round (nudge + 2 settle passes) as a single
+    dispatch — ~2x a Lloyd pass, still well under the paced stall budget."""
+    k = cents.shape[0]
+    order = jnp.argsort(-counts)
+    heavy = order[:m]
+    light = order[k - m:]
+    nudged = 0.99 * cents[heavy] + 0.01 * data[split_rows].astype(jnp.float32)
+    cents = cents.at[light].set(nudged)
+    cents, counts = _lloyd_pass(data, n_valid, cents, reseed_pair[0], chunk)
+    cents, counts = _lloyd_pass(data, n_valid, cents, reseed_pair[1], chunk)
+    return cents, counts
+
+
+def kmeans_paced(
+    key: jax.Array,
+    data: jnp.ndarray,
+    n_valid,
+    k: int,
+    iters: int = 8,
+    chunk: int = 65536,
+    balance_rounds: int = 2,
+    pacer=None,
+):
+    """Same clustering procedure as :func:`kmeans`, dispatched ONE pass at a
+    time with a sync between dispatches.
+
+    The monolithic :func:`kmeans` is a single device dispatch of
+    ``iters + 2*balance_rounds`` Lloyd passes — seconds of uninterruptible
+    device time at the flagship sizing, during which every concurrently
+    submitted query queues behind it. The BACKGROUND retrain path (round-4
+    verdict #2: readers must never black out O(database)) uses this paced
+    variant instead: each pass is its own dispatch and the pacer (default
+    :func:`zebra_tpu.utils.device_sync`) drains the queue between passes,
+    so a concurrent query waits at most ~one pass, not the whole training
+    run. Foreground cold builds keep the monolithic version (faster, and
+    nothing else is running).
+
+    Same signature + return as :func:`kmeans`; the math per pass is
+    identical but it is NOT guaranteed bit-equal (separate XLA programs may
+    fuse differently) — tests assert clustering-quality equivalence.
+    """
+    if pacer is None:
+        from zebra_tpu.utils import device_sync
+
+        pacer = device_sync
+    n = data.shape[0]
+    total_iters = iters + 2 * balance_rounds
+    m = max(k // 8, 1)
+    nv = jnp.asarray(n_valid, jnp.int32)
+    init_idx, reseed_idx, split_idx = _paced_plan(
+        key, n, nv, k, total_iters, m, balance_rounds
+    )
+    cents = jnp.take(data, init_idx, axis=0).astype(jnp.float32)
+    counts = jnp.zeros((k,), jnp.int32)
+    for it in range(iters):
+        cents, counts = _paced_lloyd_step(data, nv, cents, reseed_idx[it], chunk)
+        pacer(counts)
+    for r in range(balance_rounds):
+        pair = reseed_idx[iters + 2 * r : iters + 2 * r + 2]
+        cents, counts = _paced_balance_step(
+            data, nv, cents, counts, split_idx[r], pair, chunk, m
+        )
+        pacer(counts)
+    return cents, counts
+
+
+@functools.partial(
     jax.jit, static_argnames=("k", "iters", "chunk", "balance_rounds")
 )
 def kmeans(
