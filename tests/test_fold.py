@@ -130,7 +130,8 @@ def test_fold_capture_survives_donating_insert(tmp_path, rng):
     # the capture predates the second insert: 300 rows, standalone-loadable
     loaded = type(db.index).load(tmp)
     assert len(loaded) == 300
-    # over-budget clones are refused -> the fold worker takes the sync path
+    # over-budget clones are refused -> the fold worker switches to the
+    # fuzzy CHUNKED capture (tests below)
     import zebra_tpu.index.base as base_mod
 
     orig_budget = base_mod._CLONE_HBM_BUDGET
@@ -189,4 +190,111 @@ def test_explicit_save_supersedes_fold(tmp_path, rng, monkeypatch):
     assert not os.path.exists(db._index_dir() + ".fold")
     db2 = Database.open(db.path)
     assert all(i in db2.index for i in seen["extra"])
+    db2.close()
+
+
+def _pin_budget_zero(monkeypatch):
+    """Force every clone=True capture over budget -> chunked fold path."""
+    import zebra_tpu.index.base as base_mod
+
+    monkeypatch.setattr(base_mod, "_CLONE_HBM_BUDGET", 0)
+
+
+def test_chunked_fold_over_budget_never_takes_write_lock(
+    tmp_path, rng, monkeypatch
+):
+    """Past the clone HBM budget the fold must stream a fuzzy chunked
+    capture under brief read locks — NOT fall back to a write-locked full
+    save (round-4 advisor medium)."""
+    _pin_budget_zero(monkeypatch)
+    db = _mkdb(tmp_path, rng)
+    monkeypatch.setattr(
+        type(db), "_fold_threshold", lambda self, allow_measure=False: self._fold_floor
+    )
+    all_ids = []
+    for _ in range(6):
+        all_ids += db.insert_vectors(
+            rng.standard_normal((200, 16)).astype(np.float32)
+        )
+    db.wait_for_fold(timeout=60)
+    assert db._fold_count >= 1
+    assert db._fold_sync_count == 0  # npz never folds under the write lock
+    assert db._delta.size() <= db._fold_floor
+    # crash (no close/save): snapshot + log tail must recover every row
+    db2 = Database.open(db.path)
+    assert len(db2.index) == len(all_ids)
+    assert all(i in db2.index for i in all_ids[:50])
+    db2.close()
+
+
+def test_chunked_fold_fuzzy_mutations_repaired_by_replay(
+    tmp_path, rng, monkeypatch
+):
+    """Mutations landing BETWEEN chunk fetches make the written snapshot a
+    fuzzy mixture; the untruncated WAL suffix must repair it exactly
+    (inserts idempotent by id, removes of absent ids no-ops)."""
+    _pin_budget_zero(monkeypatch)
+    db = _mkdb(tmp_path, rng)
+    monkeypatch.setattr(
+        type(db), "_fold_threshold", lambda self, allow_measure=False: self._fold_floor
+    )
+    state = {"during": [], "removed": None}
+    orig = type(db)._fold_fetch_chunk
+
+    def mutating_fetch(self, name, shape, gen, sgen, prefix, s, e):
+        out = orig(self, name, shape, gen, sgen, prefix, s, e)
+        # runs on the fold thread with NO lock held: interleave real
+        # mutations between chunk windows (once, to keep the test fast)
+        if not state["during"]:
+            state["during"] = db.insert_vectors(
+                rng.standard_normal((32, 16)).astype(np.float32)
+            )
+            state["removed"] = state["keep"][0]
+            db.remove([state["removed"]])
+        return out
+
+    monkeypatch.setattr(type(db), "_fold_fetch_chunk", mutating_fetch)
+    state["keep"] = db.insert_vectors(
+        rng.standard_normal((300, 16)).astype(np.float32)
+    )
+    for _ in range(6):
+        db.insert_vectors(rng.standard_normal((200, 16)).astype(np.float32))
+        db.wait_for_fold(timeout=60)
+    assert state["during"], "chunked fold never ran"
+    db2 = Database.open(db.path)
+    assert all(i in db2.index for i in state["during"])
+    assert state["removed"] not in db2.index
+    assert all(i in db2.index for i in state["keep"][1:])
+    db2.close()
+
+
+def test_chunked_fold_aborts_on_struct_change(tmp_path, rng, monkeypatch):
+    """A rebuild swap mid-stream invalidates the fuzzy premise (slot
+    meanings change wholesale): the fold must abort cleanly — serving state
+    untouched, no partial snapshot committed, recovery exact."""
+    _pin_budget_zero(monkeypatch)
+    db = _mkdb(tmp_path, rng)
+    monkeypatch.setattr(
+        type(db), "_fold_threshold", lambda self, allow_measure=False: self._fold_floor
+    )
+    fired = {}
+    orig = type(db)._fold_fetch_chunk
+
+    def rebuilding_fetch(self, name, shape, gen, sgen, prefix, s, e):
+        out = orig(self, name, shape, gen, sgen, prefix, s, e)
+        if "rebuilt" not in fired:
+            fired["rebuilt"] = True
+            with db._lock.write():
+                db.index.rebuild("test")  # bumps _struct_gen
+        return out
+
+    monkeypatch.setattr(type(db), "_fold_fetch_chunk", rebuilding_fetch)
+    ids = db.insert_vectors(rng.standard_normal((300, 16)).astype(np.float32))
+    for _ in range(6):
+        ids += db.insert_vectors(rng.standard_normal((200, 16)).astype(np.float32))
+        db.wait_for_fold(timeout=60)
+    assert fired.get("rebuilt"), "chunked fold never raced the rebuild"
+    assert not os.path.exists(db._index_dir() + ".fold")
+    db2 = Database.open(db.path)
+    assert len(db2.index) == len(ids)
     db2.close()

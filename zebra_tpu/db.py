@@ -14,6 +14,7 @@ import json
 import os
 import shutil
 
+import jax.numpy as jnp
 import numpy as np
 
 from zebra_tpu.config import DatabaseConfig, IndexOptions
@@ -105,6 +106,9 @@ class Database:
         self._save_gen = 0
         #: completed background folds (diagnostics / bench evidence)
         self._fold_count = 0
+        #: folds that had to run under the write lock (orbax format only —
+        #: npz folds never do, even past the clone HBM budget)
+        self._fold_sync_count = 0
         #: fold trigger floor, bytes (instance-overridable for tests)
         self._fold_floor = 256 * 1024 * 1024
         #: background retrain state (round-4 verdict #2): growth/overflow/
@@ -395,18 +399,36 @@ class Database:
             # mid-stream (the round-4 churn failure mode).
             offset = self._delta.size()
             gen = self._save_gen
+            sgen = self.index._struct_gen
             cap = self.index.snapshot_capture(clone=True)
-        if cap["fmt"] != "npz" or not cap.get("cloned", False):
-            # orbax snapshots are directories (no atomic two-file replace),
-            # and an over-HBM-budget clone was refused — fold synchronously
-            # under the write lock instead (stalls mutations; documented)
+        if cap["fmt"] == "npz" and not cap.get("cloned", False):
+            # over-HBM-budget clone refused: fuzzy chunked capture instead —
+            # each chunk slices on device under a brief read lock, so
+            # mutations never stall O(database) even at capacity scale
+            # (round-4 advisor medium: the old fallback here was a full
+            # write-locked save)
+            cap = self._fold_chunked_capture(cap, gen, sgen)
+        if cap["fmt"] != "npz":
+            # orbax snapshots are directories (no atomic two-file replace) —
+            # fold synchronously under the write lock instead (stalls
+            # mutations; documented orbax-option caveat)
             with self._lock.write():
                 if self._save_gen == gen:
                     self._save_locked(self.path)
                     self._fold_count += 1
+                    self._fold_sync_count += 1
             return False
         _shutil.rmtree(tmp, ignore_errors=True)
-        self.index.write_capture(tmp, cap)  # the slow part: NO lock held
+        from zebra_tpu.storage.snapshots import CaptureAborted
+
+        try:
+            self.index.write_capture(tmp, cap)  # the slow part: NO lock held
+        except CaptureAborted:
+            # the fuzzy premise broke (rebuild swap / explicit save / slab
+            # growth mid-stream) — discard; the next mutation re-triggers
+            logger.info("chunked fold aborted mid-stream; will retry")
+            _shutil.rmtree(tmp, ignore_errors=True)
+            return False
         with self._lock.write():
             if self._save_gen != gen:
                 # an explicit save() superseded this fold; discard
@@ -430,6 +452,75 @@ class Database:
                 offset,
             )
         return True
+
+    def _fold_chunked_capture(self, cap: dict, gen: int, sgen: int) -> dict:
+        """Replace an over-budget capture's device arrays with chunked
+        sources for a FUZZY fold (round-4 advisor medium).
+
+        Each chunk is sliced from the CURRENT state under a brief read lock
+        (the slice dispatch precedes any later donating insert — the same
+        ordering argument as the whole-array clone), then fetched to host
+        off-lock. Chunks from different lock windows may interleave with
+        mutations, so the written snapshot is not a point-in-time image;
+        it is still a CORRECT recovery base because replay of the untruncated
+        WAL suffix (from the capture-start ``offset``) repairs any mixture:
+
+        * ``_replay_delta`` inserts skip ids already present and removes of
+          absent ids are no-ops (idempotent by id), so a post-offset insert
+          the capture happened to include is skipped, and one it missed is
+          re-applied;
+        * a post-offset remove whose tombstone the capture caught replays as
+          a no-op; one it missed replays normally (log order preserved);
+        * slot reuse is safe: a slot can only be re-issued after a remove,
+          and that remove is in the suffix — the bogus resurrected row is
+          removed before its id's re-insert replays;
+        * stale/duplicate bucket entries only add rerank candidates (true
+          distances are computed; dead slots are masked), never wrong
+          results.
+
+        What replay CANNOT repair is a wholesale slot-meaning change
+        (rebuild/retrain adopt) or a slab reallocation mid-stream — the
+        fetch aborts on any ``_struct_gen``/``_save_gen``/shape mismatch and
+        the fold retries later.
+        """
+        import functools
+
+        from zebra_tpu.storage.snapshots import ChunkedSource, _member_meta
+
+        arrays = dict(cap["arrays"])
+        for name, v in arrays.items():
+            if isinstance(v, jnp.ndarray) and not isinstance(v, np.ndarray):
+                shape, dtype = _member_meta(v)
+                arrays[name] = ChunkedSource(
+                    shape, dtype,
+                    functools.partial(
+                        self._fold_fetch_chunk, name, tuple(v.shape), gen, sgen
+                    ),
+                )
+        return {**cap, "arrays": arrays, "cloned": True, "chunked": True}
+
+    def _fold_fetch_chunk(
+        self, name: str, shape: tuple, gen: int, sgen: int,
+        prefix: tuple, s: int, e: int,
+    ):
+        """One fuzzy-capture chunk: device slice under a brief read lock,
+        host fetch off-lock. Raises ``CaptureAborted`` when the capture's
+        premise broke (see :meth:`_fold_chunked_capture`)."""
+        from zebra_tpu.storage.snapshots import CaptureAborted
+
+        with self._lock.read():
+            if self._save_gen != gen or self.index._struct_gen != sgen:
+                raise CaptureAborted(f"generation moved under {name}")
+            arr = self.index._snapshot_arrays().get(name)
+            if arr is None or tuple(arr.shape) != shape:
+                raise CaptureAborted(f"{name} was reallocated mid-capture")
+            if arr.ndim == 0:
+                chunk = jnp.copy(arr)
+            elif prefix:
+                chunk = arr[prefix[0], s:e]
+            else:
+                chunk = arr[s:e]
+        return np.asarray(chunk)  # device->host: the slow part, NO lock
 
     # -- background retrains (round-4 verdict #2) -----------------------------
 

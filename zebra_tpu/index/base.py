@@ -918,6 +918,13 @@ class BaseVectorIndex:
         stream a CLONED capture to disk with NO lock held — the background
         log fold's trick for never stalling mutations O(database)
         (round-3 verdict #7).
+
+        Compile caveat (round-4 advisor): the clone dispatch compiles one
+        copy program per distinct array shape; on a remote backend with a
+        COLD compilation cache the first fold can therefore hold writers
+        behind the read lock O(compile) (30s-4min/shape on this box's
+        tunnel). Every TPU script here calls ``utils.enable_compile_cache``
+        so this is a once-per-cache-lifetime cost, not a steady-state one.
         """
         fmt = getattr(self.options, "snapshot_format", "npz") or "npz"
         meta = {

@@ -207,9 +207,13 @@ class IVFIndex(BaseVectorIndex):
         # multi-minute service stalls and the extra in-flight compile is
         # not worth entangling with them — skip unless explicitly enabled.
         backend = jax.default_backend()
-        if backend not in ("cpu", "tpu", "gpu", "cuda", "rocm") and not os.environ.get(
+        if backend not in ("tpu", "gpu", "cuda", "rocm") and not os.environ.get(
             "ZEBRA_KMEANS_WARM"
         ):
+            # cpu additionally excluded by default: a CPU process that
+            # enabled the persistent cache would have the warm thread WRITE
+            # a CPU executable into it — the cache-write class that
+            # segfaults this jaxlib (round-4 advisor)
             return None
         # The AOT result is only reachable from the later traced call via
         # the persistent compilation cache; warm ONLY when the process

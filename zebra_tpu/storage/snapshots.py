@@ -30,6 +30,37 @@ import numpy as np
 CHUNK_BYTES = 64 << 20
 
 
+class CaptureAborted(RuntimeError):
+    """Raised by a :class:`ChunkedSource` fetch when the capture's
+    consistency premise broke mid-stream (structural rebuild, explicit
+    save, shape growth) — the writer unwinds and the caller discards the
+    partial file."""
+
+
+class ChunkedSource:
+    """Snapshot member whose data is produced chunk-by-chunk by a callback.
+
+    The background log fold uses this for device arrays too large to clone
+    whole (HBM budget): each chunk is sliced on device under a BRIEF read
+    lock (donation-safe — the slice dispatch precedes any later donating
+    insert) and fetched to host off-lock, so neither a full device-side
+    clone nor a write-locked readback ever exists. Chunks from different
+    lock windows may interleave with mutations (a FUZZY capture); the WAL
+    suffix replay repairs the mixture at load (see
+    ``Database._fold_chunked_capture`` for the correctness argument).
+
+    ``fetch(prefix, s, e) -> np.ndarray`` returns rows ``[s:e)`` of the
+    member (``prefix=()``), or of member row ``prefix[0]`` when one axis-0
+    row alone exceeds the chunk budget (stacked per-shard slabs). It may
+    raise :class:`CaptureAborted`.
+    """
+
+    def __init__(self, shape: tuple, dtype: np.dtype, fetch):
+        self.shape = tuple(int(s) for s in shape)
+        self.dtype = np.dtype(dtype)
+        self.fetch = fetch
+
+
 def _is_device_array(arr) -> bool:
     import jax
 
@@ -49,6 +80,8 @@ def _encode_np(arr: np.ndarray) -> np.ndarray:
 
 def _member_meta(arr):
     """(shape, np dtype of the ENCODED stream) for any input array."""
+    if isinstance(arr, ChunkedSource):
+        return arr.shape, arr.dtype
     if _is_device_array(arr):
         import jax.numpy as jnp
 
@@ -59,9 +92,42 @@ def _member_meta(arr):
     return tuple(a.shape), a.dtype
 
 
+def _iter_source_chunks(src: ChunkedSource):
+    """Yield encoded chunks of a :class:`ChunkedSource` in C order."""
+    shape, dtype = src.shape, src.dtype
+    if len(shape) == 0:
+        yield _encode_np(np.asarray(src.fetch((), 0, 1))).reshape(())
+        return
+    n = shape[0]
+    row_bytes = dtype.itemsize * int(np.prod(shape[1:], dtype=np.int64))
+    if n == 0:
+        yield np.zeros((0, *shape[1:]), dtype=dtype)
+        return
+    if row_bytes > CHUNK_BYTES and len(shape) > 1:
+        # one axis-0 row already over budget (stacked per-shard slab
+        # [S, cap, D]): chunk each row along ITS axis 0 instead
+        sub = shape[1]
+        sub_row = dtype.itemsize * int(np.prod(shape[2:], dtype=np.int64))
+        rows = max(1, CHUNK_BYTES // max(sub_row, 1))
+        for i in range(n):
+            for s in range(0, sub, rows):
+                e = min(sub, s + rows)
+                yield np.ascontiguousarray(
+                    _encode_np(np.asarray(src.fetch((i,), s, e)))
+                )
+        return
+    rows = max(1, CHUNK_BYTES // max(row_bytes, 1))
+    for s in range(0, n, rows):
+        e = min(n, s + rows)
+        yield np.ascontiguousarray(_encode_np(np.asarray(src.fetch((), s, e))))
+
+
 def _iter_chunks(arr, shape, dtype):
     """Yield C-contiguous np chunks of ``arr`` along axis 0 (whole array for
     0-d), each <= CHUNK_BYTES; device arrays fetch per chunk."""
+    if isinstance(arr, ChunkedSource):
+        yield from _iter_source_chunks(arr)
+        return
     if len(shape) == 0:
         yield _encode_np(np.asarray(arr)).reshape(())
         return
