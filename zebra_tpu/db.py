@@ -14,6 +14,9 @@ import json
 import os
 import shutil
 
+import atexit
+import weakref
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,6 +60,34 @@ def _load_index(config: DatabaseConfig, directory: str):
     from zebra_tpu.index import load_index
 
     return load_index(directory)
+
+
+#: live databases with possibly-running background workers (weak: a
+#: collected Database's threads are daemons whose work is already covered
+#: by the WAL — only PROCESS EXIT needs the drain below)
+_LIVE_DBS: "weakref.WeakSet" = weakref.WeakSet()
+
+
+@atexit.register
+def _drain_background_workers() -> None:
+    """Join background fold/retrain threads before interpreter teardown.
+
+    Daemon threads killed mid-jit-dispatch at exit abort the whole process
+    ("FATAL: exception not rethrown" from jaxlib) — found by bench runs
+    that let a Database go out of scope with a retrain in flight. Abort
+    in-flight work at its next checkpoint (generation bumps make chunked
+    folds and retrains bail within one chunk) and join. Durability is
+    unaffected: the WAL already holds every mutation the aborted
+    fold/retrain would have incorporated.
+    """
+    for db in list(_LIVE_DBS):
+        try:
+            db._retrain_gen += 1  # retrain bails at its next chunk boundary
+            db._save_gen += 1  # chunked fold fetches abort; commits skip
+            db.wait_for_retrain(timeout=600)
+            db.wait_for_fold(timeout=600)
+        except Exception:
+            pass
 
 
 class Database:
@@ -128,6 +159,7 @@ class Database:
         self._retrain_count = 0
         #: live-row count at the last budget-skipped retrain (anti-spin)
         self._retrain_skip_n = 0
+        _LIVE_DBS.add(self)
 
     # -- paths ---------------------------------------------------------------
 

@@ -120,11 +120,14 @@ class LSHIndex(BaseVectorIndex):
         need = self._next_slot + incoming
         if need <= st.slab_capacity:
             return
-        new_cap = next_pow2(max(2 * st.slab_capacity, need))
-        vectors = jnp.zeros((new_cap, self._dev_dim), st.vectors.dtype).at[: st.slab_capacity].set(st.vectors)
-        norms = jnp.zeros((new_cap,), jnp.float32).at[: st.slab_capacity].set(st.norms)
-        valid = jnp.zeros((new_cap,), jnp.bool_).at[: st.slab_capacity].set(st.valid)
-        self.state = st.replace(vectors=vectors, norms=norms, valid=valid)
+        from zebra_tpu.profiling import timed
+
+        with timed("insert.grow", items=need):  # build stage accounting
+            new_cap = next_pow2(max(2 * st.slab_capacity, need))
+            vectors = jnp.zeros((new_cap, self._dev_dim), st.vectors.dtype).at[: st.slab_capacity].set(st.vectors)
+            norms = jnp.zeros((new_cap,), jnp.float32).at[: st.slab_capacity].set(st.norms)
+            valid = jnp.zeros((new_cap,), jnp.bool_).at[: st.slab_capacity].set(st.valid)
+            self.state = st.replace(vectors=vectors, norms=norms, valid=valid)
 
     def _insert_batch_dev(self, batch: jnp.ndarray, count: int) -> np.ndarray:
         self.state, _slots = B.insert(self.state, batch, jnp.int32(count))
