@@ -461,3 +461,37 @@ def test_query_batch_chunked_matches_unchunked(rng):
                       batch_chunk=chunk)
         for a, b in zip(base, got):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_abstract_state_matches_real_build(rng, dtype):
+    """The shape-warm's abstract state must be EXACTLY what _fresh_state
+    builds (shape + dtype + static ccap, leaf for leaf) — a drift here
+    turns every pre-warm compile into waste without failing anything."""
+    import dataclasses
+
+    import jax
+
+    n = 600
+    idx = make_index(16, metric="cosine", options=_opts(dtype=dtype))
+    abstract = idx._abstract_state(n)
+    idx.add(_data(rng, n, 16))
+    real = idx.state
+    assert abstract.ccap == real.ccap
+    for f in dataclasses.fields(type(real)):
+        if f.name == "ccap":
+            continue
+        a, r = getattr(abstract, f.name), getattr(real, f.name)
+        if r is None or a is None:
+            assert a is None and r is None, f.name
+            continue
+        assert tuple(a.shape) == tuple(r.shape), (f.name, a.shape, r.shape)
+        assert jax.numpy.dtype(a.dtype) == jax.numpy.dtype(r.dtype), f.name
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+def test_warm_shape_programs_lower(dtype):
+    """The pre-warm lowering must stay callable for every slab tier (its
+    static args mirror _insert_batch_dev/_query_device by hand)."""
+    idx = make_index(16, metric="cosine", options=_opts(dtype=dtype))
+    idx._warm_shape_programs(5000, qbatch=64, k=10)  # must not raise

@@ -828,6 +828,12 @@ class Database:
         """Embed + insert documents (``core.rs:232-235``)."""
         from zebra_tpu.profiling import timed
 
+        if documents and self.index.state is None:
+            # cold index: AOT-warm the first insert/query programs on a
+            # background thread WHILE the towers embed below (round-4
+            # verdict #6 — the pipeline's cold half was 93% first-batch
+            # remote compiles, serialised after the embed stage)
+            self.index.warm_shapes(len(documents))
         with timed("insert.embed", items=len(documents), stats=self.stats):
             embeddings = self.model.embed_documents(documents)
         return self.insert_records(embeddings, documents)

@@ -602,6 +602,13 @@ class BaseVectorIndex:
         insert completed here; False to take the generic path."""
         return False
 
+    def warm_shapes(self, n_hint: int, qbatch: int = 1024, k: int = 10):
+        """Background AOT compile of the programs a cold build of ~n_hint
+        rows is about to need (backend hook; IVF overrides). The facade
+        calls this before its embedding stage so remote compiles overlap
+        tower compute instead of serialising after it. No-op default."""
+        return None
+
     @property
     def _wire_dtype(self):
         """Host->device staging dtype for ARRAY wires: bf16 AND plain int8

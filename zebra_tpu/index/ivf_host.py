@@ -260,6 +260,123 @@ class IVFIndex(BaseVectorIndex):
             refine=self.options.refine_enabled(),
         )
 
+    def _abstract_state(self, n_hint: int) -> V.IVFState:
+        """ShapeDtypeStruct pytree of the state :meth:`_fresh_state` would
+        build for ``n_hint`` rows — same sizing helpers, no allocation, no
+        training. Drives the first-shape AOT warm (and is shape-asserted
+        against a real build in tests so the two can never drift)."""
+        from jax import ShapeDtypeStruct as SDS
+
+        k = self._resolved_clusters(n_hint)
+        cap = self._resolved_capacity(n_hint, k)
+        spare = self._resolved_spare(n_hint)
+        S = k * cap + spare
+        d = self._dev_dim
+        slab = np.dtype(self.dtype)
+        int8 = slab == np.dtype(np.int8)
+        refined = int8 and self.options.refine_enabled()
+        f32, i32 = np.dtype(np.float32), np.dtype(np.int32)
+        return V.IVFState(
+            centroids=SDS((k, d), f32),
+            counts=SDS((k + 1,), i32),
+            vectors=SDS((S, d), slab),
+            norms=SDS((S,), f32),
+            valid=SDS((S,), np.dtype(np.bool_)),
+            overflow=SDS((), i32),
+            scales=SDS((S,), f32) if int8 else None,
+            residual=SDS((S, d), np.dtype(np.int8)) if refined else None,
+            rscales=SDS((S,), f32) if refined else None,
+            ccap=cap,
+        )
+
+    def warm_shapes(self, n_hint: int, qbatch: int = 1024, k: int = 10):
+        """Background AOT compile of the FIRST insert-span and query
+        programs for a cold index sized to ``n_hint`` (round-4 verdict #6:
+        the text pipeline's cold half was 93% first-batch remote compiles,
+        and only k-means was pre-warmed). Called by the facade before the
+        embedding stage, so the compiles ride the compile service WHILE the
+        towers embed — by the time the index sees vectors, the persistent
+        cache already holds the executables.
+
+        Same gating as the k-means warm (local tpu/gpu backends, or
+        ZEBRA_SHAPE_WARM=1 to opt in on axon; a persistent compile cache
+        must be enabled — without one the warmed executables are
+        unreachable from the later real call). Returns the thread or None.
+        """
+        import threading
+
+        if self.state is not None:
+            return None
+        backend = jax.default_backend()
+        if backend not in ("tpu", "gpu", "cuda", "rocm") and not os.environ.get(
+            "ZEBRA_SHAPE_WARM"
+        ):
+            return None
+        if not getattr(jax.config, "jax_compilation_cache_dir", None):
+            return None
+        def _warm():
+            try:
+                self._warm_shape_programs(n_hint, qbatch, k)
+            except Exception:
+                logger.info("first-shape AOT warm failed (harmless)",
+                            exc_info=True)
+
+        t = threading.Thread(target=_warm, name="zebra-shape-warm", daemon=True)
+        t.start()
+        return t
+
+    def _warm_shape_programs(self, n_hint: int, qbatch: int, k: int) -> None:
+        """Synchronous body of :meth:`warm_shapes`: lower + compile the
+        first insert-span program and the serving-shape query program
+        against the abstract state. Every static argument mirrors the real
+        call sites (`_insert_batch_dev`, `_query_device`) — the shape test
+        asserts the abstract state cannot drift from a real build."""
+        from jax import ShapeDtypeStruct as SDS
+
+        st = self._abstract_state(n_hint)
+        spans = self._spans(n_hint)
+        padded = next_pow2(max(min(spans[0][1], self._span_width()), _MIN_BATCH))
+        qp = next_pow2(max(qbatch, 8))
+        f32 = np.dtype(np.float32)
+        d = self._dev_dim
+        refined = st.residual is not None
+        bf16_qwire = (
+            self.options.query_wire == "auto"
+            and self.options.dtype != "float32"
+            and not (self.options.dtype == "int8" and self.options.refine_enabled())
+        )
+        if bf16_qwire:
+            import ml_dtypes
+
+            qdtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            qdtype = f32
+        rerank = self.options.rerank
+        if rerank.startswith("pallas") and jax.default_backend() == "cpu":
+            rerank = "xla"  # mirror _query_device exactly
+        nv = SDS((), np.dtype(np.int32))
+        if self._quant_wire:
+            V.insert_quant.lower(
+                st, SDS((padded, d), np.dtype(np.int8)),
+                SDS((padded, d), np.dtype(np.int8)),
+                SDS((padded, 2), f32), nv,
+                spill=self.options.spill, metric=self._cell_metric,
+            ).compile()
+        else:
+            V.insert.lower(
+                st, SDS((padded, d), np.dtype(self._wire_dtype)), nv,
+                spill=self.options.spill, metric=self._cell_metric,
+            ).compile()
+        V.query.lower(
+            st, SDS((qp, d), qdtype), k, metric=self.metric,
+            num_probes=self.options.resolved_probes(),
+            power=self.metric_power, rerank=rerank,
+            rerank_dots=self.options.rerank_dots,
+            probe_sel=self.options.probe_sel,
+            refine_k=self.options.refine_k(k) if refined else 0,
+            refine_scan=refined and self.options.refine_is_scan(),
+        ).compile()
+
     def _cold_build(self, vectors, ids) -> bool:
         """First build: queue an HBM-budgeted window of insert-batch
         host->device transfers first (async device_put), train k-means on a
