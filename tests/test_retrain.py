@@ -287,3 +287,24 @@ def test_lsh_cap_boost_save_load_roundtrip(tmp_path, rng):
     idx2 = load_index(str(tmp_path / "ix"))
     assert idx2._cap_boost == idx._cap_boost
     assert len(idx2) == 480
+
+
+def test_crash_after_swap_recovers_from_wal(tmp_path, rng):
+    """Process crash right after a retrain's swap (nothing saved since):
+    the swap changed only DEVICE structures — the WAL still holds every
+    mutation, so reopen must reconstruct the full database exactly."""
+    db = _mkdb(tmp_path)
+    ids = db.insert_vectors(rng.standard_normal((200, 16)).astype(np.float32))
+    for _ in range(5):  # growth retrain fires in the background
+        ids += db.insert_vectors(
+            rng.standard_normal((200, 16)).astype(np.float32)
+        )
+    db.remove(ids[:50])
+    db.wait_for_retrain(timeout=120)
+    assert db._retrain_count >= 1
+    # CRASH: no close(), no save() — reopen from manifest + WAL only
+    db2 = Database.open(db.path)
+    assert len(db2.index) == len(ids) - 50
+    assert all(i not in db2.index for i in ids[:50])
+    assert all(i in db2.index for i in ids[50:])
+    db2.close()
