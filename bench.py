@@ -644,9 +644,12 @@ def main():
     }
     # verdict-#4 accounting: growth rebuilds + slab grows during the build
     # are now timed (rebuild.capture/state, insert.grow) — the stage sum
-    # over wall time should land >= ~90% of build_seconds
+    # over wall time should land >= ~90% of build_seconds.
+    # ivf.insert_batches NESTS the insert.* stages (it is the whole
+    # pipelined loop) — keep it in the table, exclude it from the sum.
     build_stage_sum = round(
-        sum(v.get("seconds", 0.0) for v in build_stages.values()), 2
+        sum(v.get("seconds", 0.0) for k, v in build_stages.items()
+            if k != "ivf.insert_batches"), 2
     )
     log(f"build stages: {json.dumps(build_stages)}")
 
@@ -965,6 +968,11 @@ def main():
         device_sync(db.index.state.vectors)
         t_ins_w = time.perf_counter() - t0
         facade["facade_inserts_per_sec_full"] = round(inc_n / t_ins_w, 1)
+        facade["facade_insert_wire_frac_full"] = round(
+            facade["facade_inserts_per_sec_full"]
+            / max(facade["facade_insert_wire_bound_per_sec"], 1e-9),
+            3,
+        )
         facade["facade_insert_stages_full"] = {
             **_stats_diff(pre_g, _GS.summary()),
             **_stats_diff(pre_s, db.stats.summary()),

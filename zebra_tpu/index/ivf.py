@@ -619,7 +619,21 @@ def query(
         # refine, the [B, kk, D] int8 candidate/residual gathers (x3 slack
         # for the fused-convert dot operands)
         per_row = K * 8 + (3 * kk * Dd_ if kk != k else 0)
-        nch = max(1, -(-(B * per_row) // 5_000_000_000))
+        # transient budget: 5GB, shrunk by however far the RESIDENT state
+        # exceeds a 1M-tier footprint — a capacity-scale slab (e.g. 4M x
+        # 768 int8+residual = 12.5GB) leaves nowhere near 5GB of HBM free
+        # on a 16GB chip (round-5 bigslab sizing; shapes are static so this
+        # arithmetic folds at trace time)
+        state_bytes = sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a in (state.centroids, state.vectors, state.norms,
+                      state.valid, state.scales, state.residual,
+                      state.rscales)
+            if a is not None
+        )
+        budget = min(5_000_000_000, max(14_000_000_000 - state_bytes,
+                                        1_000_000_000))
+        nch = max(1, -(-(B * per_row) // budget))
         batch_chunk = -(-B // nch)
     if batch_chunk < B:
         nch = -(-B // batch_chunk)
