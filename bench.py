@@ -379,11 +379,7 @@ def _query_stage_table(db, queries, k, iters, device_sync) -> dict:
     names = ("lock", "pack_host", "upload", "dispatch", "device",
              "readback", "decode")
     acc = dict.fromkeys(names, 0.0)
-    bf16_wire = (
-        idx.options.query_wire == "auto"
-        and idx.options.dtype != "float32"
-        and not (idx.options.dtype == "int8" and idx.options.refine_enabled())
-    )
+    bf16_wire = idx.options.query_wire_is_bf16()
     res = None
     for _ in range(iters):
         t = time.perf_counter()
@@ -492,6 +488,10 @@ def main():
     ap.add_argument("--ccap", type=int, default=0)
     ap.add_argument("--spare", type=int, default=0)
     #: also write the result JSON to this file (bench_results/ artifacts)
+    #: query staging dtype ("bfloat16" forces the half-width wire on the
+    #: refined tier — measure the truth-recall cost vs the 2x upload win)
+    ap.add_argument("--query-wire", default="auto",
+                    choices=["auto", "float32", "bfloat16"])
     ap.add_argument("--rerank-dots", default="auto",
                     choices=["auto", "highest", "bf16x2", "bf16x3", "bf16",
                              "bf16x2f", "bf16x3f"])
@@ -515,7 +515,8 @@ def main():
     # qbatch 16384, r3_sweep_int8_scan.json). Churn/pipeline modes keep
     # their recorded bf16 configs.
     library_defaults = (args.rerank is None and args.dtype is None
-                        and args.refine is None and args.probes <= 0)
+                        and args.refine is None and args.probes <= 0
+                        and args.query_wire == "auto")
     if args.rerank is None:
         args.rerank = "auto"
     if args.dtype is None:
@@ -590,6 +591,7 @@ def main():
             cluster_capacity=args.ccap,
             spare_capacity=args.spare,
             refine=args.refine,
+            query_wire=args.query_wire,
             seed=args.seed,
         ),
     )
@@ -1001,6 +1003,7 @@ def main():
             "rerank": args.rerank,
             "rerank_dots": args.rerank_dots,
             "dtype": args.dtype,
+            "query_wire": args.query_wire,
             "inserts_per_sec": round(inserts_per_sec, 1),
             "warm_inserts_per_sec": round(warm_inserts_per_sec, 1),
             "device_inserts_per_sec": round(device_inserts_per_sec, 1),

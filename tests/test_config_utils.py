@@ -133,3 +133,18 @@ def test_tier_presets():
     assert exact.index_type == "flat" and exact.dtype == "float32"
     with pytest.raises(ValueError, match="unknown tier"):
         IndexOptions.tier("warp")
+
+
+def test_query_wire_policy():
+    """search path / shape warm / bench stage table all consult this one
+    helper — policy: auto = bf16 for reduced slabs except refined int8;
+    bfloat16 forces; float32 never."""
+    auto_int8 = IndexOptions(index_type="ivf", dtype="int8", refine="scan")
+    assert not auto_int8.query_wire_is_bf16()  # refined: exact f32 queries
+    assert IndexOptions(index_type="ivf", dtype="int8", refine=0).query_wire_is_bf16()
+    assert IndexOptions(dtype="bfloat16").query_wire_is_bf16()
+    assert not IndexOptions(dtype="float32").query_wire_is_bf16()
+    forced = IndexOptions(index_type="ivf", dtype="int8", refine="scan",
+                          query_wire="bfloat16")
+    assert forced.query_wire_is_bf16()
+    assert not IndexOptions(dtype="bfloat16", query_wire="float32").query_wire_is_bf16()

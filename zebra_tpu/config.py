@@ -117,7 +117,11 @@ class IndexOptions:
     #: itself is reduced-precision (bf16/int8) — halves the host->device
     #: bytes of every search, which BOUNDS facade QPS on PCIe/tunnel links;
     #: scoring still runs in f32 from the shipped values. "float32" ships
-    #: exact queries regardless.
+    #: exact queries regardless. "bfloat16" FORCES the half-width wire even
+    #: on the refined-int8 tier ("auto" keeps f32 there: the refine pass
+    #: re-ranks at ~15-bit stored precision, which an 8-bit-mantissa query
+    #: would cap — measure the recall cost vs the 2x upload saving on your
+    #: link before flipping; ``bench.py --query-wire bfloat16``).
     query_wire: str = "auto"
     #: slab / compute dtype: "auto" (the default — "int8" for the IVF
     #: flagship, whose residual-refine tier [see ``refine``] stores ~15-bit
@@ -290,6 +294,20 @@ class IndexOptions:
 
     def refine_is_scan(self) -> bool:
         return self.resolved_refine() == "scan"
+
+    def query_wire_is_bf16(self) -> bool:
+        """One place for the query staging dtype policy (the search path,
+        the shape pre-warm, and the bench stage table must all agree):
+        "bfloat16" forces the half-width wire; "auto" uses it for every
+        reduced-precision slab EXCEPT refined int8 (its ~15-bit re-rank
+        wants exact queries — force + measure before flipping)."""
+        if self.query_wire == "bfloat16":
+            return True
+        return (
+            self.query_wire == "auto"
+            and self.dtype != "float32"
+            and not (self.dtype == "int8" and self.refine_enabled())
+        )
 
     def refine_k(self, k: int) -> int:
         """Oversampled candidate width of the gather-refine pass (0 = off /

@@ -872,16 +872,11 @@ class BaseVectorIndex:
         padded = next_pow2(max(nq, 8))
         qp = np.zeros((padded, self._dev_dim), np.float32)
         qp[:nq, : q.shape[1]] = q
-        if (
-            self.options.query_wire == "auto"
-            and self.options.dtype != "float32"
-            and not (self.options.dtype == "int8"
-                     and self.options.refine_enabled())
-        ):
+        if self.options.query_wire_is_bf16():
             # reduced-precision slab: bf16 queries halve the upload bytes
             # (the wire bounds facade QPS); device scoring still runs f32.
-            # Refined int8 ships exact f32 queries — the refine pass re-ranks
-            # at ~15-bit precision, which a bf16-rounded query would waste.
+            # Refined int8 ships exact f32 queries under "auto" — see the
+            # policy in IndexOptions.query_wire_is_bf16.
             import ml_dtypes
 
             qp = qp.astype(ml_dtypes.bfloat16)

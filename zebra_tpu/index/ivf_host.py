@@ -340,12 +340,7 @@ class IVFIndex(BaseVectorIndex):
         f32 = np.dtype(np.float32)
         d = self._dev_dim
         refined = st.residual is not None
-        bf16_qwire = (
-            self.options.query_wire == "auto"
-            and self.options.dtype != "float32"
-            and not (self.options.dtype == "int8" and self.options.refine_enabled())
-        )
-        if bf16_qwire:
+        if self.options.query_wire_is_bf16():
             import ml_dtypes
 
             qdtype = np.dtype(ml_dtypes.bfloat16)
