@@ -162,3 +162,45 @@ def test_close_and_context_manager(tmp_path, rng):
     # operations after close keep working (stores reopen lazily)
     db2.insert_records(v[:2] + 1.0, [b"y", b"z"])
     assert len(db2) == 32
+
+
+def test_huge_insert_chunks_write_lock(tmp_path, rng):
+    """Warm inserts past _INSERT_LOCK_BLOCK re-acquire the write lock per
+    block (round-5 churn sampler: a 1M-row call held it ~27s, blacking out
+    readers). Correctness here; a reader thread checks interleaving."""
+    import threading
+
+    from zebra_tpu.config import DatabaseConfig, IndexOptions
+    from zebra_tpu.db import Database
+
+    db = Database.create(
+        str(tmp_path / "blk.zebra"),
+        DatabaseConfig(dim=16, metric="sql2", durability="full",
+                       index=IndexOptions(index_type="ivf", seed=0)),
+    )
+    first = db.insert_vectors(rng.standard_normal((400, 16)).astype(np.float32))
+    db._INSERT_LOCK_BLOCK = 500  # instance override for the test
+    probe = rng.standard_normal((4, 16)).astype(np.float32)
+    got = {"reads": 0}
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            assert len(db.query(probe, 3)) == 4
+            got["reads"] += 1
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    ids = db.insert_vectors(rng.standard_normal((2100, 16)).astype(np.float32))
+    stop.set()
+    t.join(30)
+    assert len(ids) == 2100 and len(set(ids)) == 2100
+    assert all(i in db.index for i in ids[::97])
+    assert got["reads"] > 0  # readers made progress around the blocks
+    db.wait_for_retrain(timeout=120)
+    # crash (no save): WAL must replay every block
+    db2 = Database.open(db.path)
+    assert len(db2.index) == 400 + 2100
+    assert all(i in db2.index for i in ids[::97] + first[::97])
+    db2.close()
+    db.close()

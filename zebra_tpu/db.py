@@ -857,25 +857,46 @@ class Database:
         if not len(documents):
             return []
         ids = uuid7_batch(embeddings.shape[0])
-        n = len(documents)
         # stage timers feed the pipeline bench's stage table (round-3
         # verdict #4: the text-pipeline number needs a breakdown, not a
         # total) — one insert = blobs -> WAL -> index
-        with self._lock.write(), timed("insert", items=n, stats=self.stats):
-            with timed("insert.blobs", items=n, stats=self.stats):
-                self._docs.save_many(ids, list(documents))
-            with timed("insert.index", items=n, stats=self.stats):
-                # WAL records land per span INSIDE the staging pipeline
-                # (insert.wal stage), each fsync overlapping a transfer
-                self.index.add(
-                    embeddings,
-                    ids=ids,
-                    wal_cb=self._wal_callback(ids, embeddings),
-                    span_rows=self._insert_span_rows(n),
-                )
-            self._journal("insert", ids, embeddings)
-            self._post_mutation()
+        self._insert_blocks(embeddings, ids, documents=list(documents))
         return ids
+
+    #: rows per write-lock hold for huge warm inserts: a 1M-row call held
+    #: the write lock for the whole wave (~27s+ on the round-5 churn
+    #: sampler), blacking out every concurrent reader — mutation calls now
+    #: re-acquire the lock per block so queued readers interleave at
+    #: O(block) granularity. Cold builds keep ONE hold (state sizing wants
+    #: the full n_hint, and nothing is serving before the first build).
+    _INSERT_LOCK_BLOCK = 131072
+
+    def _insert_blocks(self, v, ids: list[bytes], documents=None) -> None:
+        """Shared insert body: write-locked per O(block), WAL-ordered
+        (blobs -> per-span fsync'd log records -> index) within each."""
+        from zebra_tpu.profiling import timed
+
+        n = v.shape[0]
+        w = n if (self.index.state is None or n <= self._INSERT_LOCK_BLOCK) \
+            else self._INSERT_LOCK_BLOCK
+        for s in range(0, n, w):
+            e = min(n, s + w)
+            bids, bv = ids[s:e], v[s:e]
+            with self._lock.write(), timed("insert", items=e - s, stats=self.stats):
+                if documents is not None:
+                    with timed("insert.blobs", items=e - s, stats=self.stats):
+                        self._docs.save_many(bids, documents[s:e])
+                with timed("insert.index", items=e - s, stats=self.stats):
+                    # WAL records land per span INSIDE the staging pipeline
+                    # (insert.wal stage), each fsync overlapping a transfer
+                    self.index.add(
+                        bv,
+                        ids=bids,
+                        wal_cb=self._wal_callback(bids, bv),
+                        span_rows=self._insert_span_rows(e - s),
+                    )
+                self._journal("insert", bids, bv)
+                self._post_mutation()
 
     def insert_vectors(self, vectors: np.ndarray) -> list[bytes]:
         """Vector-only insert (no payloads) — extension over the reference.
@@ -886,17 +907,7 @@ class Database:
         if not v.shape[0]:
             return []
         ids = uuid7_batch(v.shape[0])
-        from zebra_tpu.profiling import timed
-
-        with self._lock.write(), timed("insert", items=v.shape[0], stats=self.stats):
-            self.index.add(
-                v,
-                ids=ids,
-                wal_cb=self._wal_callback(ids, v),
-                span_rows=self._insert_span_rows(v.shape[0]),
-            )
-            self._journal("insert", ids, v)
-            self._post_mutation()
+        self._insert_blocks(v, ids)
         return ids
 
     def remove(self, ids: list[bytes]) -> None:
