@@ -178,7 +178,9 @@ def churn(args):
             ops += wave + kill_n + args.qbatch
             log(
                 f"churn round {r}: live={len(live)} self-retrieval={recall_last:.3f} "
-                f"retrains={getattr(db, '_retrain_count', 0)} "
+                f"retrains={getattr(db, '_retrain_count', 0)}"
+                f"/{getattr(db, '_retrain_started', 0)}started "
+                f"drains={getattr(db, '_retrain_drains', 0)} "
                 f"sampler_max={sampler['max_s']:.2f}s stats={db.index.stats()}"
             )
         sampler["stop"] = True
@@ -213,6 +215,8 @@ def churn(args):
                     "qbatch": 256,
                 },
                 "retrains_completed": getattr(db, "_retrain_count", None),
+                "retrains_started": getattr(db, "_retrain_started", None),
+                "retrain_drains": getattr(db, "_retrain_drains", None),
                 "folds_completed": getattr(db, "_fold_count", None),
                 "folds_sync": getattr(db, "_fold_sync_count", None),
             },

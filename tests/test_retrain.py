@@ -186,7 +186,9 @@ def test_hbm_budget_skip_defers_until_growth(tmp_path, rng, monkeypatch):
     for _ in range(5):
         ids += db.insert_vectors(rng.standard_normal((200, 16)).astype(np.float32))
     db.wait_for_retrain(timeout=120)
-    assert db._retrain_count == 0 and db._retrain_skip_n == 1200
+    # skip_n records whatever live count the worker OBSERVED when it
+    # skipped — 1000 or 1200 depending on thread/insert interleaving
+    assert db._retrain_count == 0 and db._retrain_skip_n in (1000, 1200)
     assert all(i in db.index for i in ids)  # still serving, still correct
     # budget restored + >=25% growth -> the retrain runs
     monkeypatch.setattr(host_mod, "_STAGE_HBM_BUDGET", 12 << 30)
@@ -308,3 +310,35 @@ def test_crash_after_swap_recovers_from_wal(tmp_path, rng):
     assert all(i not in db2.index for i in ids[:50])
     assert all(i in db2.index for i in ids[50:])
     db2.close()
+
+
+def test_critical_pressure_drains_on_mutating_thread(tmp_path, rng, monkeypatch):
+    """A "-critical" rebuild reason is BACKPRESSURE: the mutating call
+    blocks (with no locks held) until the rebalance lands — the round-5
+    10M churn grew the spare to 33M rows because mutations raced ahead of
+    a starved background retrain."""
+    db = _mkdb(tmp_path)
+    ids = db.insert_vectors(rng.standard_normal((800, 16)).astype(np.float32))
+    monkeypatch.setattr(db.index, "_rebuild_reason", lambda: "spare-critical")
+    ids += db.insert_vectors(rng.standard_normal((100, 16)).astype(np.float32))
+    # the insert call itself drained the critical retrain before returning
+    assert db._retrain_drains >= 1
+    assert db._retrain_count >= 1
+    assert db.index._rebuild_wanted is None
+    assert not db._retrain_critical
+    assert all(i in db.index for i in ids[::37])
+    db.close()
+
+
+def test_spare_critical_reason_fires(rng):
+    """IVFIndex reports the critical tier when the spare is nearly full or
+    has ballooned past its resolved sizing."""
+    from zebra_tpu.config import IndexOptions
+    from zebra_tpu.index.ivf_host import IVFIndex
+
+    idx = IVFIndex(dim=16, metric="sql2",
+                   options=IndexOptions(index_type="ivf", seed=0))
+    idx.add(rng.standard_normal((600, 16)).astype(np.float32))
+    assert idx._rebuild_reason() is None
+    idx._spare_used = int(0.95 * idx.state.spare_capacity)
+    assert idx._rebuild_reason() == "spare-critical"

@@ -151,12 +151,24 @@ class Database:
         #: on maintenance (``core.rs:299-311``); neither do we.
         self.index.defer_rebuild = True
         self._retrain_thread = None
+        #: at most ONE retrain builds at a time (the critical drain may run
+        #: the worker on the mutating thread while a background one exists)
+        import threading as _threading
+
+        self._retrain_mutex = _threading.Lock()
         #: mutation journal, non-None exactly while a retrain builds
         self._retrain_journal: list | None = None
         #: bumped by clear_database — an in-flight retrain aborts its swap
         self._retrain_gen = 0
         #: completed background retrains (diagnostics / bench evidence)
         self._retrain_count = 0
+        #: retrain workers launched (in-flight shows as started > completed)
+        self._retrain_started = 0
+        #: critical-pressure drains a mutating call blocked on (backpressure)
+        self._retrain_drains = 0
+        #: set while the index reports a "-critical" rebuild reason — the
+        #: next mutation boundary (no locks held) blocks on the rebalance
+        self._retrain_critical = False
         #: live-row count at the last budget-skipped retrain (anti-spin)
         self._retrain_skip_n = 0
         _LIVE_DBS.add(self)
@@ -564,19 +576,51 @@ class Database:
 
     def _maybe_retrain(self) -> None:
         """Kick the background retrain when the index wants one (no-op while
-        one is in flight, or after a budget-skip until the index grows)."""
-        if not self.index._rebuild_wanted:
+        one is in flight, or after a budget-skip until the index grows).
+        A "-critical" reason additionally arms the backpressure flag — the
+        mutating call drains it at its next no-locks-held boundary
+        (:meth:`_drain_critical_retrain`)."""
+        reason = self.index._rebuild_wanted
+        if not reason:
             return
+        if reason.endswith("-critical"):
+            self._retrain_critical = True
         if self._retrain_skip_n and len(self.index) < 1.25 * self._retrain_skip_n:
             return
         if self._retrain_thread is not None and self._retrain_thread.is_alive():
             return
         import threading
 
+        self._retrain_started += 1
         self._retrain_thread = threading.Thread(
             target=self._retrain_worker, name="zebra-retrain", daemon=True
         )
         self._retrain_thread.start()
+
+    def _drain_critical_retrain(self) -> None:
+        """Backpressure at the spare-pressure cliff (call with NO locks
+        held): the mutating thread blocks until the index is rebalanced,
+        instead of racing ahead growing the spare unboundedly — the
+        round-5 10M churn grew it to 33M rows and compile-OOMed while the
+        starved background retrain never converged. Readers are unaffected
+        throughout: the retrain only ever takes brief locks."""
+        if not self._retrain_critical:
+            return
+        self._retrain_drains += 1
+        for _ in range(3):
+            t = self._retrain_thread
+            if t is not None and t.is_alive():
+                t.join(timeout=3600)
+            if not self.index._rebuild_wanted:
+                break
+            if self._retrain_skip_n:  # HBM-budget skip: nothing to wait for
+                break
+            logger.warning(
+                "critical spare pressure: running the retrain on the "
+                "mutating thread (backpressure; queries keep serving)"
+            )
+            self._retrain_worker()
+        self._retrain_critical = False
 
     def wait_for_retrain(self, timeout: float | None = None) -> None:
         """Block until any in-flight background retrain finishes (tests and
@@ -605,7 +649,8 @@ class Database:
 
     def _retrain_worker(self) -> None:
         try:
-            self._retrain_once()
+            with self._retrain_mutex:
+                self._retrain_once()
         except Exception:  # never take the serving path down with us
             logger.exception("background retrain failed (serving state unchanged)")
         finally:
@@ -692,10 +737,13 @@ class Database:
                 data_c = idx._gather_live(order[c : c + chunk])
             shadow._shadow_ingest(data_c, ids[c : c + chunk])
             del data_c
-        # catch-up rounds: drain + replay off-lock until one drain is small
-        # (64 rounds bounds a write-pressure livelock; the final replay under
-        # the swap lock is then whatever landed during the last round)
-        for _ in range(64):
+        # catch-up rounds: drain + replay off-lock until one drain is small.
+        # EIGHT rounds bound a write-pressure livelock (the round-5 10M
+        # churn showed sustained max-rate waves can outrun the drain
+        # indefinitely): after them the final replay runs under the swap
+        # lock — O(what landed during the last round), a bounded stall that
+        # beats a retrain which never lands while the spare balloons.
+        for _ in range(8):
             with self._lock.read():
                 batch, self._retrain_journal = self._retrain_journal, []
             if self._apply_journal(shadow, batch) <= self._RETRAIN_TAIL_ROWS:
@@ -897,6 +945,7 @@ class Database:
                     )
                 self._journal("insert", bids, bv)
                 self._post_mutation()
+            self._drain_critical_retrain()  # no locks held here
 
     def insert_vectors(self, vectors: np.ndarray) -> list[bytes]:
         """Vector-only insert (no payloads) — extension over the reference.
@@ -923,6 +972,7 @@ class Database:
             self._journal("remove", removed)
             self._docs.remove_many(removed)
             self._post_mutation()
+        self._drain_critical_retrain()
 
     def deduplicate(self) -> None:
         """Drop exact-duplicate vectors and their blobs (``core.rs:216-224``).
@@ -936,6 +986,7 @@ class Database:
             self._journal("remove", removed)
             self._docs.remove_many(removed)
             self._post_mutation()
+        self._drain_critical_retrain()
 
     # -- queries -------------------------------------------------------------
 

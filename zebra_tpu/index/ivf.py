@@ -841,32 +841,23 @@ def _merge_spare(state: IVFState, q32, dk, ik, vk, k: int, metric: str,
         from zebra_tpu.ops.scan import exact_scan
 
         dk, ik, vk = args
-        vecs = jax.lax.dynamic_slice_in_dim(state.vectors, start, G, axis=0)
-        vl = jax.lax.dynamic_slice_in_dim(state.valid, start, G, axis=0)
-        sc = (
-            jax.lax.dynamic_slice_in_dim(state.scales, start, G, axis=0)
-            if state.scales is not None
-            else None
-        )
-        nm = (
-            # residual slabs: spare distances must use the refined norms so
-            # they honour the reconstructed-value contract and stay
-            # invertible in _refine_topk (see exact_scan's norms doc)
-            jax.lax.dynamic_slice_in_dim(state.norms, start, G, axis=0)
-            if state.residual is not None
-            else None
-        )
-        rsd = rsc = None
-        if scan_res:
-            # refine="scan": spare rows score against the reconstruction
-            # too (the probe path has no refine pass to fix them up later)
-            rsd = jax.lax.dynamic_slice_in_dim(state.residual, start, G, axis=0)
-            rsc = jax.lax.dynamic_slice_in_dim(state.rscales, start, G, axis=0)
+        # WINDOWED scan over [start, start+G): exact_scan slices one chunk
+        # at a time from the FULL arrays. Pre-slicing the spare here was a
+        # [G, D] HLO temp — at a grown spare that was an 8GB allocation
+        # that compile-OOMed the 10M churn (round 5); the window form has
+        # a one-chunk transient regardless of G. norms ride along for
+        # residual slabs (reconstructed-value contract, see exact_scan);
+        # refine="scan" scores spare rows against the reconstruction too
+        # (the probe path has no refine pass to fix them up later).
         td, ti, tv = exact_scan(
-            vecs, vl, q32, min(k, G), metric=metric, power=power,
-            chunk=65536, scales=sc, norms=nm, residual=rsd, rscales=rsc,
+            state.vectors, state.valid, q32, min(k, G), metric=metric,
+            power=power, chunk=65536, scales=state.scales,
+            norms=state.norms if state.residual is not None else None,
+            residual=state.residual if scan_res else None,
+            rscales=state.rscales if scan_res else None,
+            w_start=start, w_len=G,
         )
-        ti = jnp.where(tv, ti + start, -1)
+        ti = jnp.where(tv, ti, -1)
         return TK.merge_topk(dk, ik, vk, td, ti, tv, k)
 
     return jax.lax.cond(

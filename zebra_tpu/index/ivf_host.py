@@ -644,6 +644,18 @@ class IVFIndex(BaseVectorIndex):
         n_live = len(self._id_to_slot)
         if n_live == 0 or self.state is None:
             return None
+        # CRITICAL tier first: the spare is nearly full or has already
+        # ballooned past its resolved sizing (inline grow_spare doublings).
+        # The facade treats "-critical" as backpressure — the MUTATING call
+        # blocks until the rebalance lands, instead of racing ahead growing
+        # the spare unboundedly (the round-5 10M churn grew it to 33M rows
+        # and compile-OOMed; readers stay unaffected either way).
+        spare_cap = max(self.state.spare_capacity, 1)
+        if (
+            self._spare_used > 0.9 * spare_cap
+            or self.state.spare_capacity > 4 * self._resolved_spare(n_live)
+        ):
+            return "spare-critical"
         if n_live > _REBUILD_GROWTH * max(self._built_n, 1):
             return "growth"
         used = self._used_slots

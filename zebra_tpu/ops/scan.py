@@ -19,7 +19,8 @@ from zebra_tpu.ops import topk as TK
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "chunk", "precision", "approx")
+    jax.jit, static_argnames=("k", "metric", "chunk", "precision", "approx",
+                              "w_start", "w_len")
 )
 def exact_scan(
     vectors: jnp.ndarray,
@@ -35,6 +36,8 @@ def exact_scan(
     norms: jnp.ndarray | None = None,
     residual: jnp.ndarray | None = None,
     rscales: jnp.ndarray | None = None,
+    w_start: int = 0,
+    w_len: int | None = None,
 ):
     """Exact (or approx-top-k) scan of the whole slab.
 
@@ -60,10 +63,16 @@ def exact_scan(
         reconstruction ``scales*vectors + rscales*residual`` (~15-bit
         values; norms must also be given for MXU metrics).
 
+      w_start, w_len (static): row WINDOW to scan (default: whole slab).
+        Chunks slice from the FULL arrays per step, so scanning a window
+        never materialises it — the pre-sliced spare scan was an 8GB HLO
+        temp at a grown spare (round-5 churn compile OOM); returned slot
+        ids are absolute.
+
     Returns:
       ``(dists [B, k], slots [B, k], valid [B, k])``.
     """
-    S = vectors.shape[0]
+    S = vectors.shape[0] if w_len is None else w_len
     B = q.shape[0]
     chunk = min(chunk, S)
     if S % chunk != 0:
@@ -80,7 +89,7 @@ def exact_scan(
     kb = min(k, chunk)  # lax.top_k rejects k wider than the scanned chunk
 
     def body(carry, i):
-        start = i * chunk
+        start = w_start + i * chunk
         vecs = jax.lax.dynamic_slice_in_dim(vectors, start, chunk, axis=0)
         vl = jax.lax.dynamic_slice_in_dim(valid, start, chunk, axis=0)
         if scales is not None:  # int8 slab: dequantise the streamed chunk

@@ -638,6 +638,9 @@ class ShardedIndex(BaseVectorIndex):
             return "growth"
         if self._ivf:
             used = self._used_slots
+            spare_cap0 = st.vectors.shape[1] - self._kc
+            if self._spare_used.max() > 0.9 * max(spare_cap0, 1):
+                return "spare-critical"  # facade backpressure (see IVFIndex)
             if (used - n_live) > 0.5 * max(used, 1):
                 return "tombstones"
             spare_cap = st.vectors.shape[1] - self._kc
