@@ -342,3 +342,107 @@ def test_spare_critical_reason_fires(rng):
     assert idx._rebuild_reason() is None
     idx._spare_used = int(0.95 * idx.state.spare_capacity)
     assert idx._rebuild_reason() == "spare-critical"
+
+
+def test_warm_serving_shapes_compiles_served_query(rng):
+    """warm_serving_shapes runs the REAL query path for each recorded
+    (padded_qbatch, k) shape (populating the in-process jit cache the
+    adopted state will hit) and is harmless to results."""
+    from zebra_tpu.config import IndexOptions
+    from zebra_tpu.index.ivf_host import IVFIndex
+
+    idx = IVFIndex(dim=16, metric="sql2",
+                   options=IndexOptions(index_type="ivf", seed=0))
+    v = rng.standard_normal((400, 16)).astype(np.float32)
+    idx.add(v)
+    before = idx.search(v[:20], 3)
+    assert (32, 3) in idx._served_qshapes  # padded to next pow2 >= 8
+    assert idx.warm_serving_shapes(tuple(idx._served_qshapes)) == 1
+    assert idx.search(v[:20], 3) == before
+
+
+def test_retrain_warms_shadow_at_served_shapes(tmp_path, rng, monkeypatch):
+    """The shadow retrain pre-compiles the serving query program at the
+    shapes the LIVE index served, BEFORE the swap — the first post-adopt
+    reader must not pay the (remote) compile (round-5 churn: 53s)."""
+    from zebra_tpu.index.ivf_host import IVFIndex
+
+    calls = []
+    orig = IVFIndex.warm_serving_shapes
+
+    def spy(self, shapes):
+        calls.append(tuple(shapes))
+        return orig(self, shapes)
+
+    monkeypatch.setattr(IVFIndex, "warm_serving_shapes", spy)
+    db = _mkdb(tmp_path)
+    v = rng.standard_normal((200, 16)).astype(np.float32)
+    db.insert_vectors(v)
+    db.query(v[:10], 2)  # records the serving shape (padded 16, k 2)
+    for _ in range(5):  # push past the growth trigger -> background retrain
+        db.insert_vectors(rng.standard_normal((200, 16)).astype(np.float32))
+    db.wait_for_retrain(timeout=120)
+    assert db._retrain_count >= 1
+    assert any((16, 2) in c for c in calls)
+    db.close()
+
+
+def test_mutation_shape_change_kicks_aot_warm(tmp_path, rng, monkeypatch):
+    """A mutation that changes the state's shape signature fires the
+    background AOT warm at the served shapes; an unchanged signature does
+    not re-fire it."""
+    from zebra_tpu.index.ivf_host import IVFIndex
+
+    calls = []
+    monkeypatch.setattr(
+        IVFIndex, "warm_query_aot",
+        lambda self, shapes: calls.append(tuple(shapes)) or len(shapes),
+    )
+    db = _mkdb(tmp_path)
+    v = rng.standard_normal((300, 16)).astype(np.float32)
+    db.insert_vectors(v)
+    db.query(v[:10], 2)
+    # first post-query mutation: sig (never warmed) != _warmed_qsig -> fires
+    db.insert_vectors(rng.standard_normal((8, 16)).astype(np.float32))
+    db.wait_for_warm(timeout=60)
+    assert calls and (16, 2) in calls[0]
+    n = len(calls)
+    # same shapes again: signature unchanged -> no new warm
+    db.insert_vectors(rng.standard_normal((8, 16)).astype(np.float32))
+    db.wait_for_warm(timeout=60)
+    assert len(calls) == n
+    db.close()
+
+
+def test_warm_query_aot_gated_off_without_persistent_cache(rng):
+    """Without a persistent compilation cache the AOT executables would be
+    unreachable from the later jit call — the warm must no-op (and MUST
+    not enable one itself: CPU cache writes segfault this jaxlib)."""
+    import jax
+
+    from zebra_tpu.config import IndexOptions
+    from zebra_tpu.index.ivf_host import IVFIndex
+
+    assert not getattr(jax.config, "jax_compilation_cache_dir", None)
+    idx = IVFIndex(dim=16, metric="sql2",
+                   options=IndexOptions(index_type="ivf", seed=0))
+    idx.add(rng.standard_normal((100, 16)).astype(np.float32))
+    idx.search(rng.standard_normal((4, 16)).astype(np.float32), 2)
+    assert idx.warm_query_aot(tuple(idx._served_qshapes)) == 0
+
+
+def test_warm_query_aot_lowers_serving_program(rng, monkeypatch):
+    """With the cache gate forced open, the AOT body lowers + compiles the
+    exact serving statics without error (CPU-safe: no persistent cache is
+    actually enabled, so nothing is written to it)."""
+    from zebra_tpu.config import IndexOptions
+    from zebra_tpu.index.ivf_host import IVFIndex
+
+    monkeypatch.setattr(IVFIndex, "_aot_cache_ready", staticmethod(lambda: True))
+    idx = IVFIndex(dim=16, metric="sql2",
+                   options=IndexOptions(index_type="ivf", seed=0))
+    v = rng.standard_normal((300, 16)).astype(np.float32)
+    idx.add(v)
+    before = idx.search(v[:4], 2)
+    assert idx.warm_query_aot(((8, 2), (16, 5))) == 2
+    assert idx.search(v[:4], 2) == before

@@ -86,6 +86,7 @@ def _drain_background_workers() -> None:
             db._save_gen += 1  # chunked fold fetches abort; commits skip
             db.wait_for_retrain(timeout=600)
             db.wait_for_fold(timeout=600)
+            db.wait_for_warm(timeout=600)
         except Exception:
             pass
 
@@ -171,6 +172,11 @@ class Database:
         self._retrain_critical = False
         #: live-row count at the last budget-skipped retrain (anti-spin)
         self._retrain_skip_n = 0
+        #: background AOT warm of the serving query program after an
+        #: INLINE state-shape change (spare growth on the mutating path —
+        #: retrain swaps warm their shadow directly instead)
+        self._warm_thread = None
+        self._warmed_qsig = None
         _LIVE_DBS.add(self)
 
     # -- paths ---------------------------------------------------------------
@@ -345,6 +351,45 @@ class Database:
         if self.config.durability == "full":
             self._maybe_checkpoint()
         self._maybe_retrain()
+        self._maybe_warm_shapes()
+
+    def _maybe_warm_shapes(self) -> None:
+        """Kick a background AOT compile of the serving query program when
+        a mutation changed the state's shape signature (an inline spare
+        growth, ``ivf_host._resolve_failed``) — otherwise the FIRST reader
+        after the change pays the whole remote compile (the round-5 10M
+        churn sampler measured ~70s). The thread runs lock-free against an
+        abstract state snapshot (``warm_query_aot``); a no-op without an
+        enabled persistent compilation cache."""
+        idx = self.index
+        sig = idx._qshape_sig()
+        if sig is None or sig == self._warmed_qsig or not idx._served_qshapes:
+            return
+        t = self._warm_thread
+        if t is not None and t.is_alive():
+            return  # retry at the next mutation boundary
+        import threading
+
+        shapes = tuple(idx._served_qshapes)
+
+        def _w():
+            try:
+                idx.warm_query_aot(shapes)
+            except Exception:
+                logger.info("query-shape AOT warm failed (harmless)",
+                            exc_info=True)
+
+        self._warmed_qsig = sig
+        self._warm_thread = threading.Thread(
+            target=_w, name="zebra-qshape-warm", daemon=True
+        )
+        self._warm_thread.start()
+
+    def wait_for_warm(self, timeout: float | None = None) -> None:
+        """Block until any in-flight serving-shape AOT warm finishes."""
+        t = self._warm_thread
+        if t is not None and t.is_alive():
+            t.join(timeout)
 
     def _maybe_checkpoint(self) -> None:
         """Fold the log into a full snapshot once replaying it would cost
@@ -737,6 +782,14 @@ class Database:
                 data_c = idx._gather_live(order[c : c + chunk])
             shadow._shadow_ingest(data_c, ids[c : c + chunk])
             del data_c
+        # pre-warm the serving query program at the shapes the LIVE index
+        # has been serving, against the shadow's (new) state shapes —
+        # off-lock, so the compile rides here instead of stalling the first
+        # post-swap reader (the round-5 10M churn measured a 53s sampler
+        # stall on the first query after a 16k->32k cluster retrain swap).
+        # Catch-up replay below can still grow the shadow's spare (shape
+        # change -> warm miss) — best-effort by design.
+        shadow.warm_serving_shapes(tuple(idx._served_qshapes))
         # catch-up rounds: drain + replay off-lock until one drain is small.
         # EIGHT rounds bound a write-pressure livelock (the round-5 10M
         # churn showed sustained max-rate waves can outrun the drain

@@ -11,6 +11,7 @@ split host/device so the device half stays a pure jit pytree.
 from __future__ import annotations
 
 import json
+import logging
 import os
 
 import jax
@@ -19,6 +20,8 @@ import numpy as np
 
 from zebra_tpu.config import IndexOptions
 from zebra_tpu.utils import fsync_write, next_pow2, uuid7_batch
+
+logger = logging.getLogger(__name__)
 
 _MIN_BATCH = 256
 #: insert batch width (vectors per device dispatch)
@@ -282,6 +285,13 @@ class BaseVectorIndex:
         self.defer_rebuild = False
         #: pending rebuild reason under ``defer_rebuild`` (None = none)
         self._rebuild_wanted: str | None = None
+        #: recently-served (padded_qbatch, k) query shapes, insertion-ordered
+        #: LRU (cap 4). A background retrain warms its shadow's query
+        #: program for exactly these shapes BEFORE the swap, so the first
+        #: post-adoption serving query hits the in-memory jit cache instead
+        #: of paying a remote compile (round-5 10M churn: a 16k->32k
+        #: cluster retrain cost the query sampler a 53s first-query stall).
+        self._served_qshapes: dict[tuple[int, int], None] = {}
         #: structural generation: bumped whenever slot->row meaning changes
         #: wholesale (rebuild/adopt/clear). Chunked live captures embed it
         #: and abort on mismatch (see ``snapshot_capture``).
@@ -870,6 +880,13 @@ class BaseVectorIndex:
             q = q[None, :]
         nq = q.shape[0]
         padded = next_pow2(max(nq, 8))
+        if not exact:
+            # LRU of serving shapes for the retrain shadow warm (see
+            # __init__ / warm_serving_shapes)
+            self._served_qshapes.pop((padded, k), None)
+            self._served_qshapes[(padded, k)] = None
+            while len(self._served_qshapes) > 4:
+                self._served_qshapes.pop(next(iter(self._served_qshapes)))
         qp = np.zeros((padded, self._dev_dim), np.float32)
         qp[:nq, : q.shape[1]] = q
         if self.options.query_wire_is_bf16():
@@ -902,6 +919,53 @@ class BaseVectorIndex:
             pending = tok
         if pending is not None:
             yield self._format_results(*self.search_collect(pending))
+
+    def warm_serving_shapes(
+        self, shapes: "tuple[tuple[int, int], ...]"
+    ) -> int:
+        """Force-compile this index's serving query program for each
+        ``(padded_qbatch, k)`` shape by running a dummy query through the
+        real search path. The compiled executables land in the process's
+        in-memory jit cache keyed by state/query shapes + statics, so an
+        index that later ADOPTS this state (retrain swap) serves its first
+        real query without a compile stall. Best-effort: a shape that fails
+        to warm is skipped (the serving path would just compile lazily, as
+        before). Returns the number of shapes warmed.
+        """
+        warmed = 0
+        for padded, k in shapes:
+            try:
+                self.search_arrays(
+                    np.zeros((int(padded), self.dim), np.float32), int(k)
+                )
+                warmed += 1
+            except Exception:
+                logger.info(
+                    "serving-shape warm failed for (%s, %s) (harmless)",
+                    padded, k, exc_info=True,
+                )
+        return warmed
+
+    def _qshape_sig(self):
+        """Shape/dtype signature of the state leaves the query program is
+        specialised on (None = no state). The facade compares it across
+        mutations: a change means the next query would RECOMPILE (e.g. an
+        inline spare growth doubled an array), so it kicks
+        :meth:`warm_query_aot` in the background."""
+        st = self.state
+        if st is None:
+            return None
+        return tuple(
+            (tuple(x.shape), str(x.dtype))
+            for x in jax.tree_util.tree_leaves(st)
+        )
+
+    def warm_query_aot(self, shapes) -> int:
+        """AOT-compile the serving query program for ``(padded_qbatch, k)``
+        shapes against an ABSTRACT snapshot of the current state — no
+        locks, no execution, no donation hazard. Backend-specific
+        (default: nothing to warm). Returns shapes compiled."""
+        return 0
 
     # -- persistence ----------------------------------------------------------
 

@@ -372,6 +372,56 @@ class IVFIndex(BaseVectorIndex):
             refine_scan=refined and self.options.refine_is_scan(),
         ).compile()
 
+    @staticmethod
+    def _aot_cache_ready() -> bool:
+        """Patchable seam (tests): AOT-warmed executables are reachable by
+        the later jit call only through the persistent compilation cache."""
+        return bool(getattr(jax.config, "jax_compilation_cache_dir", None))
+
+    def warm_query_aot(self, shapes) -> int:
+        """AOT-compile the serving query program for the given
+        ``(padded_qbatch, k)`` shapes against an ABSTRACT snapshot of the
+        CURRENT state (shape/dtype only — no locks, no execution, no
+        donation hazard; safe concurrent with mutations). Executables land
+        in the persistent compilation cache, which the next real query
+        call hits instead of recompiling — the round-5 10M churn measured
+        a ~70s reader stall on the first query after an inline spare
+        growth (131k -> 1M rows changed the state shapes). Requires an
+        enabled persistent cache (without one the AOT objects are
+        unreachable from the later jit call); returns shapes compiled.
+        """
+        st = self.state
+        if st is None or not shapes:
+            return 0
+        if not self._aot_cache_ready():
+            return 0
+        from jax import ShapeDtypeStruct as SDS
+
+        ast = jax.tree_util.tree_map(lambda x: SDS(x.shape, x.dtype), st)
+        if self.options.query_wire_is_bf16():
+            import ml_dtypes
+
+            qdtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            qdtype = np.dtype(np.float32)
+        rerank = self.options.rerank
+        if rerank.startswith("pallas") and jax.default_backend() == "cpu":
+            rerank = "xla"  # mirror _query_device exactly
+        done = 0
+        for padded, k in shapes:
+            V.query.lower(
+                ast, SDS((int(padded), self._dev_dim), qdtype), int(k),
+                metric=self.metric,
+                num_probes=self.options.resolved_probes(),
+                power=self.metric_power, rerank=rerank,
+                rerank_dots=self.options.rerank_dots,
+                probe_sel=self.options.probe_sel,
+                refine_k=self._refine_k(int(k)),
+                refine_scan=self._refine_scan(),
+            ).compile()
+            done += 1
+        return done
+
     def _cold_build(self, vectors, ids) -> bool:
         """First build: queue an HBM-budgeted window of insert-batch
         host->device transfers first (async device_put), train k-means on a
