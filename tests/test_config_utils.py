@@ -148,3 +148,28 @@ def test_query_wire_policy():
                           query_wire="bfloat16")
     assert forced.query_wire_is_bf16()
     assert not IndexOptions(dtype="bfloat16", query_wire="float32").query_wire_is_bf16()
+
+
+def test_resolved_capacity_hbm_aware():
+    """Default cluster capacity steps its padding multiplier down at
+    capacity scale so the whole slab fits the HBM stage budget (a bare
+    4M x 768 int8+residual build used to resolve 2.2n slots = 13.4GB and
+    OOM a 16GB chip); the 1M x 768 headline sizing is unchanged."""
+    from zebra_tpu.config import IndexOptions
+    from zebra_tpu.index.ivf_host import (
+        _STAGE_HBM_BUDGET, _slot_hbm_bytes, resolved_capacity,
+        resolved_clusters, resolved_spare,
+    )
+
+    o = IndexOptions(index_type="ivf").concrete(768, index_type="ivf")
+    k1 = resolved_clusters(o, 1_000_000)
+    assert resolved_capacity(o, 1_000_000, k1, dim=768) == 128
+    k4 = resolved_clusters(o, 4_000_000)
+    c4 = resolved_capacity(o, 4_000_000, k4, dim=768)
+    slab = (k4 * c4 + resolved_spare(o, 4_000_000)) * _slot_hbm_bytes(o, 768)
+    assert slab <= 0.85 * _STAGE_HBM_BUDGET
+    assert c4 * k4 >= 1.2 * 4_000_000  # still real headroom over mean load
+    # dim unknown -> legacy 2x-mean sizing; explicit capacity always wins
+    assert resolved_capacity(o, 4_000_000, k4) > c4
+    o2 = IndexOptions(index_type="ivf", cluster_capacity=64)
+    assert resolved_capacity(o2, 4_000_000, k4, dim=768) == 64

@@ -61,14 +61,50 @@ def resolved_clusters(options: IndexOptions, n: int) -> int:
     return int(min(next_pow2(max(n // 64, 8)), 131072, next_pow2(max(n // 4, 8))))
 
 
-def resolved_capacity(options: IndexOptions, n: int, k: int) -> int:
+def _slot_hbm_bytes(options: IndexOptions, dim: int) -> int:
+    """Device bytes one slab slot costs (slightly conservative: scales /
+    rscales / norms / valid lumped as a flat 13B/row) — sizing only."""
+    if options.dtype == "int8":
+        per = dim * (2 if options.refine_enabled() else 1)
+    elif options.dtype == "bfloat16":
+        per = 2 * dim
+    else:
+        per = 4 * dim
+    return per + 13
+
+
+def resolved_capacity(options: IndexOptions, n: int, k: int, dim: int = 0) -> int:
     """Per-cluster block width: 2x mean load rounded to the dtype's sublane
     tile (16 for f32/bf16, 32 for int8 — pallas DMA alignment), NOT a power
-    of two — probe traffic scales with C, padding is QPS."""
+    of two — probe traffic scales with C, padding is QPS.
+
+    With ``dim`` given, the padding multiplier steps down (2x -> 1.25x
+    mean) until the whole slab fits 85% of ``_STAGE_HBM_BUDGET`` — at
+    capacity scale the 2x headroom is HBM the chip doesn't have (round 5:
+    a bare 4M x 768 int8+residual build resolved 2.2n slots = 13.4GB and
+    OOMed a 16GB v5e mid-insert; 1.55x-effective fits). Skew the smaller
+    padding can't absorb lands in the spare and is rebalanced by the
+    background retrain, same as growth. The 1M x 768 headline sizing is
+    unchanged (its slab is far under budget at every multiplier)."""
     unit = 32 if options.dtype == "int8" else 16
     if options.cluster_capacity > 0:
         return options.cluster_capacity
-    return max(-(-2 * -(-n // k) // unit) * unit, unit)
+    mean = -(-n // k)
+
+    def rup(x: float) -> int:
+        return max(-(-int(x) // unit) * unit, unit)
+
+    if dim <= 0:
+        return rup(2 * mean)
+    spare = resolved_spare(options, n)
+    budget = int(0.85 * _STAGE_HBM_BUDGET)
+    per = _slot_hbm_bytes(options, dim)
+    cap = unit
+    for mult in (2.0, 1.75, 1.5, 1.375, 1.25):
+        cap = rup(mult * mean)
+        if (k * cap + spare) * per <= budget:
+            return cap
+    return cap  # 1.25x floor: past this, HBM admission is the backstop
 
 
 def resolved_spare(options: IndexOptions, n: int) -> int:
@@ -126,7 +162,7 @@ class IVFIndex(BaseVectorIndex):
         return resolved_clusters(self.options, n)
 
     def _resolved_capacity(self, n: int, k: int) -> int:
-        return resolved_capacity(self.options, n, k)
+        return resolved_capacity(self.options, n, k, dim=self._dev_dim)
 
     def _resolved_spare(self, n: int) -> int:
         return resolved_spare(self.options, n)

@@ -432,7 +432,7 @@ class ShardedIndex(BaseVectorIndex):
 
         n = max(per, 1)
         K = resolved_clusters(self.options, n)
-        C = resolved_capacity(self.options, n, K)
+        C = resolved_capacity(self.options, n, K, dim=self.dim)
         G = resolved_spare(self.options, n)
         key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
         if data is None or data.shape[0] < 2:
