@@ -446,3 +446,18 @@ def test_warm_query_aot_lowers_serving_program(rng, monkeypatch):
     before = idx.search(v[:4], 2)
     assert idx.warm_query_aot(((8, 2), (16, 5))) == 2
     assert idx.search(v[:4], 2) == before
+
+
+def test_lsh_retrain_peak_bytes_accounted(rng):
+    """The LSH background-retrain HBM admission sees the shadow's real
+    allocation (fresh slab + bucket tables + capture chunk) — the
+    base-class 0 meant 'no concern' and a capacity-scale retrain OOMed."""
+    from zebra_tpu.config import IndexOptions
+    from zebra_tpu.index.lsh import LSHIndex
+
+    idx = LSHIndex(dim=768, metric="cosine",
+                   options=IndexOptions(index_type="lsh", dtype="float32"))
+    peak = idx._retrain_bg_peak_bytes(1_000_000, 131072)
+    # fresh 2M-row f32 slab alone is ~6.4GB; tables add the rest
+    assert peak > 6 << 30
+    assert peak < 32 << 30

@@ -392,6 +392,17 @@ class BaseVectorIndex:
             data = self._gather_live(order) if len(order) else None
         n = len(ids)
         self.state = None  # free the old structures before the new ones
+        if data is not None:
+            # BARRIER before allocating the fresh state: jax allocates a
+            # dispatch's output buffers at ENQUEUE time, so without it the
+            # old state, the gathered rows, and the new state all coexist
+            # in HBM — a 1M x 768 f32 LSH rebuild peaked ~20GB and OOMed a
+            # 16GB chip (round 5). Syncing on the gather retires the old
+            # state's last consumer, so its buffers free first; peak drops
+            # to max(old + rows, rows + new).
+            from zebra_tpu.utils import device_sync
+
+            device_sync(data)
         with timed("rebuild.state", items=n):
             self._shadow_begin(n, data)
         from zebra_tpu.index.base import IdSlotMap, SlotIdArena

@@ -192,6 +192,23 @@ class LSHIndex(BaseVectorIndex):
             2 if reason == "overflow-capacity" else 1
         )
 
+    def _retrain_bg_peak_bytes(self, n_live: int, chunk_rows: int) -> int:
+        """Worst-case extra HBM of a background LSH retrain: the shadow's
+        fresh slab + bucket tables plus one f32 capture chunk, all while
+        the old state keeps serving (at 1M x 768 f32 / b=21 that is ~8.5GB
+        on top of ~8.3GB live — the facade's HBM admission must see it,
+        the base-class 0 meant 'no concern' and a capacity-scale retrain
+        would OOM exactly like the round-5 inline rebuild did)."""
+        import numpy as _np
+
+        cap = self.options.resolved_bucket_capacity() * self._cap_boost
+        bits = self.options.resolved_bits(n_live, capacity=cap)
+        slab = next_pow2(max(self.options.slab_capacity, 2 * n_live, _MIN_SLAB))
+        dt = _np.dtype(self.dtype).itemsize
+        slab_b = slab * (self._dev_dim * dt + 5)  # vectors + norms + valid
+        tables_b = max(self.options.num_tables, 1) * (1 << bits) * (cap + 1) * 4
+        return slab_b + tables_b + chunk_rows * self._dev_dim * 4
+
     def _reset_alloc_mirrors(self) -> None:
         self._next_slot = 0
 
