@@ -941,48 +941,58 @@ def main():
         facade["facade_insert_wire_bound_per_sec"] = round(
             up_mbs * 1e6 / wire_row, 1
         )
-        # warm the 16384-span insert shape (one span) before measuring
-        db.insert_vectors(make_data(16384, args.dim, seed=args.seed + 10))
-        device_sync(db.index.state.vectors)
-        inc2 = make_data(inc_n, args.dim, seed=args.seed + 11)
-        pre_g, pre_s = _GS.summary(), db.stats.summary()
-        t0 = time.perf_counter()
-        db.insert_vectors(inc2)
-        device_sync(db.index.state.vectors)
-        t_ins_f = time.perf_counter() - t0
-        facade["facade_inserts_per_sec"] = round(inc_n / t_ins_f, 1)
-        facade["facade_insert_stages"] = {
-            **_stats_diff(pre_g, _GS.summary()),
-            **_stats_diff(pre_s, db.stats.summary()),
-        }
-        facade["facade_insert_wire_frac"] = round(
-            facade["facade_inserts_per_sec"]
-            / max(facade["facade_insert_wire_bound_per_sec"], 1e-9),
-            3,
-        )
-        # same shape with durability="full": every span's WAL fsync rides
-        # inside the pipeline, overlapping transfers (round-4 verdict #1)
-        import dataclasses as _dc
+        # Capacity-scale slabs can sit within one spare-growth of the
+        # HBM ceiling: the 4M x 768 bigslab run died HERE (grow_spare
+        # inside the insert microbench) AFTER build/QPS/recall were all
+        # measured, losing the whole artifact. Record the failure and
+        # emit what was measured instead.
+        try:
+            # warm the 16384-span insert shape (one span) before measuring
+            db.insert_vectors(make_data(16384, args.dim, seed=args.seed + 10))
+            device_sync(db.index.state.vectors)
+            inc2 = make_data(inc_n, args.dim, seed=args.seed + 11)
+            pre_g, pre_s = _GS.summary(), db.stats.summary()
+            t0 = time.perf_counter()
+            db.insert_vectors(inc2)
+            device_sync(db.index.state.vectors)
+            t_ins_f = time.perf_counter() - t0
+            facade["facade_inserts_per_sec"] = round(inc_n / t_ins_f, 1)
+            facade["facade_insert_stages"] = {
+                **_stats_diff(pre_g, _GS.summary()),
+                **_stats_diff(pre_s, db.stats.summary()),
+            }
+            facade["facade_insert_wire_frac"] = round(
+                facade["facade_inserts_per_sec"]
+                / max(facade["facade_insert_wire_bound_per_sec"], 1e-9),
+                3,
+            )
+            # same shape with durability="full": every span's WAL fsync rides
+            # inside the pipeline, overlapping transfers (round-4 verdict #1)
+            import dataclasses as _dc
 
-        db.config = _dc.replace(cfg, durability="full")
-        db.insert_vectors(make_data(16384, args.dim, seed=args.seed + 12))
-        device_sync(db.index.state.vectors)
-        inc3 = make_data(inc_n, args.dim, seed=args.seed + 13)
-        pre_g, pre_s = _GS.summary(), db.stats.summary()
-        t0 = time.perf_counter()
-        db.insert_vectors(inc3)
-        device_sync(db.index.state.vectors)
-        t_ins_w = time.perf_counter() - t0
-        facade["facade_inserts_per_sec_full"] = round(inc_n / t_ins_w, 1)
-        facade["facade_insert_wire_frac_full"] = round(
-            facade["facade_inserts_per_sec_full"]
-            / max(facade["facade_insert_wire_bound_per_sec"], 1e-9),
-            3,
-        )
-        facade["facade_insert_stages_full"] = {
-            **_stats_diff(pre_g, _GS.summary()),
-            **_stats_diff(pre_s, db.stats.summary()),
-        }
+            db.config = _dc.replace(cfg, durability="full")
+            db.insert_vectors(make_data(16384, args.dim, seed=args.seed + 12))
+            device_sync(db.index.state.vectors)
+            inc3 = make_data(inc_n, args.dim, seed=args.seed + 13)
+            pre_g, pre_s = _GS.summary(), db.stats.summary()
+            t0 = time.perf_counter()
+            db.insert_vectors(inc3)
+            device_sync(db.index.state.vectors)
+            t_ins_w = time.perf_counter() - t0
+            facade["facade_inserts_per_sec_full"] = round(inc_n / t_ins_w, 1)
+            facade["facade_insert_wire_frac_full"] = round(
+                facade["facade_inserts_per_sec_full"]
+                / max(facade["facade_insert_wire_bound_per_sec"], 1e-9),
+                3,
+            )
+            facade["facade_insert_stages_full"] = {
+                **_stats_diff(pre_g, _GS.summary()),
+                **_stats_diff(pre_s, db.stats.summary()),
+            }
+
+        except Exception as e:
+            facade["facade_insert_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+            log(f"facade insert microbench failed (capacity-scale HBM?): {e}")
         db.config = cfg
         db._delta.close()
     facade["tunnel_up_mb_s"] = up_mbs
