@@ -461,3 +461,24 @@ def test_lsh_retrain_peak_bytes_accounted(rng):
     # fresh 2M-row f32 slab alone is ~6.4GB; tables add the rest
     assert peak > 6 << 30
     assert peak < 32 << 30
+
+
+def test_lsh_adaptive_depth_presizes_hot_buckets(rng):
+    """Tightly clustered data collapses whole clusters onto single hash
+    codes; the cold build must detect it from a hashed sample and deepen
+    buckets BEFORE allocation (no overflow, no rebuild ladder)."""
+    from zebra_tpu.config import IndexOptions
+    from zebra_tpu.index.lsh import LSHIndex
+
+    centers = 10.0 * rng.standard_normal((64, 16))
+    data = (
+        centers[rng.integers(0, 64, 65536)]
+        + 0.01 * rng.standard_normal((65536, 16))
+    ).astype(np.float32)
+    idx = LSHIndex(dim=16, metric="sql2",
+                   options=IndexOptions(index_type="lsh", dtype="float32"))
+    idx.add(data)
+    assert idx._cap_boost > 1  # sample predicted the hot load
+    assert int(idx.state.overflow) < 0.05 * 65536 * 10  # <5% of placements
+    r = idx.search(data[:8], 3)
+    assert all(row for row in r)

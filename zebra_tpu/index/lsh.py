@@ -98,12 +98,63 @@ class LSHIndex(BaseVectorIndex):
         return planes, consts
 
     def _fresh_state(self, n_hint: int, data: np.ndarray | None) -> B.IndexState:
-        cap = self.options.resolved_bucket_capacity() * self._cap_boost
+        cap0 = self.options.resolved_bucket_capacity()
+        cap = cap0 * self._cap_boost
         bits = self.options.resolved_bits(n_hint, capacity=cap)
         slab = next_pow2(max(self.options.slab_capacity, 2 * n_hint, _MIN_SLAB))
         planes, consts = self._sample_planes(bits, data)
+        if data is not None and self._cap_boost == 1 and n_hint >= 16 * _MIN_SLAB:
+            # ADAPTIVE DEPTH, sized BEFORE allocation: hash a sample and
+            # deepen buckets for genuinely hot codes in one shot. Tightly
+            # clustered data collapses whole clusters onto single codes
+            # (wider hashes cannot separate points on the same side of
+            # every plane), and the overflow-driven ladder this replaces
+            # re-built the full index per doubling — each rebuild a
+            # multi-GB old+new HBM transient that OOMed the round-5 1M x
+            # 768 parity run. The reference never drops entries either;
+            # its tree leaves split adaptively (``lsh.rs:250-267``).
+            est = self._estimate_hot_load(planes, consts, data, n_hint)
+            want = int(1.25 * est)
+            if want > cap:
+                self._cap_boost = min(-(-want // cap0), 1024)
+                cap = cap0 * self._cap_boost
+                nb = self.options.resolved_bits(n_hint, capacity=cap)
+                if nb != bits:  # deeper buckets shrink the bit budget
+                    bits = nb
+                    planes, consts = self._sample_planes(bits, data)
+                logger.info(
+                    "lsh: sample predicts hot-bucket load ~%d at %d rows; "
+                    "pre-boosting bucket depth to %d (bits %d)",
+                    est, n_hint, cap, bits,
+                )
         self._next_slot = 0
         return B.empty_state(planes, consts, cap, slab, dtype=self.dtype)
+
+    def _estimate_hot_load(self, planes, consts, data, n_hint: int) -> int:
+        """Predicted max bucket load at ``n_hint`` rows, from one hashed
+        sample (<=65536 rows, strided). Only SIGNIFICANT sample buckets
+        (>=8 hits) extrapolate — near-uniform data keeps its max at noise
+        level and must not trigger a boost."""
+        if isinstance(data, jnp.ndarray):
+            # rebuild path: rows already on device (and already _dev_dim
+            # wide) — subsample there; only the small [S, T] codes come
+            # back over the (slow) down-tunnel
+            stride = max(data.shape[0] // 65536, 1)
+            xs = data[::stride][:65536].astype(jnp.float32)
+        else:
+            x = np.asarray(data, np.float32)
+            stride = max(x.shape[0] // 65536, 1)
+            xs = jnp.asarray(
+                self._pad_dim(np.ascontiguousarray(x[::stride][:65536]))
+            )
+        codes = np.asarray(H.hash_codes(xs, planes, consts))  # [S, T]
+        hot = 0
+        for t in range(codes.shape[1]):
+            counts = np.bincount(codes[:, t])
+            m = int(counts.max()) if counts.size else 0
+            if m >= 8:
+                hot = max(hot, m)
+        return int(hot * (n_hint / max(codes.shape[0], 1)))
 
     # -- insert --------------------------------------------------------------
 
