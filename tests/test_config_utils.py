@@ -137,8 +137,10 @@ def test_tier_presets():
 
 def test_query_wire_policy():
     """search path / shape warm / bench stage table all consult this one
-    helper — policy: auto = bf16 for reduced slabs except refined int8;
-    bfloat16 forces; float32 never."""
+    helper — policy: auto = bf16 for reduced slabs except refined int8
+    (measured flip keeps recall but costs ~4e-4 distance error,
+    r5_ann_qwire_bf16.json — so it stays an opt-in); bfloat16 forces;
+    float32 never."""
     auto_int8 = IndexOptions(index_type="ivf", dtype="int8", refine="scan")
     assert not auto_int8.query_wire_is_bf16()  # refined: exact f32 queries
     assert IndexOptions(index_type="ivf", dtype="int8", refine=0).query_wire_is_bf16()

@@ -299,8 +299,13 @@ class IndexOptions:
         """One place for the query staging dtype policy (the search path,
         the shape pre-warm, and the bench stage table must all agree):
         "bfloat16" forces the half-width wire; "auto" uses it for every
-        reduced-precision slab EXCEPT refined int8 (its ~15-bit re-rank
-        wants exact queries — force + measure before flipping)."""
+        reduced-precision slab EXCEPT refined int8: the measured flip
+        (``r5_ann_qwire_bf16.json``, 1M x 768) keeps recall@10 IDENTICAL
+        (0.9977) and halves the upload that dominates slow-link serving
+        batches, but bf16 query rounding adds ~4e-4 relative distance
+        error — 10x the ~15-bit slab's own — so the tier's default keeps
+        exact distances and wire-bound deployments opt in with
+        ``query_wire="bfloat16"``."""
         if self.query_wire == "bfloat16":
             return True
         return (
