@@ -287,15 +287,27 @@ class LSHIndex(BaseVectorIndex):
         rerank = self.options.rerank
         if rerank.startswith("pallas") and jax.default_backend() == "cpu":
             rerank = "xla"  # Mosaic kernels need a real TPU; same results
+        mc = self.options.max_candidates
+        probes = self.options.resolved_probes()
+        full = self.state.num_tables * probes * self.state.bucket_capacity
+        if mc == 0 and full > 65536:
+            # Deep (adaptively boosted) buckets make the untruncated
+            # candidate width T*P*C explode — at capacity 3880 a 16384-row
+            # batch's rerank faulted the TPU worker outright. The unique
+            # candidate count is far smaller (duplicated cluster members
+            # across tables), so compacting to 64k loses nothing; the
+            # no-truncation default stays for normal (shallow) tables where
+            # the compaction pass measured slower than the dup gathers.
+            mc = 65536
         return B.query(
             self.state,
             qj,
             k,
             metric=self.metric,
-            num_probes=self.options.resolved_probes(),
+            num_probes=probes,
             power=self.metric_power,
             rerank=rerank,
-            max_candidates=self.options.max_candidates,
+            max_candidates=mc,
         )
 
     # -- persistence ------------------------------------------------------------
